@@ -1,0 +1,152 @@
+"""Hand-rolled small batched linear algebra for TPU.
+
+LAPACK-style custom calls (LU `jnp.linalg.solve`, f32 SVD, ...) are not
+reliably available in f64 on TPU, and for tiny fixed-size blocks (3x3,
+11x11, 12x12) a loop-free / short-fori formulation out of elementwise ops
+and matmuls is both portable and much faster than emulated LAPACK.
+
+These replace, in the reference implementation:
+  - Eigen `Mat3::inverse()` (adjugate)      -> inv3x3
+  - per-camera 12x12 / 11x11 `selfadjointView<Upper>().llt().solve(I)`
+    (sc/linearization_power_varproj.hpp:141-188)  -> cholesky_small / inv_psd_small
+  - `CompleteOrthogonalDecomposition` nullspace `kernel_COD`
+    (bal/bal_bundle_adjustment_helper.cpp:199-216) -> nullspace_of_row
+      (any orthonormal basis of the nullspace is mathematically
+       equivalent; we use a closed-form Householder basis instead of COD)
+  - per-landmark thin-SVD least squares `bdcSvd(...).solve`
+    (helper.cpp:94) -> solved via normal equations + inv3x3 at the
+    call site (the reference itself documents v*(u0) = (G^T G)^-1 G^T z,
+    helper.cpp:218-219)
+
+All functions operate on the *last two* axes and broadcast over leading
+batch axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse via the adjugate.
+
+    Matches Eigen's `Mat3::inverse()` used for Hll^-1
+    (sc/landmark_block.hpp add_Hb_pOSE / get_Hll_inv_add_Hpp_b_pOSE).
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def solve3x3(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 solve m @ x = rhs via the adjugate inverse."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(m), rhs)
+
+
+def cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of small SPD matrices [..., n, n], n static.
+
+    Left-looking column algorithm with n unrolled steps; each step is
+    vectorized over the batch (VPU-friendly, no custom calls).
+    """
+    n = a.shape[-1]
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        # l[j, j] = sqrt(a[j, j] - sum_k l[j, k]^2)
+        s = jnp.einsum("...k,...k->...", l[..., j, :j], l[..., j, :j])
+        d = jnp.sqrt(a[..., j, j] - s)
+        l = l.at[..., j, j].set(d)
+        if j + 1 < n:
+            # l[i, j] = (a[i, j] - sum_k l[i, k] l[j, k]) / d  for i > j
+            s2 = jnp.einsum("...ik,...k->...i", l[..., j + 1 :, :j], l[..., j, :j])
+            col = (a[..., j + 1 :, j] - s2) / d[..., None]
+            l = l.at[..., j + 1 :, j].set(col)
+    return l
+
+
+def solve_lower_tri(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve l @ x = b for lower-triangular l; b is [..., n] or [..., n, m]."""
+    n = l.shape[-1]
+    vec = b.ndim == l.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = jnp.zeros_like(b)
+    for i in range(n):
+        s = jnp.einsum("...k,...km->...m", l[..., i, :i], x[..., :i, :])
+        x = x.at[..., i, :].set((b[..., i, :] - s) / l[..., i, i][..., None])
+    return x[..., 0] if vec else x
+
+
+def solve_upper_from_lower(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve l.T @ x = b for lower-triangular l (i.e. upper solve)."""
+    n = l.shape[-1]
+    vec = b.ndim == l.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = jnp.zeros_like(b)
+    for i in reversed(range(n)):
+        s = jnp.einsum("...k,...km->...m", l[..., i + 1 :, i], x[..., i + 1 :, :])
+        x = x.at[..., i, :].set((b[..., i, :] - s) / l[..., i, i][..., None])
+    return x[..., 0] if vec else x
+
+
+def solve_psd_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via hand-rolled Cholesky (a x = b)."""
+    l = cholesky_small(a)
+    return solve_upper_from_lower(l, solve_lower_tri(l, b))
+
+
+def inv_psd_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD inverse: llt().solve(Identity), as the reference's
+    per-camera B^-1 blocks (sc/linearization_power_varproj.hpp:178-183)."""
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    return solve_psd_small(a, eye)
+
+
+def nullspace_of_row(v: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis of the nullspace of a row vector.
+
+    v: [..., n]  ->  [..., n, n-1] with columns spanning v-perp.
+
+    Replaces `kernel_COD(v^T)` (helper.cpp:199-216): the tangent-space
+    projector of the quotient manifold for a 1-dimensional constraint.
+    Any orthonormal basis of v-perp is valid; we take columns 1..n-1 of
+    the Householder reflector H = I - 2 w w^T / (w^T w) with
+    w = v + sign(v_0) |v| e_0, for which H e_0 = -sign(v_0) v / |v|,
+    hence H e_1, ..., H e_{n-1} span v-perp exactly.
+    """
+    n = v.shape[-1]
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    sign0 = jnp.where(v[..., :1] >= 0, 1.0, -1.0).astype(v.dtype)
+    w = jnp.concatenate([v[..., :1] + sign0 * norm, v[..., 1:]], axis=-1)
+    beta = 2.0 / jnp.sum(w * w, axis=-1, keepdims=True)
+    # H[:, 1:] = I[:, 1:] - beta * w (w[1:])^T
+    h_cols = -beta[..., None] * w[..., :, None] * w[..., None, 1:]
+    eye_cols = jnp.eye(n, dtype=v.dtype)[:, 1:]
+    return h_cols + eye_cols
+
+
+def frobenius_normalize(m: jnp.ndarray) -> jnp.ndarray:
+    """Normalize over the last two axes (Eigen `Matrix::normalize()` on a
+    Mat34 normalizes the full coefficient vector, used for the step-2
+    camera retraction, bal_bundle_adjustment.cpp:700-702)."""
+    norm = jnp.sqrt(jnp.sum(m * m, axis=(-2, -1), keepdims=True))
+    return m / norm

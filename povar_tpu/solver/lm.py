@@ -1,0 +1,455 @@
+"""Levenberg-Marquardt trust-region drivers for the two-step pipeline.
+
+Faithful re-implementation of the reference LM control flow
+(solver/bal_bundle_adjustment.cpp):
+  optimize_lm_ours_pOSE       (cpp:252-542)  -> optimize_step1
+  optimize_homogeneous_joint  (cpp:557-843)  -> optimize_step2
+
+Semantics preserved exactly:
+  - lambda = 1 / trust_region_radius in [1/max_tr, 1/min_tr]
+  - vee-factor backtracking: on reject lambda *= lambda_vee,
+    lambda_vee *= vee_factor; on success lambda *= max(1/3,
+    1 - (2 rho - 1)^3) clamped to min_lambda, lambda_vee reset
+  - non-finite increment => invalid step, raise lambda, count iteration
+  - step-1 accepts iff f_diff > 0 (cpp:445-448); step-2 requires
+    l_diff > 0 AND step_quality > min_relative_decrease (cpp:744-747)
+  - function_tolerance on |cost_change| <= ftol * cost of the selected
+    optimized_cost channel (cpp:179-205)
+  - iteration 0 is error evaluation + logging only
+  - unlimited inner backtracking per linearization point, with the outer
+    iteration counter advancing every inner trial (MAX_INNER_IT loop)
+
+The outer loop runs host-side (it drives logging and data-dependent
+termination, like the reference); each stage is one fused jit call, so
+per-iteration host work is O(1) scalars.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from povar_tpu.options import OptimizedCost, SolverOptions, SolverType
+from povar_tpu.solver.common import ResidualInfo, error_summary_oneline
+from povar_tpu.solver.stage1 import Stage1Solver
+from povar_tpu.solver.stage2 import Stage2Solver, create_homogeneous
+from povar_tpu.utils.summary import (
+    CONVERGENCE,
+    NO_CONVERGENCE,
+    IterationSummary,
+    SolverSummary,
+    finish_iteration,
+    finish_solve,
+)
+from povar_tpu.utils.timer import Timer
+
+
+def _compute_cost_decrease(
+    before: ResidualInfo, after: ResidualInfo, optimized_cost: OptimizedCost
+) -> float:
+    """bal_bundle_adjustment.cpp:163-176."""
+    if optimized_cost == OptimizedCost.ERROR:
+        return before.all.error - after.all.error
+    if optimized_cost == OptimizedCost.ERROR_VALID:
+        return before.valid.error - after.valid.error
+    return before.valid.error_avg() - after.valid.error_avg()
+
+
+def _function_tolerance_reached(
+    cost: ResidualInfo,
+    prev_cost: ResidualInfo,
+    options: SolverOptions,
+) -> Tuple[bool, str]:
+    """bal_bundle_adjustment.cpp:179-205."""
+    if options.optimized_cost == OptimizedCost.ERROR:
+        c = cost.all.error
+        change = abs(prev_cost.all.error - cost.all.error)
+    else:
+        c = cost.valid.error
+        change = abs(prev_cost.valid.error - cost.valid.error)
+    if change <= options.function_tolerance * c:
+        return True, (
+            f"Function tolerance reached. |cost_change|/cost: "
+            f"{change / c} <= {options.function_tolerance}"
+        )
+    return False, ""
+
+
+def _optimize_lm_loop(
+    *,
+    options: SolverOptions,
+    max_lm_iter: int,
+    compute_error: Callable[[], ResidualInfo],
+    linearize: Callable[[], None],
+    solve: Callable[[float], Tuple[np.ndarray, int]],
+    apply_step: Callable[[np.ndarray], float],
+    accept: Callable[[], None],
+    reject: Callable[[], None],
+    accept_rule: str,  # "step1" (f_diff > 0) or "step2" (quality gate)
+    summary: SolverSummary,
+    timer_total: Timer,
+    log: Callable[[str], None],
+    initialize: Optional[Callable[[], None]] = None,
+) -> None:
+    """Shared LM loop skeleton for both steps (the reference duplicates
+    this ~300-line loop twice; the accept rule and stage callbacks are
+    the only differences)."""
+    min_lambda = 1.0 / options.max_trust_region_radius
+    max_lambda = 1.0 / options.min_trust_region_radius
+    lam = 1.0 / options.initial_trust_region_radius
+    lambda_vee = options.initial_vee
+
+    valid_first = options.use_projection_validity_check()
+    terminated = False
+    it = 0
+    first = True
+
+    while it <= max_lm_iter and not terminated:
+        it_summary = IterationSummary(iteration=it)
+        timer_iteration = Timer()
+
+        if first and initialize is not None:
+            initialize()
+        ri = compute_error()
+        first = False
+        log(f"Iteration {it}, {error_summary_oneline(ri, valid_first)}")
+        if not ri.is_numerically_valid:
+            raise FloatingPointError(
+                "did not expect numerical failure during linearization"
+            )
+
+        if it == 0:
+            it_summary.cost = ri
+            it_summary.trust_region_radius = 1.0 / lam
+            it_summary.iteration_time_in_seconds = timer_iteration.elapsed()
+            it_summary.cumulative_time_in_seconds = timer_total.elapsed()
+            it_summary.step_is_successful = True
+            it_summary.step_is_valid = True
+            finish_iteration(summary, it_summary)
+            it += 1
+            continue
+
+        t_stage1 = Timer()
+        linearize()
+        it_summary.stage1_time_in_seconds = t_stage1.elapsed()
+        it_summary.jacobian_evaluation_time_in_seconds = (
+            it_summary.stage1_time_in_seconds
+        )
+        summary.num_jacobian_evaluations += 1
+
+        # inner backtracking loop (unlimited, cpp:337-340)
+        j = 0
+        while it <= max_lm_iter and not terminated:
+            if j > 0:
+                log(f"Iteration {it}, backtracking")
+                it_summary = IterationSummary(iteration=it)
+                timer_iteration = Timer()
+            j += 1
+
+            t_solve = Timer()
+            inc, lin_iters = solve(lam)
+            it_summary.solve_reduced_system_time_in_seconds = t_solve.elapsed()
+            it_summary.linear_solver_iterations = int(lin_iters)
+            summary.num_linear_solves += 1
+
+            if not bool(np.all(np.isfinite(inc))):
+                # NaN increment: invalid step (cpp:362-401)
+                it_summary.step_is_valid = False
+                it_summary.step_is_successful = False
+                log(
+                    f"\t[Invalid] Numeric issues when computing increment "
+                    f"(contains NaNs), lambda: {lam:.1e}"
+                )
+                lam = lambda_vee * lam
+                lambda_vee *= options.vee_factor
+                it_summary.trust_region_radius = 1.0 / lam
+                it_summary.iteration_time_in_seconds = (
+                    timer_iteration.elapsed()
+                )
+                it_summary.cumulative_time_in_seconds = timer_total.elapsed()
+                finish_iteration(summary, it_summary)
+                it += 1
+                if lam > max_lambda:
+                    terminated = True
+                    summary.termination_type = NO_CONVERGENCE
+                    summary.message = (
+                        "Solver did not converge and reached maximum "
+                        f"damping lambda of {max_lambda}"
+                    )
+                continue
+
+            t_bsub = Timer()
+            l_diff = apply_step(inc)
+            it_summary.back_substitution_time_in_seconds = t_bsub.elapsed()
+
+            t_res = Timer()
+            ri2 = compute_error()
+            it_summary.residual_evaluation_time_in_seconds = t_res.elapsed()
+            summary.num_residual_evaluations += 1
+            it_summary.cost = ri2
+
+            if not ri2.is_numerically_valid:
+                it_summary.step_is_valid = False
+                it_summary.step_is_successful = False
+                log(
+                    "\t[EVAL] failed to evaluate cost: "
+                    + error_summary_oneline(ri2, valid_first)
+                )
+            else:
+                f_diff = _compute_cost_decrease(
+                    ri, ri2, options.optimized_cost
+                )
+                if options.optimized_cost == OptimizedCost.ERROR_VALID_AVG:
+                    l_diff = l_diff / ri.valid.num_obs
+                step_quality = f_diff / l_diff if l_diff != 0 else math.inf
+                log(
+                    f"\t[EVAL] f_diff {f_diff:.4e} l_diff {l_diff:.4e} "
+                    f"ri1 {ri.valid.error:.4e} ri2 {ri2.valid.error:.4e}"
+                )
+                it_summary.relative_decrease = step_quality
+                if accept_rule == "step1":
+                    # cpp:445-448
+                    it_summary.step_is_valid = True
+                    it_summary.step_is_successful = f_diff > 0
+                else:
+                    # cpp:741-747
+                    it_summary.step_is_valid = l_diff > 0
+                    it_summary.step_is_successful = (
+                        it_summary.step_is_valid
+                        and step_quality > options.min_relative_decrease
+                    )
+
+            if it_summary.step_is_successful:
+                accept()
+                log(
+                    f"\t[Success] error: {ri2.all.error:.4e}, "
+                    f"lambda: {lam:.1e}, it_time: "
+                    f"{timer_iteration.elapsed():.3f}s, total_time: "
+                    f"{timer_total.elapsed():.3f}s"
+                )
+                lam *= max(
+                    1.0 / 3,
+                    1.0 - (2.0 * it_summary.relative_decrease - 1.0) ** 3,
+                )
+                lam = max(min_lambda, lam)
+                lambda_vee = options.initial_vee
+
+                it_summary.trust_region_radius = 1.0 / lam
+                it_summary.iteration_time_in_seconds = (
+                    timer_iteration.elapsed()
+                )
+                it_summary.cumulative_time_in_seconds = timer_total.elapsed()
+                finish_iteration(summary, it_summary)
+                it += 1
+
+                reached, msg = _function_tolerance_reached(ri2, ri, options)
+                if reached:
+                    terminated = True
+                    summary.termination_type = CONVERGENCE
+                    summary.message = msg
+                break  # leave inner loop
+            else:
+                reason = "Reject" if it_summary.step_is_valid else "Invalid"
+                log(
+                    f"\t[{reason}] error: {ri2.all.error:.4e}, "
+                    f"lambda: {lam:.1e}, it_time: "
+                    f"{timer_iteration.elapsed():.3f}s, total_time: "
+                    f"{timer_total.elapsed():.3f}s"
+                )
+                lam = lambda_vee * lam
+                lambda_vee *= options.vee_factor
+
+                it_summary.trust_region_radius = 1.0 / lam
+                it_summary.iteration_time_in_seconds = (
+                    timer_iteration.elapsed()
+                )
+                it_summary.cumulative_time_in_seconds = timer_total.elapsed()
+                it_summary.step_is_successful = False
+                finish_iteration(summary, it_summary)
+                reject()
+                it += 1
+                if lam > max_lambda:
+                    terminated = True
+                    summary.termination_type = NO_CONVERGENCE
+                    summary.message = (
+                        "Solver did not converge and reached maximum "
+                        f"damping lambda of {max_lambda}"
+                    )
+
+    if not terminated:
+        summary.termination_type = NO_CONVERGENCE
+        summary.message = (
+            "Solver did not converge after maximum number of "
+            f"{max_lm_iter} iterations"
+        )
+
+
+_SOLVER_TYPE_NAMES = {
+    SolverType.PCG: "bal_pcg",
+    SolverType.POWER_SCHUR_COMPLEMENT: "bal_power_sc",
+    SolverType.POWER_VARPROJ: "power_variable_projection",
+    SolverType.CHOLESKY: "variable_projection",
+}
+
+
+class _State:
+    """Mutable {current, trial} state pair replacing the reference's
+    in-place update + backup/restore (bal_problem.cpp:647-708)."""
+
+    def __init__(self, cams, lms):
+        self.cams = cams
+        self.lms = lms
+        self.trial = None  # (cams, lms)
+
+    def stage(self, cams, lms):
+        self.trial = (cams, lms)
+
+    def accept(self):
+        self.cams, self.lms = self.trial
+        self.trial = None
+
+    def reject(self):
+        self.trial = None
+
+
+def optimize_step1(
+    solver: Stage1Solver,
+    cam_space: jnp.ndarray,
+    lm_p: jnp.ndarray,
+    options: SolverOptions,
+    summary: SolverSummary,
+    timer_total: Timer,
+    log: Callable[[str], None] = print,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Step 1: pOSE VarProj LM (optimize_lm_ours_pOSE, cpp:252-542).
+    Returns the optimized (cam_space, lm_p)."""
+    state = _State(cam_space, lm_p)
+    lin_box = {}
+    is_poba = (
+        options.solver_type_step_1 == SolverType.POWER_SCHUR_COMPLEMENT
+    )
+
+    def initialize():
+        state.lms = solver.initialize_varproj(state.cams)
+
+    def compute_error():
+        return ResidualInfo.from_device(
+            {k: np.asarray(v) for k, v in
+             solver.compute_error(state.cams, state.lms).items()}
+        )
+
+    def linearize():
+        lin_box["lin"] = solver.linearize(state.cams, state.lms)
+
+    def solve(lam):
+        inc, iters = solver.solve(
+            lin_box["lin"], jnp.asarray(lam, solver.dtype)
+        )
+        return np.asarray(inc), np.asarray(iters)
+
+    def apply_step(inc):
+        inc = jnp.asarray(inc)
+        if is_poba:
+            new_cams, new_lms, l_diff = solver.apply_poba(
+                state.cams, state.lms, lin_box["lin"], inc,
+                jnp.asarray(lin_box["lam"], solver.dtype),
+            )
+        else:
+            new_cams, new_lms, l_diff = solver.apply(
+                state.cams, state.lms, lin_box["lin"], inc
+            )
+        state.stage(new_cams, new_lms)
+        return float(l_diff)
+
+    # poBA needs the damping lambda inside apply; thread it via the box
+    orig_solve = solve
+
+    def solve_with_lam(lam):
+        lin_box["lam"] = lam
+        return orig_solve(lam)
+
+    _optimize_lm_loop(
+        options=options,
+        max_lm_iter=options.max_num_iterations_step_1,
+        compute_error=compute_error,
+        linearize=linearize,
+        solve=solve_with_lam,
+        apply_step=apply_step,
+        accept=state.accept,
+        reject=state.reject,
+        accept_rule="step1",
+        summary=summary,
+        timer_total=timer_total,
+        log=log,
+        initialize=initialize,
+    )
+    summary.minimizer_time_in_seconds = timer_total.elapsed()
+    finish_solve(summary, _SOLVER_TYPE_NAMES[options.solver_type_step_1])
+    return state.cams, state.lms
+
+
+def optimize_step2(
+    solver: Stage2Solver,
+    cam_space: jnp.ndarray,
+    lm_p_h: jnp.ndarray,
+    options: SolverOptions,
+    summary: SolverSummary,
+    timer_total: Timer,
+    log: Callable[[str], None] = print,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Step 2: Riemannian joint refinement (optimize_homogeneous_joint,
+    cpp:557-843). Returns optimized (cam_space, lm_p_h)."""
+    state = _State(cam_space, lm_p_h)
+    lin_box = {}
+
+    def compute_error():
+        return ResidualInfo.from_device(
+            {k: np.asarray(v) for k, v in
+             solver.compute_error(state.cams, state.lms).items()}
+        )
+
+    def linearize():
+        lin_box["lin"] = solver.linearize(state.cams, state.lms)
+
+    def solve(lam):
+        lin_box["lam"] = lam
+        inc, iters = solver.solve(
+            lin_box["lin"], jnp.asarray(lam, solver.dtype)
+        )
+        return np.asarray(inc), np.asarray(iters)
+
+    def apply_step(inc):
+        new_cams, new_lms, l_diff = solver.apply(
+            state.cams,
+            state.lms,
+            lin_box["lin"],
+            jnp.asarray(inc),
+            jnp.asarray(lin_box["lam"], solver.dtype),
+        )
+        state.stage(new_cams, new_lms)
+        return float(l_diff)
+
+    _optimize_lm_loop(
+        options=options,
+        max_lm_iter=options.max_num_iterations_step_2,
+        compute_error=compute_error,
+        linearize=linearize,
+        solve=solve,
+        apply_step=apply_step,
+        accept=state.accept,
+        reject=state.reject,
+        accept_rule="step2",
+        summary=summary,
+        timer_total=timer_total,
+        log=log,
+    )
+    summary.minimizer_time_in_seconds = timer_total.elapsed()
+    summary.total_time_in_seconds = timer_total.elapsed()
+    finish_solve(
+        summary,
+        "riemannian_" + options.solver_type_step_2.value.lower(),
+    )
+    return state.cams, state.lms

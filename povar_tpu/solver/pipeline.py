@@ -1,0 +1,74 @@
+"""Two-step stratified solve (bundle_adjust_manual,
+solver/bal_bundle_adjustment.cpp:848-892):
+
+  step 1: pOSE VarProj from random projective cameras
+  boundary: homogenize landmarks + normalize cameras
+  step 2: Riemannian joint refinement
+
+Returns the optimized problem plus both step summaries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from povar_tpu.options import SolverOptions
+from povar_tpu.problem.problem import BalProblem
+from povar_tpu.solver.lm import optimize_step1, optimize_step2
+from povar_tpu.solver.stage1 import Stage1Solver
+from povar_tpu.solver.stage2 import Stage2Solver, create_homogeneous
+from povar_tpu.utils.summary import SolverSummary
+from povar_tpu.utils.timer import Timer
+
+
+def bundle_adjust(
+    problem: BalProblem,
+    options: Optional[SolverOptions] = None,
+    log: Callable[[str], None] = print,
+    dtype=jnp.float64,
+) -> Tuple[BalProblem, SolverSummary, SolverSummary]:
+    """Run the full stratified pipeline; mutates and returns `problem`
+    with optimized cam_space / lm_p / lm_p_h, plus the per-step
+    summaries (step-1 summary, step-2 summary)."""
+    options = options or SolverOptions()
+    timer_total = Timer()
+
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        options,
+        dtype=dtype,
+    )
+    summary1 = SolverSummary()
+    cams = jnp.asarray(problem.cam_space, dtype)
+    lms = jnp.asarray(problem.lm_p, dtype)
+    cams, lms = optimize_step1(
+        s1, cams, lms, options, summary1, timer_total, log
+    )
+
+    cams, lms_h = create_homogeneous(cams, lms)
+
+    s2 = Stage2Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        options,
+        dtype=dtype,
+    )
+    summary2 = SolverSummary()
+    cams, lms_h = optimize_step2(
+        s2, cams, lms_h, options, summary2, timer_total, log
+    )
+
+    problem.cam_space = np.asarray(cams)
+    problem.lm_p_h = np.asarray(lms_h)
+    problem.lm_p = np.asarray(lms_h[:, :3] / lms_h[:, 3:4])
+    return problem, summary1, summary2

@@ -1,0 +1,349 @@
+"""Step-2 Riemannian projective refinement, TPU-native.
+
+Replaces the reference's homogeneous/joint path:
+  - linearize_landmark_projective_space_homogeneous + linearize_nullspace
+    (sc/landmark_block.hpp:180-269)
+  - prepare_Hb_joint / solve_joint / right_mul_*_joint
+    (sc/linearization_power_varproj.hpp:74-122, 240-287, 341-453)
+  - back_substitute_joint (sc/landmark_block.hpp:574-623)
+  - apply_joint camera lift (solver/linearizor_power_varproj.cpp:276-308)
+  - the explicit-SC RIPCG variant (sc/linearization_sc.hpp get_Hb_joint)
+
+Geometry: cameras live on the quotient of 12-dof matrices by global
+scale, landmarks on the quotient of homogeneous 4-vectors by scale.
+Tangent spaces are the nullspaces of the current representative
+(11-dim for cameras, 3-dim for landmarks); the reference realizes them
+with COD kernels (`kernel_COD`), we use closed-form Householder bases
+(ops/linalg.nullspace_of_row) — any orthonormal basis of the same
+subspace, so the optimization is equivalent (trajectories can differ in
+roundoff/basis, convergence and cost do not). Because the bases have
+orthonormal columns, the reference's Proj^T lambda Proj damping terms
+reduce to lambda I, which we exploit.
+
+Retraction after each step: Frobenius-normalize camera matrices and
+dehomogenize landmarks (bal_bundle_adjustment.cpp:700-705).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from povar_tpu.ops import linalg, pose_math
+from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
+from povar_tpu.solver import pcg as pcg_mod
+from povar_tpu.solver.common import accumulate_residual_info, segment_sum
+
+_ROBUST_CODE = {
+    RobustNorm.NONE: pose_math.ROBUST_NONE,
+    RobustNorm.HUBER: pose_math.ROBUST_HUBER,
+    RobustNorm.CAUCHY: pose_math.ROBUST_CAUCHY,
+}
+
+
+class Lin2(NamedTuple):
+    """Step-2 linearization point: scaled storage + tangent projections.
+
+    Jp/Jl are the scaled 'storage_homogeneous_' blocks; Jp_ns/Jl_ns the
+    'storage_nullspace_' blocks; kernel_cam/kernel_lm the tangent bases.
+    """
+
+    Jp: jnp.ndarray  # [O, 2, 12]
+    Jl: jnp.ndarray  # [O, 2, 4]
+    r: jnp.ndarray  # [O, 2]
+    Jp_ns: jnp.ndarray  # [O, 2, 11]
+    Jl_ns: jnp.ndarray  # [O, 2, 3]
+    kernel_cam: jnp.ndarray  # [N, 12, 11]
+    kernel_lm: jnp.ndarray  # [M, 4, 3]
+    pose_scale: jnp.ndarray  # [N, 12]
+    jl_scale: jnp.ndarray  # [M, 4]
+
+
+def create_homogeneous(
+    cam_space: jnp.ndarray, lm_p: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Step boundary (create_homogeneous_landmark,
+    bal_bundle_adjustment.cpp:544-553): lift landmarks to homogeneous
+    coordinates and normalize camera matrices."""
+    lm_p_h = jnp.concatenate(
+        [lm_p, jnp.ones_like(lm_p[..., :1])], axis=-1
+    )
+    return linalg.frobenius_normalize(cam_space), lm_p_h
+
+
+class Stage2Solver:
+    def __init__(
+        self,
+        obs_cam: jnp.ndarray,
+        obs_lm: jnp.ndarray,
+        obs_uv: jnp.ndarray,
+        num_cameras: int,
+        num_landmarks: int,
+        options: SolverOptions,
+        dtype=jnp.float64,
+    ):
+        self.obs_cam = jnp.asarray(obs_cam, jnp.int32)
+        self.obs_lm = jnp.asarray(obs_lm, jnp.int32)
+        self.obs_uv = jnp.asarray(obs_uv, dtype)
+        self.n_cams = int(num_cameras)
+        self.n_lms = int(num_landmarks)
+        self.opts = options
+        self.dtype = dtype
+        self.robust = _ROBUST_CODE[options.residual.robust_norm]
+        self.huber = float(options.residual.huber_parameter)
+        self.jacobi_eps = options.effective_jacobi_scaling_epsilon(dtype)
+        self.power_m = int(options.power_sc_iterations)
+        self.use_valid_only = options.use_projection_validity_check()
+
+        self.compute_error = jax.jit(self._compute_error)
+        self.linearize = jax.jit(self._linearize)
+        self.solve_power = jax.jit(self._solve_power)
+        self.solve_pcg = jax.jit(self._solve_pcg)
+        self.apply = jax.jit(self._apply)
+
+    def _seg_cam(self, x: jnp.ndarray) -> jnp.ndarray:
+        return segment_sum(x, self.obs_cam, self.n_cams)
+
+    def _seg_lm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return segment_sum(x, self.obs_lm, self.n_lms, sorted_=True)
+
+    # ------------------------------------------------------------- error
+
+    def _compute_error(
+        self, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """compute_error_projective_space_homogeneous
+        (helper.cpp:156-196)."""
+        P = cam_space[self.obs_cam]
+        xh = lm_p_h[self.obs_lm]
+        r, valid = pose_math.homogeneous_residual(P, xh, self.obs_uv)
+        res_sq = jnp.sum(r * r, axis=-1)
+        err, _w = pose_math.robust_error_and_weight(
+            res_sq, self.robust, self.huber
+        )
+        finite = jnp.all(jnp.isfinite(r), axis=-1)
+        return accumulate_residual_info(err, jnp.sqrt(res_sq), valid, finite)
+
+    # --------------------------------------------------------- linearize
+
+    def _linearize(
+        self, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
+    ) -> Lin2:
+        """Homogeneous linearization + Jacobi scaling + tangent-space
+        (nullspace) projection.
+
+        Order matches the reference: weight, scale Jl columns
+        (scale_Jl_cols_homogeneous), compute pose scaling from Jp column
+        norms, scale Jp columns (scale_Jp_cols_joint), then build the
+        nullspace storage from the *scaled* blocks
+        (landmark_block.hpp:227-269; scaling happens before
+        linearize_nullspace in linearizor_power_varproj.cpp:129-133)."""
+        P = cam_space[self.obs_cam]
+        xh = lm_p_h[self.obs_lm]
+        r, Jp, Jl, valid = pose_math.homogeneous_jacobians(
+            P, xh, self.obs_uv
+        )
+
+        if self.use_valid_only:
+            # invalid projections contribute zero rows
+            # (landmark_block.hpp:203-222 'if (valid)')
+            keep = valid[:, None]
+            r = jnp.where(keep, r, 0.0)
+            Jp = jnp.where(keep[..., None], Jp, 0.0)
+            Jl = jnp.where(keep[..., None], Jl, 0.0)
+
+        res_sq = jnp.sum(r * r, axis=-1)
+        _err, w = pose_math.robust_error_and_weight(
+            res_sq, self.robust, self.huber
+        )
+        sw = jnp.sqrt(w)[..., None]
+        r = r * sw
+        Jp = Jp * sw[..., None]
+        Jl = Jl * sw[..., None]
+
+        jl_sq = self._seg_lm(jnp.sum(Jl * Jl, axis=1))  # [M, 4]
+        jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
+        Jl = Jl * jl_scale[self.obs_lm][:, None, :]
+
+        jp_sq = self._seg_cam(jnp.sum(Jp * Jp, axis=1))  # [N, 12]
+        pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
+        Jp = Jp * pose_scale[self.obs_cam][:, None, :]
+
+        kernel_cam = linalg.nullspace_of_row(
+            cam_space.reshape(self.n_cams, 12)
+        )  # [N, 12, 11]
+        kernel_lm = linalg.nullspace_of_row(lm_p_h)  # [M, 4, 3]
+
+        Jp_ns = jnp.einsum("oij,ojk->oik", Jp, kernel_cam[self.obs_cam])
+        Jl_ns = jnp.einsum("oij,ojk->oik", Jl, kernel_lm[self.obs_lm])
+
+        return Lin2(
+            Jp=Jp,
+            Jl=Jl,
+            r=r,
+            Jp_ns=Jp_ns,
+            Jl_ns=Jl_ns,
+            kernel_cam=kernel_cam,
+            kernel_lm=kernel_lm,
+            pose_scale=pose_scale,
+            jl_scale=jl_scale,
+        )
+
+    # ------------------------------------------------------ Schur pieces
+
+    def _prepare_hb(
+        self, lin: Lin2, lam: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """prepare_Hb_joint (linearization_power_varproj.hpp:74-122):
+        tangent-space Hll^-1 [M,3,3] (with Proj^T lam Proj = lam I
+        damping), gradient b [N,11], damped per-camera (Jp_ns^T Jp_ns +
+        lam I)^-1 [N,11,11]."""
+        hll = self._seg_lm(jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns))
+        hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
+        hll_inv = linalg.inv3x3(hll)
+
+        bl = self._seg_lm(jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r))
+        hll_inv_bl = jnp.einsum("mij,mj->mi", hll_inv, bl)
+
+        r_tilde = lin.r - jnp.einsum(
+            "oij,oj->oi", lin.Jl_ns, hll_inv_bl[self.obs_lm]
+        )
+        b = self._seg_cam(jnp.einsum("oki,ok->oi", lin.Jp_ns, r_tilde))
+
+        hpp = self._seg_cam(
+            jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
+        )
+        hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)
+        b_inv = linalg.inv_psd_small(hpp)
+        return b, b_inv, hll_inv
+
+    def _e0_matvec(
+        self, x: jnp.ndarray, lin: Lin2, hll_inv: jnp.ndarray
+    ) -> jnp.ndarray:
+        """right_mul_e0_joint (hpp:409-453) as gather/einsum/segment_sum."""
+        xc = x[self.obs_cam]  # [O, 11]
+        jpx = jnp.einsum("oij,oj->oi", lin.Jp_ns, xc)  # [O, 2]
+        u = self._seg_lm(jnp.einsum("oij,oi->oj", lin.Jl_ns, jpx))
+        w = jnp.einsum("mij,mj->mi", hll_inv, u)
+        v = jnp.einsum("oij,oj->oi", lin.Jl_ns, w[self.obs_lm])
+        return self._seg_cam(jnp.einsum("oij,oi->oj", lin.Jp_ns, v))
+
+    # ------------------------------------------------------------ solves
+
+    def _solve_power(
+        self, lin: Lin2, lam: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """RIPOBA: power series on the 11-dof tangent system
+        (solve_joint, hpp:240-287)."""
+        b, b_inv, hll_inv = self._prepare_hb(lin, lam)
+
+        def b_inv_apply(v):
+            return jnp.einsum("nij,nj->ni", b_inv, v)
+
+        def e0_apply(v):
+            return self._e0_matvec(v, lin, hll_inv)
+
+        return pcg_mod.power_series(
+            b_inv_apply,
+            e0_apply,
+            -b,
+            max_terms=self.power_m,
+            q_tolerance=self.opts.eta,
+            r_tolerance=self.opts.r_tolerance,
+        )
+
+    def _solve_pcg(
+        self, lin: Lin2, lam: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """RIPCG (linearizor_sc.cpp:245-325): implicit tangent RCS +
+        Schur-Jacobi preconditioner; inc = -x of S x = b."""
+        b, _b_inv, hll_inv = self._prepare_hb(lin, lam)
+        hpp = self._seg_cam(
+            jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
+        )
+
+        W = jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jl_ns)  # [O, 11, 3]
+        Wh = jnp.einsum("oij,ojk->oik", W, hll_inv[self.obs_lm])
+        corr = self._seg_cam(jnp.einsum("oik,ojk->oij", Wh, W))
+        diag_blocks = hpp + lam * jnp.eye(11, dtype=hpp.dtype) - corr
+        diag_chol = linalg.cholesky_small(diag_blocks)
+
+        def matvec(x):
+            bx = jnp.einsum("nij,nj->ni", hpp, x) + lam * x
+            return bx - self._e0_matvec(x, lin, hll_inv)
+
+        def precond(x):
+            y = linalg.solve_lower_tri(diag_chol, x)
+            return linalg.solve_upper_from_lower(diag_chol, y)
+
+        res = pcg_mod.conjugate_gradients(
+            matvec,
+            b,
+            jnp.zeros_like(b),
+            precond,
+            max_iterations=self.opts.max_linear_solver_iterations,
+            min_iterations=self.opts.min_linear_solver_iterations,
+            q_tolerance=self.opts.eta,
+            r_tolerance=-1.0,
+            residual_reset_period=self.opts.residual_reset_period,
+        )
+        return -res.x, res.num_iterations
+
+    def solve(
+        self, lin: Lin2, lam: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        st = self.opts.solver_type_step_2
+        if st == SolverTypeRiemannian.RIPOBA:
+            return self.solve_power(lin, lam)
+        if st == SolverTypeRiemannian.RIPCG:
+            return self.solve_pcg(lin, lam)
+        raise ValueError(f"unknown step-2 solver type {st}")
+
+    # ------------------------------------------------------------- apply
+
+    def _apply(
+        self,
+        cam_space: jnp.ndarray,
+        lm_p_h: jnp.ndarray,
+        lin: Lin2,
+        inc: jnp.ndarray,  # [N, 11] tangent increment
+        lam: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """back_substitute_joint + apply_joint + retraction
+        (landmark_block.hpp:574-623, linearizor_power_varproj.cpp:276-308,
+        bal_bundle_adjustment.cpp:700-705).
+
+        Landmarks: solve the damped tangent system from the stored
+        (scaled) blocks, lift 3 -> 4 through kernel_lm, unscale by the
+        Jl column scale after computing the model decrease, add.
+        Cameras: lift 11 -> 12 through kernel_cam, unscale, add.
+        Retraction: Frobenius-normalize cameras, dehomogenize landmarks.
+        Returns (new_cam_space, new_lm_p_h, l_diff).
+        """
+        hll = self._seg_lm(jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns))
+        hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
+
+        jp_inc = jnp.einsum("oij,oj->oi", lin.Jp_ns, inc[self.obs_cam])
+        tmp = self._seg_lm(
+            jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r + jp_inc)
+        )
+        inc3 = -linalg.solve3x3(hll, tmp)
+        inc_proj = jnp.einsum("mij,mj->mi", lin.kernel_lm, inc3)  # [M, 4]
+
+        j_inc = jp_inc + jnp.einsum(
+            "oij,oj->oi", lin.Jl, inc_proj[self.obs_lm]
+        )
+        l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
+
+        new_lm_h = lm_p_h + inc_proj * lin.jl_scale
+
+        inc12 = jnp.einsum("nij,nj->ni", lin.kernel_cam, inc)  # [N, 12]
+        inc12 = inc12 * lin.pose_scale
+        new_cam = cam_space + inc12.reshape(self.n_cams, 3, 4)
+
+        # manifold retraction
+        new_cam = linalg.frobenius_normalize(new_cam)
+        new_lm_h = new_lm_h / new_lm_h[:, 3:4]
+        return new_cam, new_lm_h, l_diff
