@@ -307,6 +307,17 @@ class _State:
     def stage(self, cams, lms):
         self.trial = (cams, lms)
 
+    # the reference applies the step to the problem in place, evaluates
+    # the cost, and restores on reject; "current" is therefore the trial
+    # state while one is staged
+    @property
+    def cur_cams(self):
+        return self.trial[0] if self.trial is not None else self.cams
+
+    @property
+    def cur_lms(self):
+        return self.trial[1] if self.trial is not None else self.lms
+
     def accept(self):
         self.cams, self.lms = self.trial
         self.trial = None
@@ -338,7 +349,7 @@ def optimize_step1(
     def compute_error():
         return ResidualInfo.from_device(
             {k: np.asarray(v) for k, v in
-             solver.compute_error(state.cams, state.lms).items()}
+             solver.compute_error(state.cur_cams, state.cur_lms).items()}
         )
 
     def linearize():
@@ -408,7 +419,7 @@ def optimize_step2(
     def compute_error():
         return ResidualInfo.from_device(
             {k: np.asarray(v) for k, v in
-             solver.compute_error(state.cams, state.lms).items()}
+             solver.compute_error(state.cur_cams, state.cur_lms).items()}
         )
 
     def linearize():
