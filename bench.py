@@ -1,0 +1,117 @@
+"""Benchmark: pOSE Power-VarProj LM iteration at venice-89 scale.
+
+Times the framework's hot path — one fused step-1 LM iteration
+(linearize + prepare_Hb + 10-term power-series solve + camera update +
+VarProj back-substitution) — on a synthetic problem matching the BAL
+venice problem-89-110973 scale used by the reference README
+(89 cameras, 110,973 landmarks, ~5 observations per landmark).
+
+Baseline: the reference (tum-vision/povar) cannot be built in this
+environment (Eigen/Sophus/abseil submodules are empty and there is no
+network), so `vs_baseline` is computed against an analytic estimate of
+the reference's 64-thread CPU wall time for the same iteration:
+FLOPs-per-iteration from the work breakdown below divided by an assumed
+sustained 60 double-precision GFLOP/s (generous for a 64-thread Xeon on
+this memory-bound, mutex-scattered workload — the reference's own hot
+loop is TBB scatter-add over landmark blocks,
+sc/linearization_power_varproj.hpp:364-407). vs_baseline > 1 means the
+TPU solve is faster than that CPU estimate.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from povar_tpu.options import SolverOptions  # noqa: E402
+from povar_tpu.problem.synthetic import synthetic_bal_problem_fast  # noqa: E402
+from povar_tpu.solver.stage1 import Stage1Solver  # noqa: E402
+
+N_CAMS = 89
+N_LMS = 110_973
+OBS_PER_LM = 5
+POWER_M = 10
+REF_CPU_GFLOPS = 60.0
+
+
+def flops_per_iteration(n_obs: int, n_lms: int, n_cams: int, m: int) -> float:
+    """Analytic f64 FLOPs of one fused LM iteration (linearize + prepare
+    + m power terms + back-substitution), counted the same way the
+    reference's scripts/num_ops model counts (2 flops per MAC)."""
+    jac = n_obs * (4 * 12 + 4 * 3) * 4  # residual+J eval, scaling passes
+    hll = n_lms * (2 * 9 * 4 + 42)  # Jl^T Jl + 3x3 inverses
+    hpp = n_obs * 2 * 4 * 12 * 12 + n_cams * (12**3)  # Jp^T Jp + LLT inv
+    b = n_obs * 2 * 4 * (12 + 3) * 2
+    per_term = n_obs * 2 * 4 * (12 + 3) * 2 + n_lms * 18 + n_cams * 2 * 144
+    bsub = n_obs * (2 * 4 * 3 * 2 + 2 * 4 * 12) + n_lms * 60
+    return float(jac + hll + hpp + b + m * per_term + bsub)
+
+
+def main() -> None:
+    problem = synthetic_bal_problem_fast(
+        N_CAMS, N_LMS, OBS_PER_LM, seed=0
+    )
+    opts = SolverOptions()
+    opts.power_sc_iterations = POWER_M
+    opts.eta = 0.0  # run all m terms: benchmark fixed work
+    opts.r_tolerance = -1.0
+    solver = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+    )
+
+    def step(cam_space, lm_p, lam):
+        lin = solver._linearize(cam_space, lm_p)
+        inc, _ = solver._solve_power(lin, lam, landmark_damping=False)
+        return solver._apply(cam_space, lm_p, lin, inc)
+
+    step_jit = jax.jit(step)
+    cams = jnp.asarray(problem.cam_space)
+    lms = solver.initialize_varproj(cams)
+    lms.block_until_ready()
+    lam = jnp.asarray(1e-4, lms.dtype)
+
+    # warmup/compile
+    out = step_jit(cams, lms, lam)
+    out[0].block_until_ready()
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = step_jit(cams, lms, lam)
+        out[0].block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+
+    n_obs = problem.num_observations
+    flops = flops_per_iteration(n_obs, N_LMS, N_CAMS, POWER_M)
+    ref_time = flops / (REF_CPU_GFLOPS * 1e9)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "pOSE POWER_VARPROJ LM-iteration wall time, "
+                    "venice-89 scale (89 cams, 110973 lms, "
+                    f"{n_obs} obs, m={POWER_M}, f64)"
+                ),
+                "value": t,
+                "unit": "s/iteration",
+                "vs_baseline": ref_time / t,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,52 @@ def synthetic_bal_problem(
     return problem, gt_cams
 
 
+def synthetic_bal_problem_fast(
+    n_cams: int,
+    n_lms: int,
+    obs_per_lm: int,
+    seed: int = 0,
+    noise: float = 0.0,
+) -> BalProblem:
+    """Fully vectorized large-scale synthetic problem (fixed obs count
+    per landmark) for benchmarks at venice/final scale, in the
+    initialization-free configuration (random cameras + landmarks)."""
+    rng = np.random.default_rng(seed)
+    gt_cams = _ring_cameras(n_cams, radius=10.0, rng=rng)
+    pts = rng.standard_normal((n_lms, 3)) * 2.0
+
+    k = min(obs_per_lm, n_cams)
+    # k distinct cameras per landmark via random-key argpartition
+    keys = rng.random((n_lms, n_cams))
+    cams_per_lm = np.argpartition(keys, k - 1, axis=1)[:, :k]  # [M, k]
+    cams_per_lm.sort(axis=1)
+
+    obs_lm = np.repeat(np.arange(n_lms, dtype=np.int32), k)
+    obs_cam = cams_per_lm.reshape(-1).astype(np.int32)
+    xh = np.concatenate([pts, np.ones((n_lms, 1))], axis=1)  # [M, 4]
+    p = np.einsum("oij,oj->oi", gt_cams[obs_cam], xh[obs_lm])
+    obs_uv = p[:, :2] / p[:, 2:3]
+    if noise > 0:
+        obs_uv = obs_uv + rng.normal(0.0, noise, size=obs_uv.shape)
+
+    cam_space = np.zeros_like(gt_cams)
+    cam_space[:, 0, :] = rng.standard_normal((n_cams, 4))
+    cam_space[:, 1, :] = rng.standard_normal((n_cams, 4))
+    cam_space[:, 2, :] = np.array([0.0, 0.0, 0.0, 1.0])
+
+    problem = BalProblem(
+        cam_space=cam_space,
+        intrinsics=np.tile(np.array([1.0, 0.0, 0.0]), (n_cams, 1)),
+        lm_p=rng.standard_normal((n_lms, 3)),
+        obs_cam=obs_cam,
+        obs_lm=obs_lm,
+        obs_uv=obs_uv,
+        input_path=f"synthetic-fast-{n_cams}-{n_lms}",
+    )
+    # already sorted by (lm, cam)
+    return problem
+
+
 def write_bal_text(
     path: str,
     n_cams: int,

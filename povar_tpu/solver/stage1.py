@@ -62,10 +62,17 @@ class Stage1Solver:
         num_landmarks: int,
         options: SolverOptions,
         dtype=jnp.float64,
+        obs_weight=None,
     ):
         self.obs_cam = jnp.asarray(obs_cam, jnp.int32)
         self.obs_lm = jnp.asarray(obs_lm, jnp.int32)
         self.obs_uv = jnp.asarray(obs_uv, dtype)
+        # optional 0/1 per-observation weight for padded entries (multi-
+        # chip sharding pads O to a multiple of the mesh size; padded
+        # rows contribute exactly zero everywhere)
+        self.obs_weight = (
+            None if obs_weight is None else jnp.asarray(obs_weight, dtype)
+        )
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
         self.opts = options
@@ -90,6 +97,13 @@ class Stage1Solver:
 
     # -------------------------------------------------------------- utils
 
+    def _mask_rows(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Zero out padded observation rows (no-op when unpadded)."""
+        if self.obs_weight is None:
+            return x
+        w = self.obs_weight.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(w > 0, x, 0.0)
+
     def _seg_cam(self, x: jnp.ndarray) -> jnp.ndarray:
         return segment_sum(x, self.obs_cam, self.n_cams)
 
@@ -106,13 +120,20 @@ class Stage1Solver:
         unconditionally, helper.cpp:263)."""
         P = cam_space[self.obs_cam]
         x = lm_p[self.obs_lm]
-        r = pose_math.pose_residual(P, x, self.obs_uv, self.alpha)
+        r = self._mask_rows(
+            pose_math.pose_residual(P, x, self.obs_uv, self.alpha)
+        )
         res_sq = jnp.sum(r * r, axis=-1)
         err, _w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
         finite = jnp.all(jnp.isfinite(r), axis=-1)
         valid = jnp.ones_like(finite)
+        if self.obs_weight is not None:
+            active = self.obs_weight > 0
+            err = jnp.where(active, err, 0.0)
+            valid = active
+            finite = jnp.logical_or(finite, ~active)
         return accumulate_residual_info(err, jnp.sqrt(res_sq), valid, finite)
 
     def _initialize_varproj(self, cam_space: jnp.ndarray) -> jnp.ndarray:
@@ -123,6 +144,8 @@ class Stage1Solver:
         not depend on the previous landmark values."""
         P = cam_space[self.obs_cam]
         gtg, gtz = pose_math.varproj_init_normal_eq(P, self.obs_uv, self.alpha)
+        gtg = self._mask_rows(gtg)
+        gtz = self._mask_rows(gtz)
         gtg_lm = self._seg_lm(gtg)
         gtz_lm = self._seg_lm(gtz)
         return linalg.solve3x3(gtg_lm, gtz_lm)
@@ -143,6 +166,9 @@ class Stage1Solver:
         P = cam_space[self.obs_cam]
         x = lm_p[self.obs_lm]
         r, Jp, Jl = pose_math.pose_jacobians(P, x, self.obs_uv, self.alpha)
+        r = self._mask_rows(r)
+        Jp = self._mask_rows(Jp)
+        Jl = self._mask_rows(Jl)
 
         res_sq = jnp.sum(r * r, axis=-1)
         _err, w = pose_math.robust_error_and_weight(
@@ -368,6 +394,9 @@ class Stage1Solver:
         r_new, Jp_new, Jl_new = pose_math.pose_jacobians(
             P_new, x, self.obs_uv, self.alpha
         )
+        r_new = self._mask_rows(r_new)
+        Jp_new = self._mask_rows(Jp_new)
+        Jl_new = self._mask_rows(Jl_new)
 
         hll = self._seg_lm(jnp.einsum("oki,okj->oij", Jl_new, Jl_new))
         tmp = self._seg_lm(jnp.einsum("oki,ok->oi", Jl_new, r_new))

@@ -83,10 +83,14 @@ class Stage2Solver:
         num_landmarks: int,
         options: SolverOptions,
         dtype=jnp.float64,
+        obs_weight=None,
     ):
         self.obs_cam = jnp.asarray(obs_cam, jnp.int32)
         self.obs_lm = jnp.asarray(obs_lm, jnp.int32)
         self.obs_uv = jnp.asarray(obs_uv, dtype)
+        self.obs_weight = (
+            None if obs_weight is None else jnp.asarray(obs_weight, dtype)
+        )
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
         self.opts = options
@@ -102,6 +106,12 @@ class Stage2Solver:
         self.solve_power = jax.jit(self._solve_power)
         self.solve_pcg = jax.jit(self._solve_pcg)
         self.apply = jax.jit(self._apply)
+
+    def _mask_rows(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.obs_weight is None:
+            return x
+        w = self.obs_weight.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(w > 0, x, 0.0)
 
     def _seg_cam(self, x: jnp.ndarray) -> jnp.ndarray:
         return segment_sum(x, self.obs_cam, self.n_cams)
@@ -119,11 +129,17 @@ class Stage2Solver:
         P = cam_space[self.obs_cam]
         xh = lm_p_h[self.obs_lm]
         r, valid = pose_math.homogeneous_residual(P, xh, self.obs_uv)
+        r = self._mask_rows(r)
         res_sq = jnp.sum(r * r, axis=-1)
         err, _w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
         finite = jnp.all(jnp.isfinite(r), axis=-1)
+        if self.obs_weight is not None:
+            active = self.obs_weight > 0
+            err = jnp.where(active, err, 0.0)
+            valid = jnp.logical_and(valid, active)
+            finite = jnp.logical_or(finite, ~active)
         return accumulate_residual_info(err, jnp.sqrt(res_sq), valid, finite)
 
     # --------------------------------------------------------- linearize
@@ -145,6 +161,9 @@ class Stage2Solver:
         r, Jp, Jl, valid = pose_math.homogeneous_jacobians(
             P, xh, self.obs_uv
         )
+        r = self._mask_rows(r)
+        Jp = self._mask_rows(Jp)
+        Jl = self._mask_rows(Jl)
 
         if self.use_valid_only:
             # invalid projections contribute zero rows

@@ -1,0 +1,219 @@
+"""Dataset I/O tests: BAL text round-trip through --create-dataset and
+load_bal_eccv, native vs python tokenizer equality, npz persistence,
+normalize/filter behavior, and the CLI app end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from povar_tpu.options import BalDatasetOptions
+from povar_tpu.problem import bal_io
+from povar_tpu.problem.problem import BalProblem
+from povar_tpu.problem.synthetic import synthetic_bal_problem, write_bal_text
+from povar_tpu.utils import native
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def bal_file(tmp_path):
+    problem, gt = synthetic_bal_problem(
+        n_cams=5, n_lms=30, obs_per_lm=4, seed=41
+    )
+    path = tmp_path / "problem-5-30-pre.txt"
+    write_bal_text(
+        str(path),
+        problem.num_cameras,
+        problem.num_landmarks,
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        lm_p=problem.lm_p,
+    )
+    return str(path), problem
+
+
+def test_create_dataset_and_load(bal_file, tmp_path, monkeypatch):
+    path, orig = bal_file
+    monkeypatch.chdir(tmp_path)
+    out = bal_io.create_dataset(path, seed=7)
+    assert os.path.exists(out)
+
+    loaded = bal_io.load_bal_eccv(out, seed=7)
+    assert loaded.num_cameras == orig.num_cameras
+    assert loaded.num_landmarks == orig.num_landmarks
+    assert loaded.num_observations == orig.num_observations
+    # third space-matrix row is [0,0,0,1] (random projective init)
+    np.testing.assert_allclose(
+        loaded.cam_space[:, 2, :],
+        np.tile([0.0, 0.0, 0.0, 1.0], (orig.num_cameras, 1)),
+    )
+    # rows 0-1 are N(0,1) draws: check they're not degenerate
+    assert np.abs(loaded.cam_space[:, :2, :]).std() > 0.3
+    # y axis inverted relative to the file
+    sorted_orig = orig  # already sorted
+    # match observations by (lm, cam)
+    key_o = sorted_orig.obs_lm.astype(np.int64) * 10**6 + sorted_orig.obs_cam
+    key_l = loaded.obs_lm.astype(np.int64) * 10**6 + loaded.obs_cam
+    np.testing.assert_array_equal(np.sort(key_o), np.sort(key_l))
+    oo = np.argsort(key_o)
+    ll = np.argsort(key_l)
+    np.testing.assert_allclose(
+        loaded.obs_uv[ll][:, 1], -sorted_orig.obs_uv[oo][:, 1], atol=2e-6
+    )
+    np.testing.assert_allclose(
+        loaded.obs_uv[ll][:, 0], sorted_orig.obs_uv[oo][:, 0], atol=2e-6
+    )
+
+
+def test_native_tokenizer_matches_python(bal_file):
+    path, _ = bal_file
+    if not native.available():
+        pytest.skip("native library not built")
+    nat = native.parse_tokens(path)
+    with open(path, "rb") as f:
+        py = np.array(f.read().split(), dtype=np.float64)
+    np.testing.assert_allclose(nat, py)
+
+
+def test_npz_roundtrip(bal_file, tmp_path):
+    _, problem = bal_file
+    p = str(tmp_path / "state.npz")
+    problem.save_npz(p)
+    loaded = BalProblem.load_npz(p)
+    np.testing.assert_allclose(loaded.cam_space, problem.cam_space)
+    np.testing.assert_allclose(loaded.lm_p, problem.lm_p)
+    np.testing.assert_array_equal(loaded.obs_cam, problem.obs_cam)
+
+
+def test_normalize_median_mad():
+    problem, _ = synthetic_bal_problem(
+        n_cams=5, n_lms=51, obs_per_lm=4, seed=42
+    )
+    problem.normalize(100.0)
+    m = problem.num_landmarks
+    mid = m // 2
+    median = np.partition(problem.lm_p, mid, axis=0)[mid]
+    np.testing.assert_allclose(median, 0.0, atol=1e-9)
+    dev = np.abs(problem.lm_p - median).sum(axis=1)
+    mad = np.partition(dev, mid)[mid]
+    np.testing.assert_allclose(mad, 100.0, rtol=1e-9)
+
+
+def test_filter_obs_drops_and_reindexes():
+    problem, _ = synthetic_bal_problem(
+        n_cams=6, n_lms=40, obs_per_lm=4, seed=43, random_cameras=False
+    )
+    # push some landmarks behind the threshold
+    problem.lm_p[::3, 2] = -5.0
+    n_before = problem.num_landmarks
+    problem.filter_obs(0.1)
+    assert problem.num_landmarks < n_before
+    counts = np.bincount(problem.obs_lm, minlength=problem.num_landmarks)
+    assert counts.min() >= 2
+    assert problem.obs_lm.max() == problem.num_landmarks - 1
+
+
+def test_rcs_sparsity_simple():
+    # two cameras, all landmarks seen by both: RCS is dense -> sparsity 0
+    obs_cam = np.array([0, 1, 0, 1], dtype=np.int32)
+    obs_lm = np.array([0, 0, 1, 1], dtype=np.int32)
+    problem = BalProblem(
+        cam_space=np.zeros((2, 3, 4)),
+        intrinsics=np.zeros((2, 3)),
+        lm_p=np.zeros((2, 3)),
+        obs_cam=obs_cam,
+        obs_lm=obs_lm,
+        obs_uv=np.zeros((4, 2)),
+    )
+    assert problem.compute_rcs_sparsity() == 0.0
+
+
+def test_cli_end_to_end(bal_file, tmp_path, monkeypatch):
+    path, _ = bal_file
+    monkeypatch.chdir(tmp_path)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO_ROOT
+    env.pop("XLA_FLAGS", None)
+    # create-dataset exits 0 after writing
+    r = subprocess.run(
+        [sys.executable, "-m", "povar_tpu.cli", "--input", path,
+         "--create-dataset"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    custom = os.path.join(str(tmp_path), "data_custom",
+                          os.path.basename(path))
+    assert os.path.exists(custom)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "povar_tpu.cli", "--input", custom,
+         "--solver-max-num-iterations-step-1", "4",
+         "--solver-max-num-iterations-step-2", "4",
+         "--log-file", "ba_log.json"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = json.load(open(os.path.join(str(tmp_path), "ba_log.json")))
+    assert log["problem_info"]["num_cameras"] == 5
+    assert len(log["iterations1"]) >= 2
+    assert len(log["iterations"]) >= 2
+    assert log["solver1"]["solver_type"] == "power_variable_projection"
+    costs1 = [it["cost"] for it in log["iterations1"]]
+    assert costs1[-1] < costs1[0]
+
+
+def test_cli_dump_config(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO_ROOT
+    r = subprocess.run(
+        [sys.executable, "-m", "povar_tpu.cli", "--dump-config",
+         "--solver-alpha", "0.25"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    cfg = json.loads(r.stdout)
+    assert cfg["solver"]["alpha"] == 0.25
+    assert cfg["solver"]["solver_type_step_1"] == "POWER_VARPROJ"
+
+
+def test_toml_config(tmp_path):
+    cfg = tmp_path / "rootba_config.toml"
+    cfg.write_text(
+        """
+[dataset]
+input = "foo.txt"
+random_seed = 123
+
+[solver]
+alpha = 0.5
+solver_type_step_1 = "PCG"
+max_num_iterations_step_1 = 7
+
+[solver.residual]
+robust_norm = "HUBER"
+huber_parameter = 2.0
+
+[batch_run]
+ignored_key = true
+"""
+    )
+    from povar_tpu.options import RobustNorm, SolverType, load_toml
+
+    opts = load_toml(str(cfg))
+    assert opts.dataset.input == "foo.txt"
+    assert opts.dataset.random_seed == 123
+    assert opts.solver.alpha == 0.5
+    assert opts.solver.solver_type_step_1 == SolverType.PCG
+    assert opts.solver.max_num_iterations_step_1 == 7
+    assert opts.solver.residual.robust_norm == RobustNorm.HUBER
+    assert opts.solver.residual.huber_parameter == 2.0
