@@ -94,6 +94,10 @@ class SolverOptions:
     min_trust_region_radius: float = 1e-32
     max_trust_region_radius: float = 1e16
 
+    # LM diagonal clamps (reference: only affect its ceres path)
+    min_lm_diagonal: float = 1e-6
+    max_lm_diagonal: float = 1e32
+
     min_linear_solver_iterations: int = 0
     max_linear_solver_iterations: int = 500
 
@@ -106,7 +110,12 @@ class SolverOptions:
 
     preconditioner_type: PreconditionerType = PreconditionerType.SCHUR_JACOBI
 
+    # only used in explicit_power_schur in the reference; kept for parity
+    power_order: float = 2.0
+
     function_tolerance: float = 1e-6
+    gradient_tolerance: float = 0.0
+    parameter_tolerance: float = 0.0
 
     # power series order (solver_options.hpp:290-292; code default 10)
     power_sc_iterations: int = 10
