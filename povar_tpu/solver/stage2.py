@@ -35,6 +35,7 @@ from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info, segment_sum
+from povar_tpu.solver.stage1 import Obs, _mask_rows
 
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
@@ -85,11 +86,13 @@ class Stage2Solver:
         dtype=jnp.float64,
         obs_weight=None,
     ):
-        self.obs_cam = jnp.asarray(obs_cam, jnp.int32)
-        self.obs_lm = jnp.asarray(obs_lm, jnp.int32)
-        self.obs_uv = jnp.asarray(obs_uv, dtype)
-        self.obs_weight = (
-            None if obs_weight is None else jnp.asarray(obs_weight, dtype)
+        self.obs = Obs(
+            cam=jnp.asarray(obs_cam, jnp.int32),
+            lm=jnp.asarray(obs_lm, jnp.int32),
+            uv=jnp.asarray(obs_uv, dtype),
+            weight=(
+                None if obs_weight is None else jnp.asarray(obs_weight, dtype)
+            ),
         )
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
@@ -101,42 +104,65 @@ class Stage2Solver:
         self.power_m = int(options.power_sc_iterations)
         self.use_valid_only = options.use_projection_validity_check()
 
-        self.compute_error = jax.jit(self._compute_error)
-        self.linearize = jax.jit(self._linearize)
-        self.solve_power = jax.jit(self._solve_power)
-        self.solve_pcg = jax.jit(self._solve_pcg)
-        self.apply = jax.jit(self._apply)
+        self._jit_compute_error = jax.jit(self._compute_error)
+        self._jit_linearize = jax.jit(self._linearize)
+        self._jit_solve_power = jax.jit(self._solve_power)
+        self._jit_solve_pcg = jax.jit(self._solve_pcg)
+        self._jit_apply = jax.jit(self._apply)
 
-    def _mask_rows(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.obs_weight is None:
-            return x
-        w = self.obs_weight.reshape((-1,) + (1,) * (x.ndim - 1))
-        return jnp.where(w > 0, x, 0.0)
+    # convenience aliases (tests, tools)
+    @property
+    def obs_cam(self):
+        return self.obs.cam
 
-    def _seg_cam(self, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum(x, self.obs_cam, self.n_cams)
+    @property
+    def obs_lm(self):
+        return self.obs.lm
 
-    def _seg_lm(self, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum(x, self.obs_lm, self.n_lms, sorted_=True)
+    @property
+    def obs_uv(self):
+        return self.obs.uv
+
+    # public API bound to this problem's obs arrays
+    def compute_error(self, cam_space, lm_p_h):
+        return self._jit_compute_error(self.obs, cam_space, lm_p_h)
+
+    def linearize(self, cam_space, lm_p_h):
+        return self._jit_linearize(self.obs, cam_space, lm_p_h)
+
+    def solve_power(self, lin, lam):
+        return self._jit_solve_power(self.obs, lin, lam)
+
+    def solve_pcg(self, lin, lam):
+        return self._jit_solve_pcg(self.obs, lin, lam)
+
+    def apply(self, cam_space, lm_p_h, lin, inc, lam):
+        return self._jit_apply(self.obs, cam_space, lm_p_h, lin, inc, lam)
+
+    def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        return segment_sum(x, obs.cam, self.n_cams)
+
+    def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        return segment_sum(x, obs.lm, self.n_lms, sorted_=True)
 
     # ------------------------------------------------------------- error
 
     def _compute_error(
-        self, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
     ) -> Dict[str, jnp.ndarray]:
         """compute_error_projective_space_homogeneous
         (helper.cpp:156-196)."""
-        P = cam_space[self.obs_cam]
-        xh = lm_p_h[self.obs_lm]
-        r, valid = pose_math.homogeneous_residual(P, xh, self.obs_uv)
-        r = self._mask_rows(r)
+        P = cam_space[obs.cam]
+        xh = lm_p_h[obs.lm]
+        r, valid = pose_math.homogeneous_residual(P, xh, obs.uv)
+        r = _mask_rows(obs, r)
         res_sq = jnp.sum(r * r, axis=-1)
         err, _w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
         finite = jnp.all(jnp.isfinite(r), axis=-1)
-        if self.obs_weight is not None:
-            active = self.obs_weight > 0
+        if obs.weight is not None:
+            active = obs.weight > 0
             err = jnp.where(active, err, 0.0)
             valid = jnp.logical_and(valid, active)
             finite = jnp.logical_or(finite, ~active)
@@ -145,7 +171,7 @@ class Stage2Solver:
     # --------------------------------------------------------- linearize
 
     def _linearize(
-        self, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
     ) -> Lin2:
         """Homogeneous linearization + Jacobi scaling + tangent-space
         (nullspace) projection.
@@ -156,14 +182,12 @@ class Stage2Solver:
         nullspace storage from the *scaled* blocks
         (landmark_block.hpp:227-269; scaling happens before
         linearize_nullspace in linearizor_power_varproj.cpp:129-133)."""
-        P = cam_space[self.obs_cam]
-        xh = lm_p_h[self.obs_lm]
-        r, Jp, Jl, valid = pose_math.homogeneous_jacobians(
-            P, xh, self.obs_uv
-        )
-        r = self._mask_rows(r)
-        Jp = self._mask_rows(Jp)
-        Jl = self._mask_rows(Jl)
+        P = cam_space[obs.cam]
+        xh = lm_p_h[obs.lm]
+        r, Jp, Jl, valid = pose_math.homogeneous_jacobians(P, xh, obs.uv)
+        r = _mask_rows(obs, r)
+        Jp = _mask_rows(obs, Jp)
+        Jl = _mask_rows(obs, Jl)
 
         if self.use_valid_only:
             # invalid projections contribute zero rows
@@ -182,21 +206,21 @@ class Stage2Solver:
         Jp = Jp * sw[..., None]
         Jl = Jl * sw[..., None]
 
-        jl_sq = self._seg_lm(jnp.sum(Jl * Jl, axis=1))  # [M, 4]
+        jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=1))  # [M, 4]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * jl_scale[self.obs_lm][:, None, :]
+        Jl = Jl * jl_scale[obs.lm][:, None, :]
 
-        jp_sq = self._seg_cam(jnp.sum(Jp * Jp, axis=1))  # [N, 12]
+        jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=1))  # [N, 12]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * pose_scale[self.obs_cam][:, None, :]
+        Jp = Jp * pose_scale[obs.cam][:, None, :]
 
         kernel_cam = linalg.nullspace_of_row(
             cam_space.reshape(self.n_cams, 12)
         )  # [N, 12, 11]
         kernel_lm = linalg.nullspace_of_row(lm_p_h)  # [M, 4, 3]
 
-        Jp_ns = jnp.einsum("oij,ojk->oik", Jp, kernel_cam[self.obs_cam])
-        Jl_ns = jnp.einsum("oij,ojk->oik", Jl, kernel_lm[self.obs_lm])
+        Jp_ns = jnp.einsum("oij,ojk->oik", Jp, kernel_cam[obs.cam])
+        Jl_ns = jnp.einsum("oij,ojk->oik", Jl, kernel_lm[obs.lm])
 
         return Lin2(
             Jp=Jp,
@@ -213,56 +237,58 @@ class Stage2Solver:
     # ------------------------------------------------------ Schur pieces
 
     def _prepare_hb(
-        self, lin: Lin2, lam: jnp.ndarray
+        self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """prepare_Hb_joint (linearization_power_varproj.hpp:74-122):
         tangent-space Hll^-1 [M,3,3] (with Proj^T lam Proj = lam I
         damping), gradient b [N,11], damped per-camera (Jp_ns^T Jp_ns +
         lam I)^-1 [N,11,11]."""
-        hll = self._seg_lm(jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns))
+        hll = self._seg_lm(
+            obs, jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns)
+        )
         hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
         hll_inv = linalg.inv3x3(hll)
 
-        bl = self._seg_lm(jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r))
+        bl = self._seg_lm(obs, jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r))
         hll_inv_bl = jnp.einsum("mij,mj->mi", hll_inv, bl)
 
         r_tilde = lin.r - jnp.einsum(
-            "oij,oj->oi", lin.Jl_ns, hll_inv_bl[self.obs_lm]
+            "oij,oj->oi", lin.Jl_ns, hll_inv_bl[obs.lm]
         )
-        b = self._seg_cam(jnp.einsum("oki,ok->oi", lin.Jp_ns, r_tilde))
+        b = self._seg_cam(obs, jnp.einsum("oki,ok->oi", lin.Jp_ns, r_tilde))
 
         hpp = self._seg_cam(
-            jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
+            obs, jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
         )
         hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)
         b_inv = linalg.inv_psd_small(hpp)
         return b, b_inv, hll_inv
 
     def _e0_matvec(
-        self, x: jnp.ndarray, lin: Lin2, hll_inv: jnp.ndarray
+        self, x: jnp.ndarray, obs: Obs, lin: Lin2, hll_inv: jnp.ndarray
     ) -> jnp.ndarray:
         """right_mul_e0_joint (hpp:409-453) as gather/einsum/segment_sum."""
-        xc = x[self.obs_cam]  # [O, 11]
+        xc = x[obs.cam]  # [O, 11]
         jpx = jnp.einsum("oij,oj->oi", lin.Jp_ns, xc)  # [O, 2]
-        u = self._seg_lm(jnp.einsum("oij,oi->oj", lin.Jl_ns, jpx))
+        u = self._seg_lm(obs, jnp.einsum("oij,oi->oj", lin.Jl_ns, jpx))
         w = jnp.einsum("mij,mj->mi", hll_inv, u)
-        v = jnp.einsum("oij,oj->oi", lin.Jl_ns, w[self.obs_lm])
-        return self._seg_cam(jnp.einsum("oij,oi->oj", lin.Jp_ns, v))
+        v = jnp.einsum("oij,oj->oi", lin.Jl_ns, w[obs.lm])
+        return self._seg_cam(obs, jnp.einsum("oij,oi->oj", lin.Jp_ns, v))
 
     # ------------------------------------------------------------ solves
 
     def _solve_power(
-        self, lin: Lin2, lam: jnp.ndarray
+        self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPOBA: power series on the 11-dof tangent system
         (solve_joint, hpp:240-287)."""
-        b, b_inv, hll_inv = self._prepare_hb(lin, lam)
+        b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
 
         def b_inv_apply(v):
             return jnp.einsum("nij,nj->ni", b_inv, v)
 
         def e0_apply(v):
-            return self._e0_matvec(v, lin, hll_inv)
+            return self._e0_matvec(v, obs, lin, hll_inv)
 
         return pcg_mod.power_series(
             b_inv_apply,
@@ -274,24 +300,24 @@ class Stage2Solver:
         )
 
     def _solve_pcg(
-        self, lin: Lin2, lam: jnp.ndarray
+        self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPCG (linearizor_sc.cpp:245-325): implicit tangent RCS +
         Schur-Jacobi preconditioner; inc = -x of S x = b."""
-        b, _b_inv, hll_inv = self._prepare_hb(lin, lam)
+        b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
         hpp = self._seg_cam(
-            jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
+            obs, jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
         )
 
         W = jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jl_ns)  # [O, 11, 3]
-        Wh = jnp.einsum("oij,ojk->oik", W, hll_inv[self.obs_lm])
-        corr = self._seg_cam(jnp.einsum("oik,ojk->oij", Wh, W))
+        Wh = jnp.einsum("oij,ojk->oik", W, hll_inv[obs.lm])
+        corr = self._seg_cam(obs, jnp.einsum("oik,ojk->oij", Wh, W))
         diag_blocks = hpp + lam * jnp.eye(11, dtype=hpp.dtype) - corr
         diag_chol = linalg.cholesky_small(diag_blocks)
 
         def matvec(x):
             bx = jnp.einsum("nij,nj->ni", hpp, x) + lam * x
-            return bx - self._e0_matvec(x, lin, hll_inv)
+            return bx - self._e0_matvec(x, obs, lin, hll_inv)
 
         def precond(x):
             y = linalg.solve_lower_tri(diag_chol, x)
@@ -324,6 +350,7 @@ class Stage2Solver:
 
     def _apply(
         self,
+        obs: Obs,
         cam_space: jnp.ndarray,
         lm_p_h: jnp.ndarray,
         lin: Lin2,
@@ -341,18 +368,20 @@ class Stage2Solver:
         Retraction: Frobenius-normalize cameras, dehomogenize landmarks.
         Returns (new_cam_space, new_lm_p_h, l_diff).
         """
-        hll = self._seg_lm(jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns))
+        hll = self._seg_lm(
+            obs, jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns)
+        )
         hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
 
-        jp_inc = jnp.einsum("oij,oj->oi", lin.Jp_ns, inc[self.obs_cam])
+        jp_inc = jnp.einsum("oij,oj->oi", lin.Jp_ns, inc[obs.cam])
         tmp = self._seg_lm(
-            jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r + jp_inc)
+            obs, jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r + jp_inc)
         )
         inc3 = -linalg.solve3x3(hll, tmp)
         inc_proj = jnp.einsum("mij,mj->mi", lin.kernel_lm, inc3)  # [M, 4]
 
         j_inc = jp_inc + jnp.einsum(
-            "oij,oj->oi", lin.Jl, inc_proj[self.obs_lm]
+            "oij,oj->oi", lin.Jl, inc_proj[obs.lm]
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 

@@ -153,7 +153,7 @@ def test_power_series_identity_when_no_coupling():
     lms = solver.initialize_varproj(cams)
     lin = solver.linearize(cams, lms)
     lam = jnp.asarray(0.5)
-    b, b_inv, hll_inv = solver._prepare_hb(lin, lam, False)
+    b, b_inv, hll_inv = solver._prepare_hb(solver.obs, lin, lam, False)
     # m = 0 => inc = B^-1 (-b)
     opts0 = SolverOptions()
     opts0.alpha = ALPHA
