@@ -71,25 +71,25 @@ def main() -> None:
         opts,
     )
 
-    def step(cam_space, lm_p, lam):
-        lin = solver._linearize(cam_space, lm_p)
-        inc, _ = solver._solve_power(lin, lam, landmark_damping=False)
-        return solver._apply(cam_space, lm_p, lin, inc)
+    def step(cams, lms, lam):
+        # the same three device calls the LM driver makes per iteration
+        lin = solver.linearize(cams, lms)
+        inc, _ = solver.solve_power(lin, lam, landmark_damping=False)
+        return solver.apply(cams, lms, lin, inc)
 
-    step_jit = jax.jit(step)
     cams = jnp.asarray(problem.cam_space)
     lms = solver.initialize_varproj(cams)
     lms.block_until_ready()
     lam = jnp.asarray(1e-4, lms.dtype)
 
     # warmup/compile
-    out = step_jit(cams, lms, lam)
+    out = step(cams, lms, lam)
     out[0].block_until_ready()
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = step_jit(cams, lms, lam)
+        out = step(cams, lms, lam)
         out[0].block_until_ready()
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))

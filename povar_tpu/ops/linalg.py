@@ -144,6 +144,123 @@ def nullspace_of_row(v: jnp.ndarray) -> jnp.ndarray:
     return h_cols + eye_cols
 
 
+# ---------------------------------------------------------------------
+# Front-indexed ("batch-last") variants: matrix dims are the FIRST two
+# axes, the batch axis is last. This is the TPU-native layout for large
+# batches of tiny matrices ([3,3,M], [12,12,N]): XLA tiles the last two
+# dimensions onto (sublane, lane) registers, so batch-last arrays pad to
+# ~1x while batch-first [M,3,3] arrays pad the 3-wide minor dim to 128
+# lanes (a 40x memory blowup). Same algorithms as above, indexing from
+# the front.
+# ---------------------------------------------------------------------
+
+
+def inv3x3f(m: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate 3x3 inverse of m [3, 3, ...] -> [3, 3, ...]."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    inv_det = 1.0 / (a * co_a + b * co_b + c * co_c)
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=0),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=0),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=0),
+        ],
+        axis=0,
+    )
+    return adj * inv_det[None, None]
+
+
+def solve3x3f(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve m @ x = rhs with m [3,3,...], rhs [3,...] -> [3,...]."""
+    return jnp.einsum("ij...,j...->i...", inv3x3f(m), rhs)
+
+
+def cholesky_smallf(a: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of a [n, n, ...] SPD batch-last array, n static."""
+    n = a.shape[0]
+    rows = []
+    for i in range(n):
+        rows.append([jnp.zeros_like(a[0, 0])] * n)
+    for j in range(n):
+        s = sum(rows[j][k] * rows[j][k] for k in range(j)) if j else 0.0
+        d = jnp.sqrt(a[j, j] - s)
+        rows[j][j] = d
+        for i in range(j + 1, n):
+            s2 = sum(rows[i][k] * rows[j][k] for k in range(j)) if j else 0.0
+            rows[i][j] = (a[i, j] - s2) / d
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+
+def solve_lower_trif(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve l @ x = b with l [n,n,...] lower-tri, b [n,...]."""
+    n = l.shape[0]
+    x = [None] * n
+    for i in range(n):
+        s = sum(l[i, k] * x[k] for k in range(i)) if i else 0.0
+        x[i] = (b[i] - s) / l[i, i]
+    return jnp.stack(x, axis=0)
+
+
+def solve_upper_from_lowerf(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve l.T @ x = b with l [n,n,...] lower-tri, b [n,...]."""
+    n = l.shape[0]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = (
+            sum(l[k, i] * x[k] for k in range(i + 1, n))
+            if i + 1 < n
+            else 0.0
+        )
+        x[i] = (b[i] - s) / l[i, i]
+    return jnp.stack(x, axis=0)
+
+
+def solve_psd_smallf(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    l = cholesky_smallf(a)
+    return solve_upper_from_lowerf(l, solve_lower_trif(l, b))
+
+
+def inv_psd_smallf(a: jnp.ndarray) -> jnp.ndarray:
+    """SPD inverse of a [n, n, ...] batch-last array: one Cholesky, n
+    unit-column triangular solves."""
+    n = a.shape[0]
+    l = cholesky_smallf(a)
+    batch_shape = a.shape[2:]
+    cols = []
+    for j in range(n):
+        e = jnp.stack(
+            [
+                jnp.ones(batch_shape, a.dtype)
+                if i == j
+                else jnp.zeros(batch_shape, a.dtype)
+                for i in range(n)
+            ],
+            axis=0,
+        )
+        cols.append(solve_upper_from_lowerf(l, solve_lower_trif(l, e)))
+    return jnp.stack(cols, axis=1)
+
+
+def nullspace_of_rowf(v: jnp.ndarray) -> jnp.ndarray:
+    """Householder nullspace basis of v [n, ...] -> [n, n-1, ...]
+    (batch-last variant of nullspace_of_row)."""
+    n = v.shape[0]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    sign0 = jnp.where(v[:1] >= 0, 1.0, -1.0).astype(v.dtype)
+    w = jnp.concatenate([v[:1] + sign0 * norm, v[1:]], axis=0)
+    beta = 2.0 / jnp.sum(w * w, axis=0)
+    h_cols = -beta[None, None] * w[:, None] * w[None, 1:]
+    eye_cols = jnp.eye(n, dtype=v.dtype)[:, 1:].reshape(
+        (n, n - 1) + (1,) * (v.ndim - 1)
+    )
+    return h_cols + eye_cols
+
+
 def frobenius_normalize(m: jnp.ndarray) -> jnp.ndarray:
     """Normalize over the last two axes (Eigen `Matrix::normalize()` on a
     Mat34 normalizes the full coefficient vector, used for the step-2

@@ -122,6 +122,124 @@ def pose_jacobians(
     return r, Jp, Jl
 
 
+# ---------------------------------------------------------------------
+# Observation-last ("_t") variants: the obs axis is the LAST axis of
+# every array (P [3,4,O], x [3,O], uv [2,O] -> r [4,O], Jp [4,12,O],
+# Jl [4,3,O]). This is the layout the solver uses on TPU: lanes =
+# observations, so tile padding is ~1x instead of the 10-50x that
+# batch-first [O,4,12]/[O,4,3] arrays suffer. Semantics identical to the
+# batch-first functions above (tested against them).
+# ---------------------------------------------------------------------
+
+
+def pose_matrix_tilde_t(
+    P: jnp.ndarray, uv: jnp.ndarray, alpha: float
+) -> jnp.ndarray:
+    """A~ [4, 4, O] from P [3, 4, O], uv [2, O]."""
+    s_proj = jnp.sqrt(1.0 - alpha)
+    s_aff = jnp.sqrt(alpha)
+    u = uv[0][None]  # [1, O]
+    v = uv[1][None]
+    r0 = s_proj * (P[0] - u * P[2])  # [4, O]
+    r1 = s_proj * (P[1] - v * P[2])
+    r2 = s_aff * P[0]
+    r3 = s_aff * P[1]
+    return jnp.stack([r0, r1, r2, r3], axis=0)
+
+
+def pose_residual_t(
+    P: jnp.ndarray, x: jnp.ndarray, uv: jnp.ndarray, alpha: float
+) -> jnp.ndarray:
+    """pOSE residual r [4, O]."""
+    A = pose_matrix_tilde_t(P, uv, alpha)
+    xh = jnp.concatenate([x, jnp.ones_like(x[:1])], axis=0)  # [4, O]
+    r = jnp.einsum("ijo,jo->io", A, xh)
+    s_aff = jnp.sqrt(alpha)
+    corr = jnp.concatenate([jnp.zeros_like(uv), s_aff * uv], axis=0)
+    return r - corr
+
+
+def pose_jacobians_t(
+    P: jnp.ndarray, x: jnp.ndarray, uv: jnp.ndarray, alpha: float
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(r [4,O], Jp [4,12,O], Jl [4,3,O])."""
+    A = pose_matrix_tilde_t(P, uv, alpha)
+    r = pose_residual_t(P, x, uv, alpha)
+    Jl = A[:, :3, :]
+
+    s_proj = jnp.sqrt(1.0 - alpha)
+    s_aff = jnp.sqrt(alpha)
+    xh = jnp.concatenate([x, jnp.ones_like(x[:1])], axis=0)  # [4, O]
+    u = uv[0][None]
+    v = uv[1][None]
+    zero4 = jnp.zeros_like(xh)
+    row0 = s_proj * jnp.concatenate([xh, zero4, -u * xh], axis=0)  # [12,O]
+    row1 = s_proj * jnp.concatenate([zero4, xh, -v * xh], axis=0)
+    row2 = s_aff * jnp.concatenate([xh, zero4, zero4], axis=0)
+    row3 = s_aff * jnp.concatenate([zero4, xh, zero4], axis=0)
+    Jp = jnp.stack([row0, row1, row2, row3], axis=0)
+    return r, Jp, Jl
+
+
+def varproj_init_normal_eq_t(
+    P: jnp.ndarray, uv: jnp.ndarray, alpha: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(G^T G [3,3,O], G^T z [3,O]) for the closed-form landmark init."""
+    A = pose_matrix_tilde_t(P, uv, alpha)
+    G = A[:, :3, :]  # [4, 3, O]
+    s_aff = jnp.sqrt(alpha)
+    corr = jnp.concatenate([jnp.zeros_like(uv), s_aff * uv], axis=0)
+    z = corr - A[:, 3, :]  # [4, O]
+    gtg = jnp.einsum("kio,kjo->ijo", G, G)
+    gtz = jnp.einsum("kio,ko->io", G, z)
+    return gtg, gtz
+
+
+def homogeneous_residual_t(
+    P: jnp.ndarray, xh: jnp.ndarray, uv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(r [2, O], valid [O]) from P [3,4,O], xh [4,O], uv [2,O]."""
+    p = jnp.einsum("ijo,jo->io", P, xh)  # [3, O]
+    z = p[2]
+    proj = p[:2] / z[None]
+    eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
+    return proj - uv, jnp.abs(z) >= eps_sqrt
+
+
+def homogeneous_jacobians_t(
+    P: jnp.ndarray, xh: jnp.ndarray, uv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(r [2,O], Jp [2,12,O], Jl [2,4,O], valid [O])."""
+    p = jnp.einsum("ijo,jo->io", P, xh)
+    x_, y_, z_ = p[0], p[1], p[2]
+    inv_z = 1.0 / z_
+    r = jnp.stack([x_ * inv_z, y_ * inv_z], axis=0) - uv
+    eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
+    valid = jnp.abs(z_) >= eps_sqrt
+
+    xh_z = xh * inv_z[None]  # [4, O]
+    xz2 = (x_ * inv_z * inv_z)[None] * xh
+    yz2 = (y_ * inv_z * inv_z)[None] * xh
+    zero4 = jnp.zeros_like(xh)
+    Jp_row0 = jnp.concatenate([xh_z, zero4, -xz2], axis=0)  # [12, O]
+    Jp_row1 = jnp.concatenate([zero4, xh_z, -yz2], axis=0)
+    Jp = jnp.stack([Jp_row0, Jp_row1], axis=0)
+
+    dproj = jnp.stack(
+        [
+            jnp.stack(
+                [inv_z, jnp.zeros_like(inv_z), -x_ * inv_z * inv_z], axis=0
+            ),
+            jnp.stack(
+                [jnp.zeros_like(inv_z), inv_z, -y_ * inv_z * inv_z], axis=0
+            ),
+        ],
+        axis=0,
+    )  # [2, 3, O]
+    Jl = jnp.einsum("iko,kjo->ijo", dproj, P)  # [2, 4, O]
+    return r, Jp, Jl, valid
+
+
 def varproj_init_normal_eq(
     P: jnp.ndarray, uv: jnp.ndarray, alpha: float
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -7,21 +7,27 @@ This module replaces, as pure jit-ed array programs:
   - LinearizationSC explicit-SC paths       (sc/linearization_sc.hpp)
   - LinearizorPowerVarproj / LinearizorSC   (solver/linearizor_*.cpp)
 
-Data layout: flat observation-major arrays (see problem.problem). The
-reference's per-landmark `storage_pOSE_ [4k x 16]` row blocks become
-  Jp [O, 4, 12], Jl [O, 4, 3], r [O, 4]
-and every TBB loop + mutex scatter becomes einsum + segment_sum over
-the camera-landmark bipartite graph. All per-camera 12x12 and
-per-landmark 3x3 factorizations are batched hand-rolled kernels
-(ops/linalg) that map onto VPU/MXU without LAPACK custom calls.
+Data layout — observation-LAST everywhere (the TPU-critical decision):
+the reference's per-landmark `storage_pOSE_ [4k x 16]` row blocks become
+  Jp [4, 12, O], Jl [4, 3, O], r [4, O]
+so the million-scale observation axis maps onto vector lanes (XLA tiles
+the last two array dims onto (8,128) registers; batch-first [O,4,3]
+arrays would pad the 3-wide minor dim to 128 lanes, a 40x memory
+blowup). Per-camera / per-landmark accumulators are likewise batch-last:
+hll_inv [3,3,M], b_inv [12,12,N], b [12,N].
 
-A `Stage1Solver` instance holds one problem's static structure and
-jit-compiled callables; the observation arrays flow through every jitted
-function as an explicit `Obs` pytree argument (NOT closure captures —
-captured arrays get baked into the executable as constant literals,
-which bloats multi-hundred-MB programs and defeats donation), and
-dynamic state (cameras [N,3,4], landmarks [M,3], damping lambda) flows
-through arguments so LM backtracking never recompiles.
+Reductions: observations are sorted by landmark, so every TBB loop +
+mutex scatter of the reference becomes a contiguous-segment reduction
+(cumsum + boundary gather, solver/segments.py) — per-camera sums go
+through a static resorting permutation. Small per-block factorizations
+are batched hand-rolled kernels (ops/linalg *f variants), no LAPACK
+custom calls.
+
+The observation arrays flow through every jitted function as an explicit
+`Obs` pytree argument (not closure captures, which would be baked into
+the executable as constant literals); dynamic state (cameras [N,3,4],
+landmarks [M,3], damping lambda) flows through arguments so LM
+backtracking never recompiles.
 """
 
 from __future__ import annotations
@@ -34,7 +40,13 @@ import jax.numpy as jnp
 from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverType
 from povar_tpu.solver import pcg as pcg_mod
-from povar_tpu.solver.common import accumulate_residual_info, segment_sum
+from povar_tpu.solver.common import accumulate_residual_info
+from povar_tpu.solver.segments import (
+    SegmentLayout,
+    build_segment_layout,
+    segment_sum_by_perm,
+    segment_sum_sorted,
+)
 
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
@@ -44,34 +56,62 @@ _ROBUST_CODE = {
 
 
 class Obs(NamedTuple):
-    """Static problem structure as a pytree: per-observation camera /
-    landmark indices, measurements, and the optional 0/1 padding weight
-    (multi-chip sharding pads O to a multiple of the mesh size; padded
-    rows contribute exactly zero everywhere)."""
+    """Static problem structure as a pytree.
 
-    cam: jnp.ndarray  # [O] i32
-    lm: jnp.ndarray  # [O] i32
-    uv: jnp.ndarray  # [O, 2]
-    weight: Optional[jnp.ndarray]  # [O] or None
+    cam/lm: per-observation indices [O] (lm-sorted); uv: measurements
+    [2, O]; weight: optional 0/1 padding mask [O] (multi-chip sharding
+    pads O to a multiple of the mesh size; padded rows are sorted into
+    the final landmark/camera segments and contribute exactly zero);
+    seg: cumsum-reduction boundaries + camera re-sort permutation.
+    """
+
+    cam: jnp.ndarray
+    lm: jnp.ndarray
+    uv: jnp.ndarray
+    weight: Optional[jnp.ndarray]
+    seg: SegmentLayout
 
 
 class Lin1(NamedTuple):
     """Step-1 linearization point (the 'storage' after stage 1+2 scaling:
     Jl columns scaled per landmark, Jp columns scaled per camera)."""
 
-    Jp: jnp.ndarray  # [O, 4, 12] scaled
-    Jl: jnp.ndarray  # [O, 4, 3] scaled
-    r: jnp.ndarray  # [O, 4] sqrt-weighted residuals
-    pose_scale: jnp.ndarray  # [N, 12]
-    jl_scale: jnp.ndarray  # [M, 3]
+    Jp: jnp.ndarray  # [4, 12, O] scaled
+    Jl: jnp.ndarray  # [4, 3, O] scaled
+    r: jnp.ndarray  # [4, O] sqrt-weighted residuals
+    pose_scale: jnp.ndarray  # [12, N]
+    jl_scale: jnp.ndarray  # [3, M]
 
 
 def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-    """Zero out padded observation rows (no-op when unpadded)."""
+    """Zero out padded observation lanes (no-op when unpadded)."""
     if obs.weight is None:
         return x
-    w = obs.weight.reshape((-1,) + (1,) * (x.ndim - 1))
+    w = obs.weight.reshape((1,) * (x.ndim - 1) + (-1,))
     return jnp.where(w > 0, x, 0.0)
+
+
+def make_obs(
+    obs_cam, obs_lm, obs_uv, num_cameras, num_landmarks, dtype, obs_weight
+) -> Obs:
+    import numpy as np
+
+    obs_cam_np = np.asarray(obs_cam)
+    obs_lm_np = np.asarray(obs_lm)
+    uv = jnp.asarray(obs_uv, dtype)
+    if uv.ndim == 2 and uv.shape[-1] == 2:
+        uv = uv.T  # accept [O, 2] input, store [2, O]
+    return Obs(
+        cam=jnp.asarray(obs_cam_np, jnp.int32),
+        lm=jnp.asarray(obs_lm_np, jnp.int32),
+        uv=uv,
+        weight=(
+            None if obs_weight is None else jnp.asarray(obs_weight, dtype)
+        ),
+        seg=build_segment_layout(
+            obs_cam_np, obs_lm_np, num_cameras, num_landmarks
+        ),
+    )
 
 
 class Stage1Solver:
@@ -86,16 +126,12 @@ class Stage1Solver:
         dtype=jnp.float64,
         obs_weight=None,
     ):
-        self.obs = Obs(
-            cam=jnp.asarray(obs_cam, jnp.int32),
-            lm=jnp.asarray(obs_lm, jnp.int32),
-            uv=jnp.asarray(obs_uv, dtype),
-            weight=(
-                None if obs_weight is None else jnp.asarray(obs_weight, dtype)
-            ),
-        )
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
+        self.obs = make_obs(
+            obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
+            obs_weight,
+        )
         self.opts = options
         self.dtype = dtype
         self.alpha = float(options.alpha)
@@ -126,10 +162,11 @@ class Stage1Solver:
 
     @property
     def obs_uv(self):
-        return self.obs.uv
+        """Measurements in the public [O, 2] convention."""
+        return self.obs.uv.T
 
     # ------------------------------------------------------ public API
-    # (bound to this problem's obs arrays; old call signatures preserved)
+    # (bound to this problem's obs arrays)
 
     def compute_error(self, cam_space, lm_p):
         return self._jit_compute_error(self.obs, cam_space, lm_p)
@@ -177,10 +214,17 @@ class Stage1Solver:
     # -------------------------------------------------------------- utils
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum(x, obs.cam, self.n_cams)
+        """[..., O] -> [..., N] per-camera reduction."""
+        return segment_sum_by_perm(x, obs.seg.cam_perm, obs.seg.cam_bounds)
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum(x, obs.lm, self.n_lms, sorted_=True)
+        """[..., O] -> [..., M] per-landmark reduction (lm-sorted)."""
+        return segment_sum_sorted(x, obs.seg.lm_bounds)
+
+    @staticmethod
+    def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
+        """cam_space [N,3,4] -> per-obs P [3,4,O]."""
+        return jnp.transpose(cam_space, (1, 2, 0))[:, :, obs.cam]
 
     # ------------------------------------------------------ error / init
 
@@ -190,16 +234,16 @@ class Stage1Solver:
         """compute_error_pOSE (helper.cpp:116-154). pOSE projections are
         always 'valid' (linearize_point_pOSE sets projection_valid=true
         unconditionally, helper.cpp:263)."""
-        P = cam_space[obs.cam]
-        x = lm_p[obs.lm]
+        P = self._gather_cams(obs, cam_space)
+        x = lm_p.T[:, obs.lm]  # [3, O]
         r = _mask_rows(
-            obs, pose_math.pose_residual(P, x, obs.uv, self.alpha)
+            obs, pose_math.pose_residual_t(P, x, obs.uv, self.alpha)
         )
-        res_sq = jnp.sum(r * r, axis=-1)
+        res_sq = jnp.sum(r * r, axis=0)  # [O]
         err, _w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
-        finite = jnp.all(jnp.isfinite(r), axis=-1)
+        finite = jnp.all(jnp.isfinite(r), axis=0)
         valid = jnp.ones_like(finite)
         if obs.weight is not None:
             active = obs.weight > 0
@@ -214,13 +258,12 @@ class Stage1Solver:
         """Closed-form VarProj landmark init v*(u0) = (G^T G)^-1 G^T z
         (helper.cpp:75-99 via normal equations instead of thin SVD; the
         reference documents this identity at helper.cpp:218-219).
-        The preceding `setzeros_varproj_lm` is implicit: the result does
-        not depend on the previous landmark values."""
-        P = cam_space[obs.cam]
-        gtg, gtz = pose_math.varproj_init_normal_eq(P, obs.uv, self.alpha)
-        gtg_lm = self._seg_lm(obs, _mask_rows(obs, gtg))
-        gtz_lm = self._seg_lm(obs, _mask_rows(obs, gtz))
-        return linalg.solve3x3(gtg_lm, gtz_lm)
+        Returns lm_p [M, 3]."""
+        P = self._gather_cams(obs, cam_space)
+        gtg, gtz = pose_math.varproj_init_normal_eq_t(P, obs.uv, self.alpha)
+        gtg_lm = self._seg_lm(obs, _mask_rows(obs, gtg))  # [3, 3, M]
+        gtz_lm = self._seg_lm(obs, _mask_rows(obs, gtz))  # [3, M]
+        return linalg.solve3x3f(gtg_lm, gtz_lm).T
 
     # -------------------------------------------------------- linearize
 
@@ -235,34 +278,36 @@ class Stage1Solver:
         (hpp:324-334; the reference defers the Jp scaling to the first
         inner `solve`, but it is applied exactly once per linearization
         point, so we fuse it here)."""
-        P = cam_space[obs.cam]
-        x = lm_p[obs.lm]
-        r, Jp, Jl = pose_math.pose_jacobians(P, x, obs.uv, self.alpha)
+        P = self._gather_cams(obs, cam_space)
+        x = lm_p.T[:, obs.lm]
+        r, Jp, Jl = pose_math.pose_jacobians_t(P, x, obs.uv, self.alpha)
         r = _mask_rows(obs, r)
         Jp = _mask_rows(obs, Jp)
         Jl = _mask_rows(obs, Jl)
 
-        res_sq = jnp.sum(r * r, axis=-1)
+        res_sq = jnp.sum(r * r, axis=0)
         _err, w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
-        sw = jnp.sqrt(w)[..., None]
-        r = r * sw
-        Jp = Jp * sw[..., None]
-        Jl = Jl * sw[..., None]
+        sw = jnp.sqrt(w)  # [O]
+        r = r * sw[None]
+        Jp = Jp * sw[None, None]
+        Jl = Jl * sw[None, None]
 
         # landmark Jacobi column scaling: 1 / (eps + col_norm) over the
         # landmark's rows
-        jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=1))  # [M, 3]
+        jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [3, M]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * jl_scale[obs.lm][:, None, :]
+        Jl = Jl * jl_scale[:, obs.lm][None]
 
         # pose Jacobi column scaling: 1 / (eps + sqrt(diag(Jp^T Jp)))
-        jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=1))  # [N, 12]
+        jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=0))  # [12, N]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * pose_scale[obs.cam][:, None, :]
+        Jp = Jp * pose_scale[:, obs.cam][None]
 
-        return Lin1(Jp=Jp, Jl=Jl, r=r, pose_scale=pose_scale, jl_scale=jl_scale)
+        return Lin1(
+            Jp=Jp, Jl=Jl, r=r, pose_scale=pose_scale, jl_scale=jl_scale
+        )
 
     # ------------------------------------------------------ Schur pieces
 
@@ -271,26 +316,27 @@ class Stage1Solver:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """prepare_Hb_pOSE / prepare_Hb_pOSE_poBA
         (sc/linearization_power_varproj.hpp:126-188):
-          hll_inv [M,3,3]  = (Jl^T Jl (+ lam I for poBA))^-1
-          b       [N,12]   = sum_obs Jp^T (r - Jl hll_inv bl)
-          b_inv   [N,12,12]= (blockdiag(Jp^T Jp) + lam I)^-1
+          hll_inv [3,3,M]   = (Jl^T Jl (+ lam I for poBA))^-1
+          b       [12,N]    = sum_obs Jp^T (r - Jl hll_inv bl)
+          b_inv   [12,12,N] = (blockdiag(Jp^T Jp) + lam I)^-1
         """
-        hll = self._seg_lm(obs, jnp.einsum("oki,okj->oij", lin.Jl, lin.Jl))
+        eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
+        hll = self._seg_lm(obs, jnp.einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
         if landmark_damping:
-            hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
-        hll_inv = linalg.inv3x3(hll)
+            hll = hll + lam * eye3
+        hll_inv = linalg.inv3x3f(hll)
 
-        bl = self._seg_lm(obs, jnp.einsum("oki,ok->oi", lin.Jl, lin.r))
-        hll_inv_bl = jnp.einsum("mij,mj->mi", hll_inv, bl)
+        bl = self._seg_lm(obs, jnp.einsum("kio,ko->io", lin.Jl, lin.r))
+        hll_inv_bl = jnp.einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
 
         r_tilde = lin.r - jnp.einsum(
-            "oij,oj->oi", lin.Jl, hll_inv_bl[obs.lm]
+            "ijo,jo->io", lin.Jl, hll_inv_bl[:, obs.lm]
         )
-        b = self._seg_cam(obs, jnp.einsum("oki,ok->oi", lin.Jp, r_tilde))
+        b = self._seg_cam(obs, jnp.einsum("kio,ko->io", lin.Jp, r_tilde))
 
-        hpp = self._seg_cam(obs, jnp.einsum("oki,okj->oij", lin.Jp, lin.Jp))
-        hpp = hpp + lam * jnp.eye(12, dtype=hpp.dtype)
-        b_inv = linalg.inv_psd_small(hpp)
+        hpp = self._seg_cam(obs, jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
+        hpp = hpp + lam * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
+        b_inv = linalg.inv_psd_smallf(hpp)
         return b, b_inv, hll_inv
 
     def _e0_matvec(
@@ -299,13 +345,13 @@ class Stage1Solver:
         """Matrix-free E0 = Jp^T Jl Hll^-1 Jl^T Jp product
         (right_mul_e0_pOSE, linearization_power_varproj.hpp:364-407):
         gather x per obs, two small einsums, per-landmark reduce through
-        Hll^-1, and a per-camera segment reduce."""
-        xc = x[obs.cam]  # [O, 12]
-        jpx = jnp.einsum("oij,oj->oi", lin.Jp, xc)  # [O, 4]
-        u = self._seg_lm(obs, jnp.einsum("oij,oi->oj", lin.Jl, jpx))
-        w = jnp.einsum("mij,mj->mi", hll_inv, u)
-        v = jnp.einsum("oij,oj->oi", lin.Jl, w[obs.lm])  # [O, 4]
-        return self._seg_cam(obs, jnp.einsum("oij,oi->oj", lin.Jp, v))
+        Hll^-1, and a per-camera segment reduce. x, result: [12, N]."""
+        xc = x[:, obs.cam]  # [12, O]
+        jpx = jnp.einsum("ijo,jo->io", lin.Jp, xc)  # [4, O]
+        u = self._seg_lm(obs, jnp.einsum("ijo,io->jo", lin.Jl, jpx))
+        w = jnp.einsum("ijm,jm->im", hll_inv, u)  # [3, M]
+        v = jnp.einsum("ijo,jo->io", lin.Jl, w[:, obs.lm])  # [4, O]
+        return self._seg_cam(obs, jnp.einsum("ijo,io->jo", lin.Jp, v))
 
     # ------------------------------------------------------------ solves
 
@@ -319,11 +365,11 @@ class Stage1Solver:
         """POWER_VARPROJ / POWER_SCHUR_COMPLEMENT solve: power-series
         expansion x = sum_i (B^-1 E0)^i B^-1 (-b)
         (linearizor_power_varproj.cpp:177-243 + hpp:191-237).
-        Returns (inc [N,12] in scaled coordinates, num_terms)."""
+        Returns (inc [12, N] in scaled coordinates, num_terms)."""
         b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam, landmark_damping)
 
         def b_inv_apply(v):
-            return jnp.einsum("nij,nj->ni", b_inv, v)
+            return jnp.einsum("ijn,jn->in", b_inv, v)
 
         def e0_apply(v):
             return self._e0_matvec(v, obs, lin, hll_inv)
@@ -338,16 +384,6 @@ class Stage1Solver:
         )
         return inc, n_iter
 
-    def _schur_matvec(
-        self, x, obs: Obs, lin: Lin1, hll_inv, hpp, lam
-    ) -> jnp.ndarray:
-        """S x = (blockdiag(Jp^T Jp) + lam I) x - E0 x — the implicit
-        reduced-camera-system operator for PCG. Equivalent to the
-        explicit BlockSparseMatrix::right_multiply of the reference
-        (block_sparse_matrix.hpp:217-293) without materializing S."""
-        bx = jnp.einsum("nij,nj->ni", hpp, x) + lam * x
-        return bx - self._e0_matvec(x, obs, lin, hll_inv)
-
     def _schur_diag(
         self, obs: Obs, lin: Lin1, hll_inv, hpp, lam
     ) -> jnp.ndarray:
@@ -358,10 +394,11 @@ class Stage1Solver:
           S_ii = Hpp_ii + lam I - sum_{o: cam(o)=i} W_o Hll^-1_lm(o) W_o^T,
           W_o = Jp_o^T Jl_o.
         """
-        W = jnp.einsum("oki,okj->oij", lin.Jp, lin.Jl)  # [O, 12, 3]
-        Wh = jnp.einsum("oij,ojk->oik", W, hll_inv[obs.lm])
-        corr = self._seg_cam(obs, jnp.einsum("oik,ojk->oij", Wh, W))
-        return hpp + lam * jnp.eye(12, dtype=hpp.dtype) - corr
+        W = jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
+        Wh = jnp.einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
+        corr = self._seg_cam(obs, jnp.einsum("iko,jko->ijo", Wh, W))
+        eye = jnp.eye(12, dtype=hpp.dtype)[:, :, None]
+        return hpp + lam * eye - corr
 
     def _solve_pcg(
         self, obs: Obs, lin: Lin1, lam: jnp.ndarray
@@ -370,16 +407,17 @@ class Stage1Solver:
         Schur-Jacobi block-diagonal preconditioner; solves S x = b and
         returns inc = -x (linearizor_base.cpp:102-125 negation)."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
-        hpp = self._seg_cam(obs, jnp.einsum("oki,okj->oij", lin.Jp, lin.Jp))
+        hpp = self._seg_cam(obs, jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
         diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
-        diag_chol = linalg.cholesky_small(diag_blocks)
+        diag_chol = linalg.cholesky_smallf(diag_blocks)
 
         def matvec(x):
-            return self._schur_matvec(x, obs, lin, hll_inv, hpp, lam)
+            bx = jnp.einsum("ijn,jn->in", hpp, x) + lam * x
+            return bx - self._e0_matvec(x, obs, lin, hll_inv)
 
         def precond(x):
-            y = linalg.solve_lower_tri(diag_chol, x)
-            return linalg.solve_upper_from_lower(diag_chol, y)
+            y = linalg.solve_lower_trif(diag_chol, x)
+            return linalg.solve_upper_from_lowerf(diag_chol, y)
 
         res = pcg_mod.conjugate_gradients(
             matvec,
@@ -405,12 +443,14 @@ class Stage1Solver:
         A = [W_o hll_chol^-T] scattered by (cam, lm)."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
         n12 = self.n_cams * 12
-        hpp = self._seg_cam(obs, jnp.einsum("oki,okj->oij", lin.Jp, lin.Jp))
+        hpp = self._seg_cam(obs, jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
 
         # A [12N, 3M]: column block (cam(o), lm(o)) is W_o Hll^-1/2.
-        hll_inv_chol = linalg.cholesky_small(hll_inv)  # hll^-1 = L L^T
-        W = jnp.einsum("oki,okj->oij", lin.Jp, lin.Jl)  # [O, 12, 3]
-        WL = jnp.einsum("oij,ojk->oik", W, hll_inv_chol[obs.lm])
+        hll_inv_chol = linalg.cholesky_smallf(hll_inv)  # hll^-1 = L L^T
+        W = jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
+        WL = jnp.einsum(
+            "ijo,jko->oik", W, hll_inv_chol[:, :, obs.lm]
+        )  # [O, 12, 3]
 
         A = jnp.zeros((n12, self.n_lms * 3), dtype=lin.Jp.dtype)
         rows = (obs.cam[:, None, None] * 12
@@ -424,13 +464,13 @@ class Stage1Solver:
         r12 = jnp.arange(12)
         S = S.at[
             blk * 12 + r12[None, :, None], blk * 12 + r12[None, None, :]
-        ].add(hpp)
+        ].add(jnp.transpose(hpp, (2, 0, 1)))
         S = S + lam * jnp.eye(n12, dtype=S.dtype)
 
-        inc = -linalg.solve_psd_small(S, b.reshape(-1)).reshape(
+        inc = -linalg.solve_psd_small(S, b.T.reshape(-1)).reshape(
             self.n_cams, 12
         )
-        return inc, jnp.asarray(1, jnp.int32)
+        return inc.T, jnp.asarray(1, jnp.int32)
 
     # ------------------------------------------------------------- apply
 
@@ -440,7 +480,7 @@ class Stage1Solver:
         cam_space: jnp.ndarray,
         lm_p: jnp.ndarray,
         lin: Lin1,
-        inc_scaled: jnp.ndarray,  # [N, 12] in scaled (solver) coordinates
+        inc_scaled: jnp.ndarray,  # [12, N] in scaled (solver) coordinates
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Camera update + VarProj back-substitution
         (linearizor_power_varproj.cpp:245-263 `apply` +
@@ -461,28 +501,28 @@ class Stage1Solver:
 
         Returns (new_cam_space, new_lm_p, l_diff).
         """
-        inc_phys = inc_scaled * lin.pose_scale
-        new_cam = cam_space + inc_phys.reshape(self.n_cams, 3, 4)
+        inc_phys = inc_scaled * lin.pose_scale  # [12, N]
+        new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
 
-        P_new = new_cam[obs.cam]
-        x = lm_p[obs.lm]
-        r_new, Jp_new, Jl_new = pose_math.pose_jacobians(
+        P_new = self._gather_cams(obs, new_cam)
+        x = lm_p.T[:, obs.lm]
+        r_new, Jp_new, Jl_new = pose_math.pose_jacobians_t(
             P_new, x, obs.uv, self.alpha
         )
         r_new = _mask_rows(obs, r_new)
         Jp_new = _mask_rows(obs, Jp_new)
         Jl_new = _mask_rows(obs, Jl_new)
 
-        hll = self._seg_lm(obs, jnp.einsum("oki,okj->oij", Jl_new, Jl_new))
-        tmp = self._seg_lm(obs, jnp.einsum("oki,ok->oi", Jl_new, r_new))
-        inc_lm = -linalg.solve3x3(hll, tmp)
+        hll = self._seg_lm(obs, jnp.einsum("kio,kjo->ijo", Jl_new, Jl_new))
+        tmp = self._seg_lm(obs, jnp.einsum("kio,ko->io", Jl_new, r_new))
+        inc_lm = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
         j_inc = jnp.einsum(
-            "oij,oj->oi", Jp_new, inc_scaled[obs.cam]
-        ) + jnp.einsum("oij,oj->oi", lin.Jl, inc_lm[obs.lm])
+            "ijo,jo->io", Jp_new, inc_scaled[:, obs.cam]
+        ) + jnp.einsum("ijo,jo->io", lin.Jl, inc_lm[:, obs.lm])
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
-        return new_cam, lm_p + inc_lm, l_diff
+        return new_cam, lm_p + inc_lm.T, l_diff
 
     def _apply_poba(
         self,
@@ -498,22 +538,23 @@ class Stage1Solver:
         (back_substitute_poBA, sc/landmark_block.hpp:625-668;
         linearizor_power_varproj.cpp:264-273 order: back-substitute with
         the scaled inc first, then unscale and update cameras)."""
-        hll = self._seg_lm(obs, jnp.einsum("oki,okj->oij", lin.Jl, lin.Jl))
-        hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
-        jp_inc = jnp.einsum("oij,oj->oi", lin.Jp, inc_scaled[obs.cam])
+        eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
+        hll = self._seg_lm(obs, jnp.einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
+        hll = hll + lam * eye3
+        jp_inc = jnp.einsum("ijo,jo->io", lin.Jp, inc_scaled[:, obs.cam])
         tmp = self._seg_lm(
-            obs, jnp.einsum("oki,ok->oi", lin.Jl, lin.r + jp_inc)
+            obs, jnp.einsum("kio,ko->io", lin.Jl, lin.r + jp_inc)
         )
-        inc_lm_scaled = -linalg.solve3x3(hll, tmp)
+        inc_lm_scaled = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
         j_inc = jp_inc + jnp.einsum(
-            "oij,oj->oi", lin.Jl, inc_lm_scaled[obs.lm]
+            "ijo,jo->io", lin.Jl, inc_lm_scaled[:, obs.lm]
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
         # landmark inc unscaled by the Jl column scale only after the
         # model-cost computation (landmark_block.hpp:664-666)
-        new_lm = lm_p + inc_lm_scaled * lin.jl_scale
+        new_lm = lm_p + (inc_lm_scaled * lin.jl_scale).T
         inc_phys = inc_scaled * lin.pose_scale
-        new_cam = cam_space + inc_phys.reshape(self.n_cams, 3, 4)
+        new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
         return new_cam, new_lm, l_diff

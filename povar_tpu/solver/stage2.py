@@ -14,11 +14,15 @@ scale, landmarks on the quotient of homogeneous 4-vectors by scale.
 Tangent spaces are the nullspaces of the current representative
 (11-dim for cameras, 3-dim for landmarks); the reference realizes them
 with COD kernels (`kernel_COD`), we use closed-form Householder bases
-(ops/linalg.nullspace_of_row) — any orthonormal basis of the same
+(ops/linalg.nullspace_of_rowf) — any orthonormal basis of the same
 subspace, so the optimization is equivalent (trajectories can differ in
 roundoff/basis, convergence and cost do not). Because the bases have
 orthonormal columns, the reference's Proj^T lambda Proj damping terms
 reduce to lambda I, which we exploit.
+
+Data layout: observation-last like stage 1 (see stage1.py) — storage
+r [2,O], Jp [2,12,O], Jl [2,4,O], nullspace-projected Jp_ns [2,11,O],
+Jl_ns [2,3,O]; tangent bases kernel_cam [12,11,N], kernel_lm [4,3,M].
 
 Retraction after each step: Frobenius-normalize camera matrices and
 dehomogenize landmarks (bal_bundle_adjustment.cpp:700-705).
@@ -34,8 +38,12 @@ import jax.numpy as jnp
 from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
-from povar_tpu.solver.common import accumulate_residual_info, segment_sum
-from povar_tpu.solver.stage1 import Obs, _mask_rows
+from povar_tpu.solver.common import accumulate_residual_info
+from povar_tpu.solver.segments import (
+    segment_sum_by_perm,
+    segment_sum_sorted,
+)
+from povar_tpu.solver.stage1 import Obs, _mask_rows, make_obs
 
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
@@ -51,15 +59,15 @@ class Lin2(NamedTuple):
     'storage_nullspace_' blocks; kernel_cam/kernel_lm the tangent bases.
     """
 
-    Jp: jnp.ndarray  # [O, 2, 12]
-    Jl: jnp.ndarray  # [O, 2, 4]
-    r: jnp.ndarray  # [O, 2]
-    Jp_ns: jnp.ndarray  # [O, 2, 11]
-    Jl_ns: jnp.ndarray  # [O, 2, 3]
-    kernel_cam: jnp.ndarray  # [N, 12, 11]
-    kernel_lm: jnp.ndarray  # [M, 4, 3]
-    pose_scale: jnp.ndarray  # [N, 12]
-    jl_scale: jnp.ndarray  # [M, 4]
+    Jp: jnp.ndarray  # [2, 12, O]
+    Jl: jnp.ndarray  # [2, 4, O]
+    r: jnp.ndarray  # [2, O]
+    Jp_ns: jnp.ndarray  # [2, 11, O]
+    Jl_ns: jnp.ndarray  # [2, 3, O]
+    kernel_cam: jnp.ndarray  # [12, 11, N]
+    kernel_lm: jnp.ndarray  # [4, 3, M]
+    pose_scale: jnp.ndarray  # [12, N]
+    jl_scale: jnp.ndarray  # [4, M]
 
 
 def create_homogeneous(
@@ -86,16 +94,12 @@ class Stage2Solver:
         dtype=jnp.float64,
         obs_weight=None,
     ):
-        self.obs = Obs(
-            cam=jnp.asarray(obs_cam, jnp.int32),
-            lm=jnp.asarray(obs_lm, jnp.int32),
-            uv=jnp.asarray(obs_uv, dtype),
-            weight=(
-                None if obs_weight is None else jnp.asarray(obs_weight, dtype)
-            ),
-        )
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
+        self.obs = make_obs(
+            obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
+            obs_weight,
+        )
         self.opts = options
         self.dtype = dtype
         self.robust = _ROBUST_CODE[options.residual.robust_norm]
@@ -121,7 +125,7 @@ class Stage2Solver:
 
     @property
     def obs_uv(self):
-        return self.obs.uv
+        return self.obs.uv.T
 
     # public API bound to this problem's obs arrays
     def compute_error(self, cam_space, lm_p_h):
@@ -139,11 +143,27 @@ class Stage2Solver:
     def apply(self, cam_space, lm_p_h, lin, inc, lam):
         return self._jit_apply(self.obs, cam_space, lm_p_h, lin, inc, lam)
 
+    def solve(
+        self, lin: Lin2, lam: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        st = self.opts.solver_type_step_2
+        if st == SolverTypeRiemannian.RIPOBA:
+            return self.solve_power(lin, lam)
+        if st == SolverTypeRiemannian.RIPCG:
+            return self.solve_pcg(lin, lam)
+        raise ValueError(f"unknown step-2 solver type {st}")
+
+    # -------------------------------------------------------------- utils
+
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum(x, obs.cam, self.n_cams)
+        return segment_sum_by_perm(x, obs.seg.cam_perm, obs.seg.cam_bounds)
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum(x, obs.lm, self.n_lms, sorted_=True)
+        return segment_sum_sorted(x, obs.seg.lm_bounds)
+
+    @staticmethod
+    def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
+        return jnp.transpose(cam_space, (1, 2, 0))[:, :, obs.cam]
 
     # ------------------------------------------------------------- error
 
@@ -152,15 +172,15 @@ class Stage2Solver:
     ) -> Dict[str, jnp.ndarray]:
         """compute_error_projective_space_homogeneous
         (helper.cpp:156-196)."""
-        P = cam_space[obs.cam]
-        xh = lm_p_h[obs.lm]
-        r, valid = pose_math.homogeneous_residual(P, xh, obs.uv)
+        P = self._gather_cams(obs, cam_space)
+        xh = lm_p_h.T[:, obs.lm]  # [4, O]
+        r, valid = pose_math.homogeneous_residual_t(P, xh, obs.uv)
         r = _mask_rows(obs, r)
-        res_sq = jnp.sum(r * r, axis=-1)
+        res_sq = jnp.sum(r * r, axis=0)
         err, _w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
-        finite = jnp.all(jnp.isfinite(r), axis=-1)
+        finite = jnp.all(jnp.isfinite(r), axis=0)
         if obs.weight is not None:
             active = obs.weight > 0
             err = jnp.where(active, err, 0.0)
@@ -182,9 +202,9 @@ class Stage2Solver:
         nullspace storage from the *scaled* blocks
         (landmark_block.hpp:227-269; scaling happens before
         linearize_nullspace in linearizor_power_varproj.cpp:129-133)."""
-        P = cam_space[obs.cam]
-        xh = lm_p_h[obs.lm]
-        r, Jp, Jl, valid = pose_math.homogeneous_jacobians(P, xh, obs.uv)
+        P = self._gather_cams(obs, cam_space)
+        xh = lm_p_h.T[:, obs.lm]
+        r, Jp, Jl, valid = pose_math.homogeneous_jacobians_t(P, xh, obs.uv)
         r = _mask_rows(obs, r)
         Jp = _mask_rows(obs, Jp)
         Jl = _mask_rows(obs, Jl)
@@ -192,35 +212,39 @@ class Stage2Solver:
         if self.use_valid_only:
             # invalid projections contribute zero rows
             # (landmark_block.hpp:203-222 'if (valid)')
-            keep = valid[:, None]
+            keep = valid[None, :]
             r = jnp.where(keep, r, 0.0)
-            Jp = jnp.where(keep[..., None], Jp, 0.0)
-            Jl = jnp.where(keep[..., None], Jl, 0.0)
+            Jp = jnp.where(keep[:, None], Jp, 0.0)
+            Jl = jnp.where(keep[:, None], Jl, 0.0)
 
-        res_sq = jnp.sum(r * r, axis=-1)
+        res_sq = jnp.sum(r * r, axis=0)
         _err, w = pose_math.robust_error_and_weight(
             res_sq, self.robust, self.huber
         )
-        sw = jnp.sqrt(w)[..., None]
-        r = r * sw
-        Jp = Jp * sw[..., None]
-        Jl = Jl * sw[..., None]
+        sw = jnp.sqrt(w)
+        r = r * sw[None]
+        Jp = Jp * sw[None, None]
+        Jl = Jl * sw[None, None]
 
-        jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=1))  # [M, 4]
+        jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [4, M]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * jl_scale[obs.lm][:, None, :]
+        Jl = Jl * jl_scale[:, obs.lm][None]
 
-        jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=1))  # [N, 12]
+        jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=0))  # [12, N]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * pose_scale[obs.cam][:, None, :]
+        Jp = Jp * pose_scale[:, obs.cam][None]
 
-        kernel_cam = linalg.nullspace_of_row(
-            cam_space.reshape(self.n_cams, 12)
-        )  # [N, 12, 11]
-        kernel_lm = linalg.nullspace_of_row(lm_p_h)  # [M, 4, 3]
+        kernel_cam = linalg.nullspace_of_rowf(
+            cam_space.reshape(self.n_cams, 12).T
+        )  # [12, 11, N]
+        kernel_lm = linalg.nullspace_of_rowf(lm_p_h.T)  # [4, 3, M]
 
-        Jp_ns = jnp.einsum("oij,ojk->oik", Jp, kernel_cam[obs.cam])
-        Jl_ns = jnp.einsum("oij,ojk->oik", Jl, kernel_lm[obs.lm])
+        Jp_ns = jnp.einsum(
+            "ijo,jko->iko", Jp, kernel_cam[:, :, obs.cam]
+        )  # [2, 11, O]
+        Jl_ns = jnp.einsum(
+            "ijo,jko->iko", Jl, kernel_lm[:, :, obs.lm]
+        )  # [2, 3, O]
 
         return Lin2(
             Jp=Jp,
@@ -240,40 +264,43 @@ class Stage2Solver:
         self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """prepare_Hb_joint (linearization_power_varproj.hpp:74-122):
-        tangent-space Hll^-1 [M,3,3] (with Proj^T lam Proj = lam I
-        damping), gradient b [N,11], damped per-camera (Jp_ns^T Jp_ns +
-        lam I)^-1 [N,11,11]."""
+        tangent-space Hll^-1 [3,3,M] (with Proj^T lam Proj = lam I
+        damping), gradient b [11,N], damped per-camera (Jp_ns^T Jp_ns +
+        lam I)^-1 [11,11,N]."""
+        eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
-            obs, jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns)
+            obs, jnp.einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
         )
-        hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
-        hll_inv = linalg.inv3x3(hll)
+        hll = hll + lam * eye3
+        hll_inv = linalg.inv3x3f(hll)
 
-        bl = self._seg_lm(obs, jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r))
-        hll_inv_bl = jnp.einsum("mij,mj->mi", hll_inv, bl)
+        bl = self._seg_lm(obs, jnp.einsum("kio,ko->io", lin.Jl_ns, lin.r))
+        hll_inv_bl = jnp.einsum("ijm,jm->im", hll_inv, bl)
 
         r_tilde = lin.r - jnp.einsum(
-            "oij,oj->oi", lin.Jl_ns, hll_inv_bl[obs.lm]
+            "ijo,jo->io", lin.Jl_ns, hll_inv_bl[:, obs.lm]
         )
-        b = self._seg_cam(obs, jnp.einsum("oki,ok->oi", lin.Jp_ns, r_tilde))
+        b = self._seg_cam(
+            obs, jnp.einsum("kio,ko->io", lin.Jp_ns, r_tilde)
+        )
 
         hpp = self._seg_cam(
-            obs, jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
+            obs, jnp.einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
         )
-        hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)
-        b_inv = linalg.inv_psd_small(hpp)
+        hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)[:, :, None]
+        b_inv = linalg.inv_psd_smallf(hpp)
         return b, b_inv, hll_inv
 
     def _e0_matvec(
         self, x: jnp.ndarray, obs: Obs, lin: Lin2, hll_inv: jnp.ndarray
     ) -> jnp.ndarray:
-        """right_mul_e0_joint (hpp:409-453) as gather/einsum/segment_sum."""
-        xc = x[obs.cam]  # [O, 11]
-        jpx = jnp.einsum("oij,oj->oi", lin.Jp_ns, xc)  # [O, 2]
-        u = self._seg_lm(obs, jnp.einsum("oij,oi->oj", lin.Jl_ns, jpx))
-        w = jnp.einsum("mij,mj->mi", hll_inv, u)
-        v = jnp.einsum("oij,oj->oi", lin.Jl_ns, w[obs.lm])
-        return self._seg_cam(obs, jnp.einsum("oij,oi->oj", lin.Jp_ns, v))
+        """right_mul_e0_joint (hpp:409-453). x, result: [11, N]."""
+        xc = x[:, obs.cam]  # [11, O]
+        jpx = jnp.einsum("ijo,jo->io", lin.Jp_ns, xc)  # [2, O]
+        u = self._seg_lm(obs, jnp.einsum("ijo,io->jo", lin.Jl_ns, jpx))
+        w = jnp.einsum("ijm,jm->im", hll_inv, u)
+        v = jnp.einsum("ijo,jo->io", lin.Jl_ns, w[:, obs.lm])
+        return self._seg_cam(obs, jnp.einsum("ijo,io->jo", lin.Jp_ns, v))
 
     # ------------------------------------------------------------ solves
 
@@ -281,11 +308,11 @@ class Stage2Solver:
         self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPOBA: power series on the 11-dof tangent system
-        (solve_joint, hpp:240-287)."""
+        (solve_joint, hpp:240-287). Returns (inc [11, N], num_terms)."""
         b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
 
         def b_inv_apply(v):
-            return jnp.einsum("nij,nj->ni", b_inv, v)
+            return jnp.einsum("ijn,jn->in", b_inv, v)
 
         def e0_apply(v):
             return self._e0_matvec(v, obs, lin, hll_inv)
@@ -306,22 +333,23 @@ class Stage2Solver:
         Schur-Jacobi preconditioner; inc = -x of S x = b."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
         hpp = self._seg_cam(
-            obs, jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jp_ns)
+            obs, jnp.einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
         )
 
-        W = jnp.einsum("oki,okj->oij", lin.Jp_ns, lin.Jl_ns)  # [O, 11, 3]
-        Wh = jnp.einsum("oij,ojk->oik", W, hll_inv[obs.lm])
-        corr = self._seg_cam(obs, jnp.einsum("oik,ojk->oij", Wh, W))
-        diag_blocks = hpp + lam * jnp.eye(11, dtype=hpp.dtype) - corr
-        diag_chol = linalg.cholesky_small(diag_blocks)
+        W = jnp.einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jl_ns)  # [11, 3, O]
+        Wh = jnp.einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
+        corr = self._seg_cam(obs, jnp.einsum("iko,jko->ijo", Wh, W))
+        eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
+        diag_blocks = hpp + lam * eye - corr
+        diag_chol = linalg.cholesky_smallf(diag_blocks)
 
         def matvec(x):
-            bx = jnp.einsum("nij,nj->ni", hpp, x) + lam * x
+            bx = jnp.einsum("ijn,jn->in", hpp, x) + lam * x
             return bx - self._e0_matvec(x, obs, lin, hll_inv)
 
         def precond(x):
-            y = linalg.solve_lower_tri(diag_chol, x)
-            return linalg.solve_upper_from_lower(diag_chol, y)
+            y = linalg.solve_lower_trif(diag_chol, x)
+            return linalg.solve_upper_from_lowerf(diag_chol, y)
 
         res = pcg_mod.conjugate_gradients(
             matvec,
@@ -336,16 +364,6 @@ class Stage2Solver:
         )
         return -res.x, res.num_iterations
 
-    def solve(
-        self, lin: Lin2, lam: jnp.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        st = self.opts.solver_type_step_2
-        if st == SolverTypeRiemannian.RIPOBA:
-            return self.solve_power(lin, lam)
-        if st == SolverTypeRiemannian.RIPCG:
-            return self.solve_pcg(lin, lam)
-        raise ValueError(f"unknown step-2 solver type {st}")
-
     # ------------------------------------------------------------- apply
 
     def _apply(
@@ -354,7 +372,7 @@ class Stage2Solver:
         cam_space: jnp.ndarray,
         lm_p_h: jnp.ndarray,
         lin: Lin2,
-        inc: jnp.ndarray,  # [N, 11] tangent increment
+        inc: jnp.ndarray,  # [11, N] tangent increment
         lam: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """back_substitute_joint + apply_joint + retraction
@@ -368,28 +386,29 @@ class Stage2Solver:
         Retraction: Frobenius-normalize cameras, dehomogenize landmarks.
         Returns (new_cam_space, new_lm_p_h, l_diff).
         """
+        eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
-            obs, jnp.einsum("oki,okj->oij", lin.Jl_ns, lin.Jl_ns)
+            obs, jnp.einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
         )
-        hll = hll + lam * jnp.eye(3, dtype=hll.dtype)
+        hll = hll + lam * eye3
 
-        jp_inc = jnp.einsum("oij,oj->oi", lin.Jp_ns, inc[obs.cam])
+        jp_inc = jnp.einsum("ijo,jo->io", lin.Jp_ns, inc[:, obs.cam])
         tmp = self._seg_lm(
-            obs, jnp.einsum("oki,ok->oi", lin.Jl_ns, lin.r + jp_inc)
+            obs, jnp.einsum("kio,ko->io", lin.Jl_ns, lin.r + jp_inc)
         )
-        inc3 = -linalg.solve3x3(hll, tmp)
-        inc_proj = jnp.einsum("mij,mj->mi", lin.kernel_lm, inc3)  # [M, 4]
+        inc3 = -linalg.solve3x3f(hll, tmp)  # [3, M]
+        inc_proj = jnp.einsum("ijm,jm->im", lin.kernel_lm, inc3)  # [4, M]
 
         j_inc = jp_inc + jnp.einsum(
-            "oij,oj->oi", lin.Jl, inc_proj[obs.lm]
+            "ijo,jo->io", lin.Jl, inc_proj[:, obs.lm]
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
-        new_lm_h = lm_p_h + inc_proj * lin.jl_scale
+        new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).T
 
-        inc12 = jnp.einsum("nij,nj->ni", lin.kernel_cam, inc)  # [N, 12]
+        inc12 = jnp.einsum("ijn,jn->in", lin.kernel_cam, inc)  # [12, N]
         inc12 = inc12 * lin.pose_scale
-        new_cam = cam_space + inc12.reshape(self.n_cams, 3, 4)
+        new_cam = cam_space + inc12.T.reshape(self.n_cams, 3, 4)
 
         # manifold retraction
         new_cam = linalg.frobenius_normalize(new_cam)

@@ -61,14 +61,14 @@ def test_tangent_jacobian_consistency():
     _, solver, _, cams, lms_h = _make(2, noise=0.01)
     lin = solver.linearize(cams, lms_h)
     rng = np.random.default_rng(3)
-    delta = rng.standard_normal((solver.n_cams, 11)) * 1e-7
+    delta = rng.standard_normal((11, solver.n_cams)) * 1e-7
 
     # physical camera motion corresponding to the tangent step,
     # accounting for the pose column scaling (storage is scaled)
     inc12 = np.einsum(
-        "nij,nj->ni", np.asarray(lin.kernel_cam), delta
-    ) * np.asarray(lin.pose_scale)
-    cams2 = cams + jnp.asarray(inc12.reshape(solver.n_cams, 3, 4))
+        "ijn,jn->in", np.asarray(lin.kernel_cam), delta
+    ) * np.asarray(lin.pose_scale)  # [12, N]
+    cams2 = cams + jnp.asarray(inc12.T.reshape(solver.n_cams, 3, 4))
 
     from povar_tpu.ops import pose_math
 
@@ -79,8 +79,9 @@ def test_tangent_jacobian_consistency():
     r2, _ = pose_math.homogeneous_residual(P2, xh, solver.obs_uv)
     dr_actual = np.asarray(r2 - r1)
     dr_pred = np.einsum(
-        "oij,oj->oi", np.asarray(lin.Jp_ns),
-        delta[np.asarray(solver.obs_cam)],
+        "ijo,jo->oi",
+        np.asarray(lin.Jp_ns),
+        delta[:, np.asarray(solver.obs_cam)],
     )
     np.testing.assert_allclose(
         dr_actual, dr_pred, atol=1e-11 + 1e-4 * np.abs(dr_pred).max()
