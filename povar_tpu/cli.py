@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dump-config", action="store_true",
                         help="print effective config and exit")
     parser.add_argument("--log-file", default="ba_log.json")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax profiler trace of the solve "
+                        "into this directory (TensorBoard/Perfetto)")
     defaults = BalAppOptions()
     _add_dataclass_args(parser, defaults.solver, "solver")
     _add_dataclass_args(parser, defaults.dataset, "dataset")
@@ -149,8 +152,11 @@ def main(argv=None) -> int:
         opts.dataset, dataset_summary, timing
     )
 
+    from povar_tpu.utils.profiling import trace
+
     t_opt = Timer()
-    problem, s1, s2 = bundle_adjust(problem, opts.solver)
+    with trace(args.profile_dir):
+        problem, s1, s2 = bundle_adjust(problem, opts.solver)
     timing["optimize_time"] = t_opt.elapsed()
 
     t_post = Timer()

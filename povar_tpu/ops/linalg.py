@@ -25,6 +25,7 @@ batch axes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from povar_tpu.ops.small_einsum import small_einsum
 from jax import lax
 
 
@@ -57,7 +58,7 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
 
 def solve3x3(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched 3x3 solve m @ x = rhs via the adjugate inverse."""
-    return jnp.einsum("...ij,...j->...i", inv3x3(m), rhs)
+    return small_einsum("...ij,...j->...i", inv3x3(m), rhs)
 
 
 def cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
@@ -70,12 +71,12 @@ def cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
     l = jnp.zeros_like(a)
     for j in range(n):
         # l[j, j] = sqrt(a[j, j] - sum_k l[j, k]^2)
-        s = jnp.einsum("...k,...k->...", l[..., j, :j], l[..., j, :j])
+        s = small_einsum("...k,...k->...", l[..., j, :j], l[..., j, :j])
         d = jnp.sqrt(a[..., j, j] - s)
         l = l.at[..., j, j].set(d)
         if j + 1 < n:
             # l[i, j] = (a[i, j] - sum_k l[i, k] l[j, k]) / d  for i > j
-            s2 = jnp.einsum("...ik,...k->...i", l[..., j + 1 :, :j], l[..., j, :j])
+            s2 = small_einsum("...ik,...k->...i", l[..., j + 1 :, :j], l[..., j, :j])
             col = (a[..., j + 1 :, j] - s2) / d[..., None]
             l = l.at[..., j + 1 :, j].set(col)
     return l
@@ -89,7 +90,7 @@ def solve_lower_tri(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         b = b[..., None]
     x = jnp.zeros_like(b)
     for i in range(n):
-        s = jnp.einsum("...k,...km->...m", l[..., i, :i], x[..., :i, :])
+        s = small_einsum("...k,...km->...m", l[..., i, :i], x[..., :i, :])
         x = x.at[..., i, :].set((b[..., i, :] - s) / l[..., i, i][..., None])
     return x[..., 0] if vec else x
 
@@ -102,7 +103,7 @@ def solve_upper_from_lower(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         b = b[..., None]
     x = jnp.zeros_like(b)
     for i in reversed(range(n)):
-        s = jnp.einsum("...k,...km->...m", l[..., i + 1 :, i], x[..., i + 1 :, :])
+        s = small_einsum("...k,...km->...m", l[..., i + 1 :, i], x[..., i + 1 :, :])
         x = x.at[..., i, :].set((b[..., i, :] - s) / l[..., i, i][..., None])
     return x[..., 0] if vec else x
 
@@ -177,7 +178,7 @@ def inv3x3f(m: jnp.ndarray) -> jnp.ndarray:
 
 def solve3x3f(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve m @ x = rhs with m [3,3,...], rhs [3,...] -> [3,...]."""
-    return jnp.einsum("ij...,j...->i...", inv3x3f(m), rhs)
+    return small_einsum("ij...,j...->i...", inv3x3f(m), rhs)
 
 
 def cholesky_smallf(a: jnp.ndarray) -> jnp.ndarray:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+from povar_tpu.ops.small_einsum import small_einsum
 
 # robust norm codes (BalResidualOptions::RobustNorm, bal_residual_options.hpp)
 ROBUST_NONE = 0
@@ -83,7 +84,7 @@ def pose_residual(
     """
     A = pose_matrix_tilde(P, uv, alpha)
     xh = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
-    r = jnp.einsum("...ij,...j->...i", A, xh)
+    r = small_einsum("...ij,...j->...i", A, xh)
     s_aff = jnp.sqrt(alpha)
     corr = jnp.concatenate(
         [jnp.zeros_like(uv), s_aff * uv], axis=-1
@@ -153,7 +154,7 @@ def pose_residual_t(
     """pOSE residual r [4, O]."""
     A = pose_matrix_tilde_t(P, uv, alpha)
     xh = jnp.concatenate([x, jnp.ones_like(x[:1])], axis=0)  # [4, O]
-    r = jnp.einsum("ijo,jo->io", A, xh)
+    r = small_einsum("ijo,jo->io", A, xh)
     s_aff = jnp.sqrt(alpha)
     corr = jnp.concatenate([jnp.zeros_like(uv), s_aff * uv], axis=0)
     return r - corr
@@ -190,8 +191,8 @@ def varproj_init_normal_eq_t(
     s_aff = jnp.sqrt(alpha)
     corr = jnp.concatenate([jnp.zeros_like(uv), s_aff * uv], axis=0)
     z = corr - A[:, 3, :]  # [4, O]
-    gtg = jnp.einsum("kio,kjo->ijo", G, G)
-    gtz = jnp.einsum("kio,ko->io", G, z)
+    gtg = small_einsum("kio,kjo->ijo", G, G)
+    gtz = small_einsum("kio,ko->io", G, z)
     return gtg, gtz
 
 
@@ -199,7 +200,7 @@ def homogeneous_residual_t(
     P: jnp.ndarray, xh: jnp.ndarray, uv: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(r [2, O], valid [O]) from P [3,4,O], xh [4,O], uv [2,O]."""
-    p = jnp.einsum("ijo,jo->io", P, xh)  # [3, O]
+    p = small_einsum("ijo,jo->io", P, xh)  # [3, O]
     z = p[2]
     proj = p[:2] / z[None]
     eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
@@ -210,7 +211,7 @@ def homogeneous_jacobians_t(
     P: jnp.ndarray, xh: jnp.ndarray, uv: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(r [2,O], Jp [2,12,O], Jl [2,4,O], valid [O])."""
-    p = jnp.einsum("ijo,jo->io", P, xh)
+    p = small_einsum("ijo,jo->io", P, xh)
     x_, y_, z_ = p[0], p[1], p[2]
     inv_z = 1.0 / z_
     r = jnp.stack([x_ * inv_z, y_ * inv_z], axis=0) - uv
@@ -236,7 +237,7 @@ def homogeneous_jacobians_t(
         ],
         axis=0,
     )  # [2, 3, O]
-    Jl = jnp.einsum("iko,kjo->ijo", dproj, P)  # [2, 4, O]
+    Jl = small_einsum("iko,kjo->ijo", dproj, P)  # [2, 4, O]
     return r, Jp, Jl, valid
 
 
@@ -259,8 +260,8 @@ def varproj_init_normal_eq(
     s_aff = jnp.sqrt(alpha)
     corr = jnp.concatenate([jnp.zeros_like(uv), s_aff * uv], axis=-1)
     z = corr - A[..., :, 3]
-    gtg = jnp.einsum("...ki,...kj->...ij", G, G)
-    gtz = jnp.einsum("...ki,...k->...i", G, z)
+    gtg = small_einsum("...ki,...kj->...ij", G, G)
+    gtz = small_einsum("...ki,...k->...i", G, z)
     return gtg, gtz
 
 
@@ -277,7 +278,7 @@ def homogeneous_residual(
     basalt_custom/camera/bal_camera.hpp:120-167 — no distortion applied).
     valid: |p_z| >= sqrt(float eps) (Sophus::Constants::epsilonSqrt).
     """
-    p = jnp.einsum("...ij,...j->...i", P, xh)  # [O, 3]; 4th row not needed
+    p = small_einsum("...ij,...j->...i", P, xh)  # [O, 3]; 4th row not needed
     z = p[..., 2]
     proj = p[..., :2] / z[..., None]
     eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
@@ -294,7 +295,7 @@ def homogeneous_jacobians(
     Jp = d_proj/d_p3d @ d_p/d_vec(P)  (helper.cpp:350-371)
     Jl = d_proj/d_p3d @ [P; 0 0 0 1]  (helper.cpp:374-377)
     """
-    p = jnp.einsum("...ij,...j->...i", P, xh)
+    p = small_einsum("...ij,...j->...i", P, xh)
     x_, y_, z_ = p[..., 0], p[..., 1], p[..., 2]
     inv_z = 1.0 / z_
     r = jnp.stack([x_ * inv_z, y_ * inv_z], axis=-1) - uv
@@ -326,5 +327,5 @@ def homogeneous_jacobians(
         ],
         axis=-2,
     )  # [O, 2, 3]
-    Jl = jnp.einsum("...ik,...kj->...ij", dproj, P)  # [O, 2, 4]
+    Jl = small_einsum("...ik,...kj->...ij", dproj, P)  # [O, 2, 4]
     return r, Jp, Jl, valid

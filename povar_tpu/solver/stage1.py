@@ -36,6 +36,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from povar_tpu.ops.small_einsum import small_einsum
 
 from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverType
@@ -321,20 +322,20 @@ class Stage1Solver:
           b_inv   [12,12,N] = (blockdiag(Jp^T Jp) + lam I)^-1
         """
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
-        hll = self._seg_lm(obs, jnp.einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
+        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
         if landmark_damping:
             hll = hll + lam * eye3
         hll_inv = linalg.inv3x3f(hll)
 
-        bl = self._seg_lm(obs, jnp.einsum("kio,ko->io", lin.Jl, lin.r))
-        hll_inv_bl = jnp.einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
+        bl = self._seg_lm(obs, small_einsum("kio,ko->io", lin.Jl, lin.r))
+        hll_inv_bl = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
 
-        r_tilde = lin.r - jnp.einsum(
+        r_tilde = lin.r - small_einsum(
             "ijo,jo->io", lin.Jl, hll_inv_bl[:, obs.lm]
         )
-        b = self._seg_cam(obs, jnp.einsum("kio,ko->io", lin.Jp, r_tilde))
+        b = self._seg_cam(obs, small_einsum("kio,ko->io", lin.Jp, r_tilde))
 
-        hpp = self._seg_cam(obs, jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
+        hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
         hpp = hpp + lam * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp)
         return b, b_inv, hll_inv
@@ -347,11 +348,11 @@ class Stage1Solver:
         gather x per obs, two small einsums, per-landmark reduce through
         Hll^-1, and a per-camera segment reduce. x, result: [12, N]."""
         xc = x[:, obs.cam]  # [12, O]
-        jpx = jnp.einsum("ijo,jo->io", lin.Jp, xc)  # [4, O]
-        u = self._seg_lm(obs, jnp.einsum("ijo,io->jo", lin.Jl, jpx))
-        w = jnp.einsum("ijm,jm->im", hll_inv, u)  # [3, M]
-        v = jnp.einsum("ijo,jo->io", lin.Jl, w[:, obs.lm])  # [4, O]
-        return self._seg_cam(obs, jnp.einsum("ijo,io->jo", lin.Jp, v))
+        jpx = small_einsum("ijo,jo->io", lin.Jp, xc)  # [4, O]
+        u = self._seg_lm(obs, small_einsum("ijo,io->jo", lin.Jl, jpx))
+        w = small_einsum("ijm,jm->im", hll_inv, u)  # [3, M]
+        v = small_einsum("ijo,jo->io", lin.Jl, w[:, obs.lm])  # [4, O]
+        return self._seg_cam(obs, small_einsum("ijo,io->jo", lin.Jp, v))
 
     # ------------------------------------------------------------ solves
 
@@ -369,7 +370,7 @@ class Stage1Solver:
         b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam, landmark_damping)
 
         def b_inv_apply(v):
-            return jnp.einsum("ijn,jn->in", b_inv, v)
+            return small_einsum("ijn,jn->in", b_inv, v)
 
         def e0_apply(v):
             return self._e0_matvec(v, obs, lin, hll_inv)
@@ -394,9 +395,9 @@ class Stage1Solver:
           S_ii = Hpp_ii + lam I - sum_{o: cam(o)=i} W_o Hll^-1_lm(o) W_o^T,
           W_o = Jp_o^T Jl_o.
         """
-        W = jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
-        Wh = jnp.einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
-        corr = self._seg_cam(obs, jnp.einsum("iko,jko->ijo", Wh, W))
+        W = small_einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
+        Wh = small_einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
+        corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
         eye = jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         return hpp + lam * eye - corr
 
@@ -407,12 +408,12 @@ class Stage1Solver:
         Schur-Jacobi block-diagonal preconditioner; solves S x = b and
         returns inc = -x (linearizor_base.cpp:102-125 negation)."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
-        hpp = self._seg_cam(obs, jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
+        hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
         diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
         diag_chol = linalg.cholesky_smallf(diag_blocks)
 
         def matvec(x):
-            bx = jnp.einsum("ijn,jn->in", hpp, x) + lam * x
+            bx = small_einsum("ijn,jn->in", hpp, x) + lam * x
             return bx - self._e0_matvec(x, obs, lin, hll_inv)
 
         def precond(x):
@@ -443,12 +444,12 @@ class Stage1Solver:
         A = [W_o hll_chol^-T] scattered by (cam, lm)."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
         n12 = self.n_cams * 12
-        hpp = self._seg_cam(obs, jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
+        hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
 
         # A [12N, 3M]: column block (cam(o), lm(o)) is W_o Hll^-1/2.
         hll_inv_chol = linalg.cholesky_smallf(hll_inv)  # hll^-1 = L L^T
-        W = jnp.einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
-        WL = jnp.einsum(
+        W = small_einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
+        WL = small_einsum(
             "ijo,jko->oik", W, hll_inv_chol[:, :, obs.lm]
         )  # [O, 12, 3]
 
@@ -513,13 +514,13 @@ class Stage1Solver:
         Jp_new = _mask_rows(obs, Jp_new)
         Jl_new = _mask_rows(obs, Jl_new)
 
-        hll = self._seg_lm(obs, jnp.einsum("kio,kjo->ijo", Jl_new, Jl_new))
-        tmp = self._seg_lm(obs, jnp.einsum("kio,ko->io", Jl_new, r_new))
+        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", Jl_new, Jl_new))
+        tmp = self._seg_lm(obs, small_einsum("kio,ko->io", Jl_new, r_new))
         inc_lm = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
-        j_inc = jnp.einsum(
+        j_inc = small_einsum(
             "ijo,jo->io", Jp_new, inc_scaled[:, obs.cam]
-        ) + jnp.einsum("ijo,jo->io", lin.Jl, inc_lm[:, obs.lm])
+        ) + small_einsum("ijo,jo->io", lin.Jl, inc_lm[:, obs.lm])
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
         return new_cam, lm_p + inc_lm.T, l_diff
@@ -539,15 +540,15 @@ class Stage1Solver:
         linearizor_power_varproj.cpp:264-273 order: back-substitute with
         the scaled inc first, then unscale and update cameras)."""
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
-        hll = self._seg_lm(obs, jnp.einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
+        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
         hll = hll + lam * eye3
-        jp_inc = jnp.einsum("ijo,jo->io", lin.Jp, inc_scaled[:, obs.cam])
+        jp_inc = small_einsum("ijo,jo->io", lin.Jp, inc_scaled[:, obs.cam])
         tmp = self._seg_lm(
-            obs, jnp.einsum("kio,ko->io", lin.Jl, lin.r + jp_inc)
+            obs, small_einsum("kio,ko->io", lin.Jl, lin.r + jp_inc)
         )
         inc_lm_scaled = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
-        j_inc = jp_inc + jnp.einsum(
+        j_inc = jp_inc + small_einsum(
             "ijo,jo->io", lin.Jl, inc_lm_scaled[:, obs.lm]
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))

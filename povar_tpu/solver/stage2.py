@@ -34,6 +34,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from povar_tpu.ops.small_einsum import small_einsum
 
 from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
@@ -239,10 +240,10 @@ class Stage2Solver:
         )  # [12, 11, N]
         kernel_lm = linalg.nullspace_of_rowf(lm_p_h.T)  # [4, 3, M]
 
-        Jp_ns = jnp.einsum(
+        Jp_ns = small_einsum(
             "ijo,jko->iko", Jp, kernel_cam[:, :, obs.cam]
         )  # [2, 11, O]
-        Jl_ns = jnp.einsum(
+        Jl_ns = small_einsum(
             "ijo,jko->iko", Jl, kernel_lm[:, :, obs.lm]
         )  # [2, 3, O]
 
@@ -269,23 +270,23 @@ class Stage2Solver:
         lam I)^-1 [11,11,N]."""
         eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
-            obs, jnp.einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
+            obs, small_einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
         )
         hll = hll + lam * eye3
         hll_inv = linalg.inv3x3f(hll)
 
-        bl = self._seg_lm(obs, jnp.einsum("kio,ko->io", lin.Jl_ns, lin.r))
-        hll_inv_bl = jnp.einsum("ijm,jm->im", hll_inv, bl)
+        bl = self._seg_lm(obs, small_einsum("kio,ko->io", lin.Jl_ns, lin.r))
+        hll_inv_bl = small_einsum("ijm,jm->im", hll_inv, bl)
 
-        r_tilde = lin.r - jnp.einsum(
+        r_tilde = lin.r - small_einsum(
             "ijo,jo->io", lin.Jl_ns, hll_inv_bl[:, obs.lm]
         )
         b = self._seg_cam(
-            obs, jnp.einsum("kio,ko->io", lin.Jp_ns, r_tilde)
+            obs, small_einsum("kio,ko->io", lin.Jp_ns, r_tilde)
         )
 
         hpp = self._seg_cam(
-            obs, jnp.einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
+            obs, small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
         )
         hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp)
@@ -296,11 +297,11 @@ class Stage2Solver:
     ) -> jnp.ndarray:
         """right_mul_e0_joint (hpp:409-453). x, result: [11, N]."""
         xc = x[:, obs.cam]  # [11, O]
-        jpx = jnp.einsum("ijo,jo->io", lin.Jp_ns, xc)  # [2, O]
-        u = self._seg_lm(obs, jnp.einsum("ijo,io->jo", lin.Jl_ns, jpx))
-        w = jnp.einsum("ijm,jm->im", hll_inv, u)
-        v = jnp.einsum("ijo,jo->io", lin.Jl_ns, w[:, obs.lm])
-        return self._seg_cam(obs, jnp.einsum("ijo,io->jo", lin.Jp_ns, v))
+        jpx = small_einsum("ijo,jo->io", lin.Jp_ns, xc)  # [2, O]
+        u = self._seg_lm(obs, small_einsum("ijo,io->jo", lin.Jl_ns, jpx))
+        w = small_einsum("ijm,jm->im", hll_inv, u)
+        v = small_einsum("ijo,jo->io", lin.Jl_ns, w[:, obs.lm])
+        return self._seg_cam(obs, small_einsum("ijo,io->jo", lin.Jp_ns, v))
 
     # ------------------------------------------------------------ solves
 
@@ -312,7 +313,7 @@ class Stage2Solver:
         b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
 
         def b_inv_apply(v):
-            return jnp.einsum("ijn,jn->in", b_inv, v)
+            return small_einsum("ijn,jn->in", b_inv, v)
 
         def e0_apply(v):
             return self._e0_matvec(v, obs, lin, hll_inv)
@@ -333,18 +334,18 @@ class Stage2Solver:
         Schur-Jacobi preconditioner; inc = -x of S x = b."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
         hpp = self._seg_cam(
-            obs, jnp.einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
+            obs, small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
         )
 
-        W = jnp.einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jl_ns)  # [11, 3, O]
-        Wh = jnp.einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
-        corr = self._seg_cam(obs, jnp.einsum("iko,jko->ijo", Wh, W))
+        W = small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jl_ns)  # [11, 3, O]
+        Wh = small_einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
+        corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
         eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
         diag_blocks = hpp + lam * eye - corr
         diag_chol = linalg.cholesky_smallf(diag_blocks)
 
         def matvec(x):
-            bx = jnp.einsum("ijn,jn->in", hpp, x) + lam * x
+            bx = small_einsum("ijn,jn->in", hpp, x) + lam * x
             return bx - self._e0_matvec(x, obs, lin, hll_inv)
 
         def precond(x):
@@ -388,25 +389,25 @@ class Stage2Solver:
         """
         eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
-            obs, jnp.einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
+            obs, small_einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
         )
         hll = hll + lam * eye3
 
-        jp_inc = jnp.einsum("ijo,jo->io", lin.Jp_ns, inc[:, obs.cam])
+        jp_inc = small_einsum("ijo,jo->io", lin.Jp_ns, inc[:, obs.cam])
         tmp = self._seg_lm(
-            obs, jnp.einsum("kio,ko->io", lin.Jl_ns, lin.r + jp_inc)
+            obs, small_einsum("kio,ko->io", lin.Jl_ns, lin.r + jp_inc)
         )
         inc3 = -linalg.solve3x3f(hll, tmp)  # [3, M]
-        inc_proj = jnp.einsum("ijm,jm->im", lin.kernel_lm, inc3)  # [4, M]
+        inc_proj = small_einsum("ijm,jm->im", lin.kernel_lm, inc3)  # [4, M]
 
-        j_inc = jp_inc + jnp.einsum(
+        j_inc = jp_inc + small_einsum(
             "ijo,jo->io", lin.Jl, inc_proj[:, obs.lm]
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
         new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).T
 
-        inc12 = jnp.einsum("ijn,jn->in", lin.kernel_cam, inc)  # [12, N]
+        inc12 = small_einsum("ijn,jn->in", lin.kernel_cam, inc)  # [12, N]
         inc12 = inc12 * lin.pose_scale
         new_cam = cam_space + inc12.T.reshape(self.n_cams, 3, 4)
 
