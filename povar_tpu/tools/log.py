@@ -59,10 +59,10 @@ class Log:
     @staticmethod
     def load(path: str) -> "Log":
         if path.endswith(".ubjson"):
-            raise NotImplementedError(
-                "ubjson logs: convert with the reference tooling; this "
-                "framework writes json"
-            )
+            from povar_tpu.utils import ubjson
+
+            with open(path, "rb") as f:
+                return Log(ubjson.loads(f.read()))
         with open(path) as f:
             return Log(json.load(f))
 

@@ -106,6 +106,7 @@ def save_json(
     summary_step1: SolverSummary,
     summary_step2: Optional[SolverSummary] = None,
     timing: Optional[dict] = None,
+    save_ubjson: bool = False,
 ) -> None:
     """Write the combined log (ba_log.cpp save_json:60-150; the
     reference logs step-2 under `solver`/`iterations` and step-1 under
@@ -143,3 +144,11 @@ def save_json(
         ]
     with open(path, "w") as f:
         json.dump(log, f, indent=1)
+    if save_ubjson:
+        from povar_tpu.utils import ubjson
+
+        ub_path = path[: -len(".json")] + ".ubjson" if path.endswith(
+            ".json"
+        ) else path + ".ubjson"
+        with open(ub_path, "wb") as f:
+            f.write(ubjson.dumps(log))

@@ -100,3 +100,33 @@ def test_flop_models_ordering():
     assert p > 0
     # direct Cholesky of a 21336^2 system dwarfs 10 power terms
     assert c > p
+
+
+def test_ubjson_roundtrip():
+    from povar_tpu.utils import ubjson
+
+    doc = {
+        "a": 1,
+        "b": -3.5,
+        "c": "hello",
+        "d": [1, 2.0, "x", None, True, False],
+        "nested": {"k": [255, 70000, 2**40]},
+    }
+    assert ubjson.loads(ubjson.dumps(doc)) == doc
+
+
+def test_ubjson_log_load(tmp_path):
+    from povar_tpu.utils import ubjson
+
+    data = {
+        "iterations": [
+            {"iteration": 0, "step_is_successful": True, "cost": 5.0,
+             "cumulative_time": 1.0},
+            {"iteration": 1, "step_is_successful": True, "cost": 2.0,
+             "cumulative_time": 2.0},
+        ]
+    }
+    p = tmp_path / "ba_log.ubjson"
+    p.write_bytes(ubjson.dumps(data))
+    log = Log.load(str(p))
+    assert log.final_cost() == 2.0
