@@ -30,6 +30,20 @@ if not os.environ.get("POVAR_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: TPU compiles of the big f64 programs are
+# expensive (minutes via AOT services); cache them across processes
+if not os.environ.get("POVAR_TPU_NO_COMPILATION_CACHE"):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "POVAR_TPU_CACHE_DIR",
+            os.path.expanduser("~/.cache/povar_tpu_xla"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from povar_tpu.options import (  # noqa: E402
     BalDatasetOptions,
     BalResidualOptions,

@@ -4,15 +4,15 @@ The reference's only parallelism is shared-memory TBB over landmarks
 with mutex-guarded scatter into camera-indexed accumulators
 (SURVEY.md §2.7). The TPU design: observations (the last axis of every
 big array — Jp is [4,12,O]) are sharded across the mesh; camera and
-landmark state is replicated. The cumsum-based segment reductions
+landmark state is replicated. The padded gather/reduce segment sums
 (solver/segments.py) then partition across chips with XLA GSPMD
-inserting the prefix-sum collectives over ICI — the analogue of the
+inserting the gather collectives over ICI — the analogue of the
 reference's mutex scatter, with the communication pattern described in
-SURVEY.md §5 (small per-camera/per-landmark boundary exchanges per
+SURVEY.md §5 (small per-camera/per-landmark accumulator exchanges per
 power-series term / CG iteration).
 
 No shard_map is needed: the solver's jitted functions are pure
-gather/einsum/cumsum programs, so annotating the input shardings is
+gather/einsum/reduce programs, so annotating the input shardings is
 sufficient for GSPMD to propagate the partitioning end-to-end.
 """
 
@@ -72,13 +72,15 @@ def shard_obs(solver, mesh: Mesh) -> None:
     """Re-place a constructed solver's Obs pytree onto the mesh: the
     observation axis (last axis of uv, the only axis of cam/lm/weight/
     cam_perm) is sharded; boundary arrays are replicated."""
-    from povar_tpu.solver.segments import SegmentLayout
     from povar_tpu.solver.stage1 import Obs
 
     sh_o = NamedSharding(mesh, P(OBS_AXIS))
     sh_uv = NamedSharding(mesh, P(None, OBS_AXIS))
     sh_rep = NamedSharding(mesh, P())
     obs = solver.obs
+    # the gather/reduce plan is replicated; GSPMD resolves the
+    # cross-shard gathers of the sharded obs-axis operands
+    seg = jax.device_put(obs.seg, sh_rep)
     solver.obs = Obs(
         cam=jax.device_put(obs.cam, sh_o),
         lm=jax.device_put(obs.lm, sh_o),
@@ -88,11 +90,7 @@ def shard_obs(solver, mesh: Mesh) -> None:
             if obs.weight is None
             else jax.device_put(obs.weight, sh_o)
         ),
-        seg=SegmentLayout(
-            lm_bounds=jax.device_put(obs.seg.lm_bounds, sh_rep),
-            cam_perm=jax.device_put(obs.seg.cam_perm, sh_o),
-            cam_bounds=jax.device_put(obs.seg.cam_bounds, sh_rep),
-        ),
+        seg=seg,
     )
 
 

@@ -1,50 +1,104 @@
-"""Sorted-segment reductions and the observation-last data layout.
+"""Segment reductions over the observation axis, TPU-native.
 
-Why this exists — two TPU facts drive the whole solver layout:
+Why this exists — three TPU facts drive the whole solver layout:
 
 1. XLA tiles the **last two** dimensions of every array onto (sublane,
    lane) = (8, 128) vector registers. Arrays like `Jl [O, 4, 3]` pad the
    3-wide minor dimension to 128 lanes: a 40-50x memory blowup that
    OOMs HBM at venice scale. Putting the huge observation axis last
-   (`Jl [4, 3, O]`) makes lanes = observations with near-zero padding
-   and turns every per-observation operation into perfectly vectorized
-   lane arithmetic.
+   (`Jl [4, 3, O]`) makes lanes = observations with near-zero padding.
 
 2. `scatter-add` (the default lowering of segment_sum) serializes on
-   TPU. Observations are stored sorted by landmark, so per-landmark
-   sums are contiguous-range reductions: cumulative sum along the lane
-   axis + gathers at segment boundaries. Per-camera sums use a static
-   precomputed permutation that re-sorts observations by camera and the
-   same boundary trick. This replaces the reference's mutex-guarded
-   scatter (sc/landmark_block.hpp:383-410) with two XLA-friendly
-   primitives (cumsum, gather).
+   TPU, so the reference's mutex-guarded scatter
+   (sc/landmark_block.hpp:383-410) cannot be translated directly.
 
-Precision note: a segment sum computed as cs[end] - cs[start] loses
-~log10(total/segment) digits relative to a tree reduction; in f64 at
-BAL scales (~1e6 observations) that leaves >=10 significant digits,
-far inside the 1e-6 relative cost-parity tolerance.
+3. `cumsum` (the classic sorted-segment trick) takes *minutes* to
+   compile in f64 on the current TPU toolchain regardless of length,
+   so prefix-sum approaches are out too.
+
+What remains is gather + masked sum, which compiles in seconds and is
+bandwidth-optimal: observations are grouped per segment (landmark or
+camera) into padded [G, L] index blocks, bucketed by power-of-two
+segment size so padding waste is < 2x. A segment sum is then
+  take(x, idx) -> [.., G, L]; where(mask) -> sum(axis=-1)
+per bucket, concatenated and re-ordered to canonical segment order.
+Sums are exact per-segment reductions (no prefix-difference roundoff).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 
-class SegmentLayout(NamedTuple):
-    """Static per-problem reduction structure (host-precomputed).
+class PaddedReduce(NamedTuple):
+    """Static gather/reduce plan for one segmentation of the obs axis.
 
-    Observations are sorted by (landmark, camera). `lm_bounds[m] ..
-    lm_bounds[m+1]` is landmark m's contiguous observation range.
-    `cam_perm` re-sorts observations by camera; `cam_bounds` are the
-    per-camera ranges in that order.
+    idx[b]:  [G_b, L_b] int32 — observation positions of each segment in
+             bucket b, padded with arbitrary valid positions
+    mask[b]: [G_b, L_b] bool — True for real entries
+    inv_order: [S] int32 — maps canonical segment id -> position in the
+             bucket-concatenated output
     """
 
-    lm_bounds: jnp.ndarray  # [M+1] i32
-    cam_perm: jnp.ndarray  # [O] i32
-    cam_bounds: jnp.ndarray  # [N+1] i32
+    idx: Tuple[jnp.ndarray, ...]
+    mask: Tuple[jnp.ndarray, ...]
+    inv_order: jnp.ndarray
+
+
+class SegmentLayout(NamedTuple):
+    """Reduction plans for both sides of the camera-landmark graph."""
+
+    lm: PaddedReduce
+    cam: PaddedReduce
+
+
+def _build_padded_reduce(
+    seg_ids: np.ndarray, num_segments: int
+) -> PaddedReduce:
+    """Group observation positions by segment id into power-of-two
+    padded buckets."""
+    order = np.argsort(seg_ids, kind="stable")
+    sorted_ids = seg_ids[order]
+    starts = np.searchsorted(sorted_ids, np.arange(num_segments), "left")
+    ends = np.searchsorted(sorted_ids, np.arange(num_segments), "right")
+    counts = ends - starts
+
+    # bucket index = ceil(log2(max(count,1)))
+    buckets = np.zeros(num_segments, dtype=np.int64)
+    nonzero = counts > 0
+    buckets[nonzero] = np.ceil(
+        np.log2(np.maximum(counts[nonzero], 1))
+    ).astype(np.int64)
+
+    idx_list = []
+    mask_list = []
+    seg_order = []
+    for b in sorted(set(buckets.tolist())):
+        length = 1 << b
+        segs = np.nonzero(buckets == b)[0]
+        g = len(segs)
+        idx = np.zeros((g, length), dtype=np.int32)
+        mask = np.zeros((g, length), dtype=bool)
+        for row, s in enumerate(segs):
+            c = counts[s]
+            idx[row, :c] = order[starts[s] : ends[s]]
+            mask[row, :c] = True
+        idx_list.append(jnp.asarray(idx))
+        mask_list.append(jnp.asarray(mask))
+        seg_order.extend(segs.tolist())
+
+    inv_order = np.empty(num_segments, dtype=np.int32)
+    inv_order[np.asarray(seg_order, dtype=np.int64)] = np.arange(
+        num_segments, dtype=np.int32
+    )
+    return PaddedReduce(
+        idx=tuple(idx_list),
+        mask=tuple(mask_list),
+        inv_order=jnp.asarray(inv_order),
+    )
 
 
 def build_segment_layout(
@@ -55,39 +109,19 @@ def build_segment_layout(
 ) -> SegmentLayout:
     obs_cam = np.asarray(obs_cam)
     obs_lm = np.asarray(obs_lm)
-    assert np.all(np.diff(obs_lm) >= 0), "observations must be lm-sorted"
-    lm_bounds = np.searchsorted(
-        obs_lm, np.arange(num_landmarks + 1)
-    ).astype(np.int32)
-    cam_perm = np.argsort(obs_cam, kind="stable").astype(np.int32)
-    cam_sorted = obs_cam[cam_perm]
-    cam_bounds = np.searchsorted(
-        cam_sorted, np.arange(num_cameras + 1)
-    ).astype(np.int32)
     return SegmentLayout(
-        lm_bounds=jnp.asarray(lm_bounds),
-        cam_perm=jnp.asarray(cam_perm),
-        cam_bounds=jnp.asarray(cam_bounds),
+        lm=_build_padded_reduce(obs_lm, num_landmarks),
+        cam=_build_padded_reduce(obs_cam, num_cameras),
     )
 
 
-def segment_sum_sorted(x: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
-    """Sum contiguous segments along the LAST axis.
-
-    x [..., O], bounds [S+1] -> [..., S] with
-    out[..., s] = sum(x[..., bounds[s]:bounds[s+1]]).
-    """
-    cs = jnp.cumsum(x, axis=-1)
-    zero = jnp.zeros_like(cs[..., :1])
-    cs = jnp.concatenate([zero, cs], axis=-1)
-    return jnp.take(cs, bounds[1:], axis=-1) - jnp.take(
-        cs, bounds[:-1], axis=-1
-    )
-
-
-def segment_sum_by_perm(
-    x: jnp.ndarray, perm: jnp.ndarray, bounds: jnp.ndarray
-) -> jnp.ndarray:
-    """Segment sum along the last axis under a re-sorting permutation
-    (the per-camera reduction)."""
-    return segment_sum_sorted(jnp.take(x, perm, axis=-1), bounds)
+def padded_segment_sum(x: jnp.ndarray, red: PaddedReduce) -> jnp.ndarray:
+    """Sum x [..., O] per segment -> [..., S]."""
+    parts = []
+    for idx_b, mask_b in zip(red.idx, red.mask):
+        g = jnp.take(x, idx_b.reshape(-1), axis=-1)
+        g = g.reshape(x.shape[:-1] + idx_b.shape)
+        g = jnp.where(mask_b, g, 0.0)
+        parts.append(jnp.sum(g, axis=-1))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return jnp.take(out, red.inv_order, axis=-1)

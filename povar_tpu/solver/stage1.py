@@ -45,8 +45,7 @@ from povar_tpu.solver.common import accumulate_residual_info
 from povar_tpu.solver.segments import (
     SegmentLayout,
     build_segment_layout,
-    segment_sum_by_perm,
-    segment_sum_sorted,
+    padded_segment_sum,
 )
 
 _ROBUST_CODE = {
@@ -216,11 +215,11 @@ class Stage1Solver:
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """[..., O] -> [..., N] per-camera reduction."""
-        return segment_sum_by_perm(x, obs.seg.cam_perm, obs.seg.cam_bounds)
+        return padded_segment_sum(x, obs.seg.cam)
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """[..., O] -> [..., M] per-landmark reduction (lm-sorted)."""
-        return segment_sum_sorted(x, obs.seg.lm_bounds)
+        return padded_segment_sum(x, obs.seg.lm)
 
     @staticmethod
     def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:

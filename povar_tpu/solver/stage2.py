@@ -40,10 +40,7 @@ from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info
-from povar_tpu.solver.segments import (
-    segment_sum_by_perm,
-    segment_sum_sorted,
-)
+from povar_tpu.solver.segments import padded_segment_sum
 from povar_tpu.solver.stage1 import Obs, _mask_rows, make_obs
 
 _ROBUST_CODE = {
@@ -157,10 +154,10 @@ class Stage2Solver:
     # -------------------------------------------------------------- utils
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum_by_perm(x, obs.seg.cam_perm, obs.seg.cam_bounds)
+        return padded_segment_sum(x, obs.seg.cam)
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return segment_sum_sorted(x, obs.seg.lm_bounds)
+        return padded_segment_sum(x, obs.seg.lm)
 
     @staticmethod
     def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
