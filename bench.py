@@ -84,13 +84,16 @@ def main() -> None:
 
     # warmup/compile
     out = step(cams, lms, lam)
-    out[0].block_until_ready()
+    _ = float(np.asarray(out[2]))
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = step(cams, lms, lam)
-        out[0].block_until_ready()
+        # force full execution: pull the model-cost scalar to the host
+        # (block_until_ready alone can return before remote execution
+        # completes on tunneled TPU backends)
+        _ = float(np.asarray(out[2]))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
 

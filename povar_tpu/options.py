@@ -127,6 +127,14 @@ class SolverOptions:
     # residual reset period for PCG (conjugate_gradient.hpp: Options)
     residual_reset_period: int = 10
 
+    # Run the inner linear-system matvecs (power series / CG) in f32
+    # while keeping residuals, gradients, costs, and state updates in
+    # f64. The LM forcing tolerance (eta) dominates the inner-solve
+    # inexactness, so final-cost parity with the double-precision
+    # reference is preserved; on TPU (no native f64) this roughly
+    # halves the hot-loop cost. Disable for bitwise-strict f64 solves.
+    mixed_precision_solves: bool = True
+
     def use_projection_validity_check(self) -> bool:
         """solver_options.cpp:41-52: false iff optimized_cost == ERROR."""
         return self.optimized_cost != OptimizedCost.ERROR

@@ -139,6 +139,12 @@ class Stage1Solver:
         self.huber = float(options.residual.huber_parameter)
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(dtype)
         self.power_m = int(options.power_sc_iterations)
+        # inner-solve dtype (mixed precision: f32 matvecs under f64 LM)
+        self.solve_dtype = (
+            jnp.float32
+            if options.mixed_precision_solves and dtype == jnp.float64
+            else dtype
+        )
 
         self._jit_compute_error = jax.jit(self._compute_error)
         self._jit_initialize_varproj = jax.jit(self._initialize_varproj)
@@ -365,24 +371,36 @@ class Stage1Solver:
         """POWER_VARPROJ / POWER_SCHUR_COMPLEMENT solve: power-series
         expansion x = sum_i (B^-1 E0)^i B^-1 (-b)
         (linearizor_power_varproj.cpp:177-243 + hpp:191-237).
-        Returns (inc [12, N] in scaled coordinates, num_terms)."""
+        Returns (inc [12, N] in scaled coordinates, num_terms).
+
+        Assembly (residual-dependent b, Hll, Hpp inverses) runs in the
+        state dtype; the series itself optionally runs in f32 (see
+        SolverOptions.mixed_precision_solves) — the forcing tolerance
+        eta bounds the required inner accuracy far above f32 epsilon."""
         b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam, landmark_damping)
 
+        sd = self.solve_dtype
+        b_inv_s = b_inv.astype(sd)
+        hll_inv_s = hll_inv.astype(sd)
+        Jp_s = lin.Jp.astype(sd)
+        Jl_s = lin.Jl.astype(sd)
+        lin_s = lin._replace(Jp=Jp_s, Jl=Jl_s)
+
         def b_inv_apply(v):
-            return small_einsum("ijn,jn->in", b_inv, v)
+            return small_einsum("ijn,jn->in", b_inv_s, v)
 
         def e0_apply(v):
-            return self._e0_matvec(v, obs, lin, hll_inv)
+            return self._e0_matvec(v, obs, lin_s, hll_inv_s)
 
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
             e0_apply,
-            -b,
+            (-b).astype(sd),
             max_terms=self.power_m,
             q_tolerance=self.opts.eta,
             r_tolerance=self.opts.r_tolerance,
         )
-        return inc, n_iter
+        return inc.astype(self.dtype), n_iter
 
     def _schur_diag(
         self, obs: Obs, lin: Lin1, hll_inv, hpp, lam
@@ -405,24 +423,35 @@ class Stage1Solver:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """PCG path (linearizor_sc.cpp:91-172): implicit RCS operator +
         Schur-Jacobi block-diagonal preconditioner; solves S x = b and
-        returns inc = -x (linearizor_base.cpp:102-125 negation)."""
+        returns inc = -x (linearizor_base.cpp:102-125 negation).
+
+        Mixed precision like _solve_power: assembly in state dtype, CG
+        iteration in solve_dtype."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
         hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
         diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
         diag_chol = linalg.cholesky_smallf(diag_blocks)
 
+        sd = self.solve_dtype
+        hpp_s = hpp.astype(sd)
+        hll_inv_s = hll_inv.astype(sd)
+        diag_chol_s = diag_chol.astype(sd)
+        lin_s = lin._replace(Jp=lin.Jp.astype(sd), Jl=lin.Jl.astype(sd))
+        lam_s = lam.astype(sd)
+        b_s = b.astype(sd)
+
         def matvec(x):
-            bx = small_einsum("ijn,jn->in", hpp, x) + lam * x
-            return bx - self._e0_matvec(x, obs, lin, hll_inv)
+            bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
+            return bx - self._e0_matvec(x, obs, lin_s, hll_inv_s)
 
         def precond(x):
-            y = linalg.solve_lower_trif(diag_chol, x)
-            return linalg.solve_upper_from_lowerf(diag_chol, y)
+            y = linalg.solve_lower_trif(diag_chol_s, x)
+            return linalg.solve_upper_from_lowerf(diag_chol_s, y)
 
         res = pcg_mod.conjugate_gradients(
             matvec,
-            b,
-            jnp.zeros_like(b),
+            b_s,
+            jnp.zeros_like(b_s),
             precond,
             max_iterations=self.opts.max_linear_solver_iterations,
             min_iterations=self.opts.min_linear_solver_iterations,
@@ -430,7 +459,7 @@ class Stage1Solver:
             r_tolerance=-1.0,
             residual_reset_period=self.opts.residual_reset_period,
         )
-        return -res.x, res.num_iterations
+        return (-res.x).astype(self.dtype), res.num_iterations
 
     def _solve_cholesky(
         self, obs: Obs, lin: Lin1, lam: jnp.ndarray

@@ -105,6 +105,11 @@ class Stage2Solver:
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(dtype)
         self.power_m = int(options.power_sc_iterations)
         self.use_valid_only = options.use_projection_validity_check()
+        self.solve_dtype = (
+            jnp.float32
+            if options.mixed_precision_solves and dtype == jnp.float64
+            else dtype
+        )
 
         self._jit_compute_error = jax.jit(self._compute_error)
         self._jit_linearize = jax.jit(self._linearize)
@@ -306,23 +311,32 @@ class Stage2Solver:
         self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPOBA: power series on the 11-dof tangent system
-        (solve_joint, hpp:240-287). Returns (inc [11, N], num_terms)."""
+        (solve_joint, hpp:240-287). Returns (inc [11, N], num_terms).
+        Mixed precision: see stage1._solve_power."""
         b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
 
+        sd = self.solve_dtype
+        b_inv_s = b_inv.astype(sd)
+        hll_inv_s = hll_inv.astype(sd)
+        lin_s = lin._replace(
+            Jp_ns=lin.Jp_ns.astype(sd), Jl_ns=lin.Jl_ns.astype(sd)
+        )
+
         def b_inv_apply(v):
-            return small_einsum("ijn,jn->in", b_inv, v)
+            return small_einsum("ijn,jn->in", b_inv_s, v)
 
         def e0_apply(v):
-            return self._e0_matvec(v, obs, lin, hll_inv)
+            return self._e0_matvec(v, obs, lin_s, hll_inv_s)
 
-        return pcg_mod.power_series(
+        inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
             e0_apply,
-            -b,
+            (-b).astype(sd),
             max_terms=self.power_m,
             q_tolerance=self.opts.eta,
             r_tolerance=self.opts.r_tolerance,
         )
+        return inc.astype(self.dtype), n_iter
 
     def _solve_pcg(
         self, obs: Obs, lin: Lin2, lam: jnp.ndarray
@@ -341,18 +355,27 @@ class Stage2Solver:
         diag_blocks = hpp + lam * eye - corr
         diag_chol = linalg.cholesky_smallf(diag_blocks)
 
+        sd = self.solve_dtype
+        hpp_s = hpp.astype(sd)
+        hll_inv_s = hll_inv.astype(sd)
+        diag_chol_s = diag_chol.astype(sd)
+        lin_s = lin._replace(
+            Jp_ns=lin.Jp_ns.astype(sd), Jl_ns=lin.Jl_ns.astype(sd)
+        )
+        lam_s = lam.astype(sd)
+
         def matvec(x):
-            bx = small_einsum("ijn,jn->in", hpp, x) + lam * x
-            return bx - self._e0_matvec(x, obs, lin, hll_inv)
+            bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
+            return bx - self._e0_matvec(x, obs, lin_s, hll_inv_s)
 
         def precond(x):
-            y = linalg.solve_lower_trif(diag_chol, x)
-            return linalg.solve_upper_from_lowerf(diag_chol, y)
+            y = linalg.solve_lower_trif(diag_chol_s, x)
+            return linalg.solve_upper_from_lowerf(diag_chol_s, y)
 
         res = pcg_mod.conjugate_gradients(
             matvec,
-            b,
-            jnp.zeros_like(b),
+            b.astype(sd),
+            jnp.zeros_like(b, dtype=sd),
             precond,
             max_iterations=self.opts.max_linear_solver_iterations,
             min_iterations=self.opts.min_linear_solver_iterations,
@@ -360,7 +383,7 @@ class Stage2Solver:
             r_tolerance=-1.0,
             residual_reset_period=self.opts.residual_reset_period,
         )
-        return -res.x, res.num_iterations
+        return (-res.x).astype(self.dtype), res.num_iterations
 
     # ------------------------------------------------------------- apply
 

@@ -30,6 +30,7 @@ def test_stage1_sharding_invariance():
         n_cams=8, n_lms=64, obs_per_lm=5, seed=31
     )
     opts = SolverOptions()
+    opts.mixed_precision_solves = False  # bit-level invariance check
     single, sharded = _solver_pair(Stage1Solver, problem, opts)
 
     cams = jnp.asarray(problem.cam_space)
@@ -69,6 +70,7 @@ def test_stage2_sharding_invariance():
         random_cameras=False,
     )
     opts = SolverOptions()
+    opts.mixed_precision_solves = False
     single, sharded = _solver_pair(Stage2Solver, problem, opts)
 
     cams, lms_h = create_homogeneous(

@@ -23,6 +23,7 @@ def _make(seed=0, **kw):
     )
     opts = SolverOptions()
     opts.alpha = ALPHA
+    opts.mixed_precision_solves = False  # exact-agreement tests
     solver = Stage1Solver(
         problem.obs_cam,
         problem.obs_lm,
@@ -116,6 +117,7 @@ def test_solver_equivalence_power_pcg_cholesky():
     # PCG with tight tolerance
     opts_tight = SolverOptions()
     opts_tight.alpha = ALPHA
+    opts_tight.mixed_precision_solves = False
     opts_tight.eta = 1e-14
     opts_tight.max_linear_solver_iterations = 2000
     s2 = Stage1Solver(
@@ -133,6 +135,7 @@ def test_solver_equivalence_power_pcg_cholesky():
     # spectral radius of B^-1 E0 is < 1 (guaranteed for lam > 0 on SPD)
     opts_pow = SolverOptions()
     opts_pow.alpha = ALPHA
+    opts_pow.mixed_precision_solves = False
     opts_pow.power_sc_iterations = 400
     opts_pow.eta = 1e-13
     s3 = Stage1Solver(
@@ -159,6 +162,7 @@ def test_power_series_identity_when_no_coupling():
     # m = 0 => inc = B^-1 (-b)
     opts0 = SolverOptions()
     opts0.alpha = ALPHA
+    opts0.mixed_precision_solves = False
     opts0.power_sc_iterations = 0
     s0 = Stage1Solver(
         problem.obs_cam, problem.obs_lm, problem.obs_uv,
@@ -242,3 +246,29 @@ def test_lm_step1_noise_free_reaches_tiny_cost():
     )
     costs = [it.cost.all.error for it in summary.iterations]
     assert costs[-1] < costs[0] * 1e-2, (costs[0], costs[-1])
+
+
+def test_mixed_precision_solve_within_forcing_tolerance():
+    """The f32 inner solve (mixed_precision_solves=True, the default)
+    must agree with the f64 solve to far better than the LM forcing
+    tolerance eta (1e-2), so accept/reject decisions are unaffected."""
+    problem, solver, opts = _make(13)  # mixed OFF solver
+    cams = jnp.asarray(problem.cam_space)
+    lms = solver.initialize_varproj(cams)
+    lin = solver.linearize(cams, lms)
+    lam = jnp.asarray(1e-2)
+    inc64, _ = solver.solve_power(lin, lam)
+
+    opts_mixed = SolverOptions()
+    opts_mixed.alpha = ALPHA
+    assert opts_mixed.mixed_precision_solves
+    s_mixed = Stage1Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts_mixed,
+    )
+    inc32, _ = s_mixed.solve_power(lin, lam)
+    assert inc32.dtype == jnp.float64  # cast back to state dtype
+    scale = np.abs(np.asarray(inc64)).max()
+    np.testing.assert_allclose(
+        np.asarray(inc32), np.asarray(inc64), atol=1e-4 * scale
+    )

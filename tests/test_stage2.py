@@ -29,6 +29,7 @@ def _make(seed=0, noise=0.0, perturb=0.0):
         jnp.asarray(cams), jnp.asarray(lms)
     )
     opts = SolverOptions()
+    opts.mixed_precision_solves = False  # exact-agreement tests
     solver = Stage2Solver(
         problem.obs_cam, problem.obs_lm, problem.obs_uv,
         problem.num_cameras, problem.num_landmarks, opts,
@@ -98,6 +99,7 @@ def test_ripoba_vs_ripcg_increments_agree():
     lam = jnp.asarray(1.0)
 
     opts_pow = SolverOptions()
+    opts_pow.mixed_precision_solves = False
     opts_pow.power_sc_iterations = 300
     opts_pow.eta = 1e-13
     s_pow = Stage2Solver(
@@ -107,6 +109,7 @@ def test_ripoba_vs_ripcg_increments_agree():
     inc_pow, _ = s_pow.solve_power(lin, lam)
 
     opts_cg = SolverOptions()
+    opts_cg.mixed_precision_solves = False
     opts_cg.eta = 1e-14
     opts_cg.max_linear_solver_iterations = 3000
     s_cg = Stage2Solver(
