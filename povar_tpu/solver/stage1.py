@@ -359,6 +359,29 @@ class Stage1Solver:
         v = small_einsum("ijo,jo->io", lin.Jl, w[:, obs.lm])  # [4, O]
         return self._seg_cam(obs, small_einsum("ijo,io->jo", lin.Jp, v))
 
+    def _e0_factor(
+        self, obs: Obs, lin: Lin1, hll_inv: jnp.ndarray, dtype
+    ) -> jnp.ndarray:
+        """Factorized E0 operand: W_o = L_m^T (Jl_o^T Jp_o) [3, 12, O]
+        with Hll^-1 = L L^T, so E0 = (scatter_cam W^T)(seg_lm W gather).
+        Precomputed once per solve; each power term then reads one
+        [3,12,O] array instead of Jp and Jl plus a 4-wide intermediate
+        (~40% less HBM traffic across the m terms)."""
+        A = small_einsum("kio,kjo->ijo", lin.Jl, lin.Jp)  # [3, 12, O]
+        L = linalg.cholesky_smallf(hll_inv)  # [3, 3, M]
+        Lg = L[:, :, obs.lm].astype(dtype)
+        return small_einsum("kio,kjo->ijo", Lg, A.astype(dtype))
+
+    def _e0_w_matvec(
+        self, x: jnp.ndarray, obs: Obs, W: jnp.ndarray
+    ) -> jnp.ndarray:
+        """E0 x through the factorized operand W [3, 12, O]."""
+        xc = x[:, obs.cam]  # [12, O]
+        u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
+        s = self._seg_lm(obs, u)  # [3, M]
+        v = small_einsum("ijo,io->jo", W, s[:, obs.lm])  # [12, O]
+        return self._seg_cam(obs, v)
+
     # ------------------------------------------------------------ solves
 
     def _solve_power(
@@ -381,16 +404,13 @@ class Stage1Solver:
 
         sd = self.solve_dtype
         b_inv_s = b_inv.astype(sd)
-        hll_inv_s = hll_inv.astype(sd)
-        Jp_s = lin.Jp.astype(sd)
-        Jl_s = lin.Jl.astype(sd)
-        lin_s = lin._replace(Jp=Jp_s, Jl=Jl_s)
+        W = self._e0_factor(obs, lin, hll_inv, sd)
 
         def b_inv_apply(v):
             return small_einsum("ijn,jn->in", b_inv_s, v)
 
         def e0_apply(v):
-            return self._e0_matvec(v, obs, lin_s, hll_inv_s)
+            return self._e0_w_matvec(v, obs, W)
 
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
@@ -434,15 +454,14 @@ class Stage1Solver:
 
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
-        hll_inv_s = hll_inv.astype(sd)
         diag_chol_s = diag_chol.astype(sd)
-        lin_s = lin._replace(Jp=lin.Jp.astype(sd), Jl=lin.Jl.astype(sd))
+        W = self._e0_factor(obs, lin, hll_inv, sd)
         lam_s = lam.astype(sd)
         b_s = b.astype(sd)
 
         def matvec(x):
             bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
-            return bx - self._e0_matvec(x, obs, lin_s, hll_inv_s)
+            return bx - self._e0_w_matvec(x, obs, W)
 
         def precond(x):
             y = linalg.solve_lower_trif(diag_chol_s, x)

@@ -305,6 +305,25 @@ class Stage2Solver:
         v = small_einsum("ijo,jo->io", lin.Jl_ns, w[:, obs.lm])
         return self._seg_cam(obs, small_einsum("ijo,io->jo", lin.Jp_ns, v))
 
+    def _e0_factor(
+        self, obs: Obs, lin: Lin2, hll_inv: jnp.ndarray, dtype
+    ) -> jnp.ndarray:
+        """Factorized tangent E0 operand W [3, 11, O] (see
+        stage1._e0_factor)."""
+        A = small_einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jp_ns)
+        L = linalg.cholesky_smallf(hll_inv)
+        Lg = L[:, :, obs.lm].astype(dtype)
+        return small_einsum("kio,kjo->ijo", Lg, A.astype(dtype))
+
+    def _e0_w_matvec(
+        self, x: jnp.ndarray, obs: Obs, W: jnp.ndarray
+    ) -> jnp.ndarray:
+        xc = x[:, obs.cam]  # [11, O]
+        u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
+        s = self._seg_lm(obs, u)
+        v = small_einsum("ijo,io->jo", W, s[:, obs.lm])  # [11, O]
+        return self._seg_cam(obs, v)
+
     # ------------------------------------------------------------ solves
 
     def _solve_power(
@@ -317,16 +336,13 @@ class Stage2Solver:
 
         sd = self.solve_dtype
         b_inv_s = b_inv.astype(sd)
-        hll_inv_s = hll_inv.astype(sd)
-        lin_s = lin._replace(
-            Jp_ns=lin.Jp_ns.astype(sd), Jl_ns=lin.Jl_ns.astype(sd)
-        )
+        W = self._e0_factor(obs, lin, hll_inv, sd)
 
         def b_inv_apply(v):
             return small_einsum("ijn,jn->in", b_inv_s, v)
 
         def e0_apply(v):
-            return self._e0_matvec(v, obs, lin_s, hll_inv_s)
+            return self._e0_w_matvec(v, obs, W)
 
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
@@ -357,16 +373,13 @@ class Stage2Solver:
 
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
-        hll_inv_s = hll_inv.astype(sd)
         diag_chol_s = diag_chol.astype(sd)
-        lin_s = lin._replace(
-            Jp_ns=lin.Jp_ns.astype(sd), Jl_ns=lin.Jl_ns.astype(sd)
-        )
+        W = self._e0_factor(obs, lin, hll_inv, sd)
         lam_s = lam.astype(sd)
 
         def matvec(x):
             bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
-            return bx - self._e0_matvec(x, obs, lin_s, hll_inv_s)
+            return bx - self._e0_w_matvec(x, obs, W)
 
         def precond(x):
             y = linalg.solve_lower_trif(diag_chol_s, x)
