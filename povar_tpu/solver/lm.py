@@ -106,6 +106,7 @@ def _optimize_lm_loop(
     terminated = False
     it = 0
     first = True
+    cached_ri = None  # error of the current state from the last accept
 
     while it <= max_lm_iter and not terminated:
         it_summary = IterationSummary(iteration=it)
@@ -113,7 +114,10 @@ def _optimize_lm_loop(
 
         if first and initialize is not None:
             initialize()
-        ri = compute_error()
+        # the reference re-evaluates the cost at the top of every outer
+        # iteration (bal_bundle_adjustment.cpp:301-305); after an accept
+        # the state is unchanged since ri2, so reuse it
+        ri = cached_ri if cached_ri is not None else compute_error()
         first = False
         log(f"Iteration {it}, {error_summary_oneline(ri, valid_first)}")
         if not ri.is_numerically_valid:
@@ -245,6 +249,7 @@ def _optimize_lm_loop(
                 finish_iteration(summary, it_summary)
                 it += 1
 
+                cached_ri = ri2
                 reached, msg = _function_tolerance_reached(ri2, ri, options)
                 if reached:
                     terminated = True

@@ -561,9 +561,16 @@ class Stage1Solver:
         Jp_new = _mask_rows(obs, Jp_new)
         Jl_new = _mask_rows(obs, Jl_new)
 
-        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", Jl_new, Jl_new))
-        tmp = self._seg_lm(obs, small_einsum("kio,ko->io", Jl_new, r_new))
-        inc_lm = -linalg.solve3x3f(hll, tmp)  # [3, M]
+        # the landmark solve may run in the (f32) solve dtype: v* is the
+        # exact minimizer, so an O(eps_f32) perturbation of v raises the
+        # f64-evaluated cost only to second order (~1e-14 relative)
+        sd = self.solve_dtype
+        Jl_s = Jl_new.astype(sd)
+        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", Jl_s, Jl_s))
+        tmp = self._seg_lm(
+            obs, small_einsum("kio,ko->io", Jl_s, r_new.astype(sd))
+        )
+        inc_lm = -linalg.solve3x3f(hll, tmp).astype(self.dtype)  # [3, M]
 
         j_inc = small_einsum(
             "ijo,jo->io", Jp_new, inc_scaled[:, obs.cam]
