@@ -137,13 +137,15 @@ class Stage1Solver:
         self.alpha = float(options.alpha)
         self.robust = _ROBUST_CODE[options.residual.robust_norm]
         self.huber = float(options.residual.huber_parameter)
-        self.jacobi_eps = options.effective_jacobi_scaling_epsilon(dtype)
         self.power_m = int(options.power_sc_iterations)
-        # inner-solve dtype (mixed precision: f32 matvecs under f64 LM)
+        # inner-solve/storage dtype (mixed precision under f64 LM)
         self.solve_dtype = (
             jnp.float32
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
+        )
+        self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
+            self.solve_dtype
         )
 
         self._jit_compute_error = jax.jit(self._compute_error)
@@ -283,10 +285,18 @@ class Stage1Solver:
         norms (get_Jp_diag2_pOSE) and scale Jp columns per camera
         (hpp:324-334; the reference defers the Jp scaling to the first
         inner `solve`, but it is applied exactly once per linearization
-        point, so we fuse it here)."""
-        P = self._gather_cams(obs, cam_space)
-        x = lm_p.T[:, obs.lm]
-        r, Jp, Jl = pose_math.pose_jacobians_t(P, x, obs.uv, self.alpha)
+        point, so we fuse it here).
+
+        In mixed mode the storage is evaluated and kept in the solve
+        dtype (f32): every LM decision is driven by f64 costs of exact
+        f64 states, so f32 Jacobian storage only perturbs the *steps*
+        at ~1e-7 relative — inside the forcing tolerance."""
+        sd = self.solve_dtype
+        P = self._gather_cams(obs, cam_space.astype(sd))
+        x = lm_p.astype(sd).T[:, obs.lm]
+        r, Jp, Jl = pose_math.pose_jacobians_t(
+            P, x, obs.uv.astype(sd), self.alpha
+        )
         r = _mask_rows(obs, r)
         Jp = _mask_rows(obs, Jp)
         Jl = _mask_rows(obs, Jl)
@@ -326,6 +336,7 @@ class Stage1Solver:
           b       [12,N]    = sum_obs Jp^T (r - Jl hll_inv bl)
           b_inv   [12,12,N] = (blockdiag(Jp^T Jp) + lam I)^-1
         """
+        lam = lam.astype(lin.Jl.dtype)
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
         hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
         if landmark_damping:
@@ -436,7 +447,7 @@ class Stage1Solver:
         Wh = small_einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
         corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
         eye = jnp.eye(12, dtype=hpp.dtype)[:, :, None]
-        return hpp + lam * eye - corr
+        return hpp + lam.astype(hpp.dtype) * eye - corr
 
     def _solve_pcg(
         self, obs: Obs, lin: Lin1, lam: jnp.ndarray
@@ -548,36 +559,41 @@ class Stage1Solver:
            lambda schedule).
 
         Returns (new_cam_space, new_lm_p, l_diff).
-        """
-        inc_phys = inc_scaled * lin.pose_scale  # [12, N]
-        new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
 
-        P_new = self._gather_cams(obs, new_cam)
-        x = lm_p.T[:, obs.lm]
+        The fresh Jacobian evaluation and landmark solve run in the
+        solve dtype: v* is the exact minimizer, so an O(eps_f32)
+        perturbation of v raises the f64-evaluated cost only to second
+        order (~1e-14 relative); l_diff only feeds the lambda schedule.
+        """
+        sd = self.solve_dtype
+        inc_phys = inc_scaled.astype(sd) * lin.pose_scale  # [12, N]
+        new_cam = cam_space + inc_phys.astype(self.dtype).T.reshape(
+            self.n_cams, 3, 4
+        )
+
+        P_new = self._gather_cams(obs, new_cam.astype(sd))
+        x = lm_p.astype(sd).T[:, obs.lm]
         r_new, Jp_new, Jl_new = pose_math.pose_jacobians_t(
-            P_new, x, obs.uv, self.alpha
+            P_new, x, obs.uv.astype(sd), self.alpha
         )
         r_new = _mask_rows(obs, r_new)
         Jp_new = _mask_rows(obs, Jp_new)
         Jl_new = _mask_rows(obs, Jl_new)
 
-        # the landmark solve may run in the (f32) solve dtype: v* is the
-        # exact minimizer, so an O(eps_f32) perturbation of v raises the
-        # f64-evaluated cost only to second order (~1e-14 relative)
-        sd = self.solve_dtype
-        Jl_s = Jl_new.astype(sd)
-        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", Jl_s, Jl_s))
-        tmp = self._seg_lm(
-            obs, small_einsum("kio,ko->io", Jl_s, r_new.astype(sd))
-        )
-        inc_lm = -linalg.solve3x3f(hll, tmp).astype(self.dtype)  # [3, M]
+        hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", Jl_new, Jl_new))
+        tmp = self._seg_lm(obs, small_einsum("kio,ko->io", Jl_new, r_new))
+        inc_lm = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
         j_inc = small_einsum(
-            "ijo,jo->io", Jp_new, inc_scaled[:, obs.cam]
+            "ijo,jo->io", Jp_new, inc_scaled.astype(sd)[:, obs.cam]
         ) + small_einsum("ijo,jo->io", lin.Jl, inc_lm[:, obs.lm])
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
-        return new_cam, lm_p + inc_lm.T, l_diff
+        return (
+            new_cam,
+            lm_p + inc_lm.astype(self.dtype).T,
+            l_diff.astype(self.dtype),
+        )
 
     def _apply_poba(
         self,
@@ -593,10 +609,12 @@ class Stage1Solver:
         (back_substitute_poBA, sc/landmark_block.hpp:625-668;
         linearizor_power_varproj.cpp:264-273 order: back-substitute with
         the scaled inc first, then unscale and update cameras)."""
+        sd = self.solve_dtype
+        inc_s = inc_scaled.astype(sd)
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
         hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
-        hll = hll + lam * eye3
-        jp_inc = small_einsum("ijo,jo->io", lin.Jp, inc_scaled[:, obs.cam])
+        hll = hll + lam.astype(lin.Jl.dtype) * eye3
+        jp_inc = small_einsum("ijo,jo->io", lin.Jp, inc_s[:, obs.cam])
         tmp = self._seg_lm(
             obs, small_einsum("kio,ko->io", lin.Jl, lin.r + jp_inc)
         )
@@ -609,7 +627,7 @@ class Stage1Solver:
 
         # landmark inc unscaled by the Jl column scale only after the
         # model-cost computation (landmark_block.hpp:664-666)
-        new_lm = lm_p + (inc_lm_scaled * lin.jl_scale).T
-        inc_phys = inc_scaled * lin.pose_scale
+        new_lm = lm_p + (inc_lm_scaled * lin.jl_scale).astype(self.dtype).T
+        inc_phys = (inc_s * lin.pose_scale).astype(self.dtype)
         new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
-        return new_cam, new_lm, l_diff
+        return new_cam, new_lm, l_diff.astype(self.dtype)

@@ -102,13 +102,15 @@ class Stage2Solver:
         self.dtype = dtype
         self.robust = _ROBUST_CODE[options.residual.robust_norm]
         self.huber = float(options.residual.huber_parameter)
-        self.jacobi_eps = options.effective_jacobi_scaling_epsilon(dtype)
         self.power_m = int(options.power_sc_iterations)
         self.use_valid_only = options.use_projection_validity_check()
         self.solve_dtype = (
             jnp.float32
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
+        )
+        self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
+            self.solve_dtype
         )
 
         self._jit_compute_error = jax.jit(self._compute_error)
@@ -204,10 +206,16 @@ class Stage2Solver:
         norms, scale Jp columns (scale_Jp_cols_joint), then build the
         nullspace storage from the *scaled* blocks
         (landmark_block.hpp:227-269; scaling happens before
-        linearize_nullspace in linearizor_power_varproj.cpp:129-133)."""
-        P = self._gather_cams(obs, cam_space)
-        xh = lm_p_h.T[:, obs.lm]
-        r, Jp, Jl, valid = pose_math.homogeneous_jacobians_t(P, xh, obs.uv)
+        linearize_nullspace in linearizor_power_varproj.cpp:129-133).
+
+        Mixed mode stores everything in the solve dtype (see
+        stage1._linearize for the precision argument)."""
+        sd = self.solve_dtype
+        P = self._gather_cams(obs, cam_space.astype(sd))
+        xh = lm_p_h.astype(sd).T[:, obs.lm]
+        r, Jp, Jl, valid = pose_math.homogeneous_jacobians_t(
+            P, xh, obs.uv.astype(sd)
+        )
         r = _mask_rows(obs, r)
         Jp = _mask_rows(obs, Jp)
         Jl = _mask_rows(obs, Jl)
@@ -238,9 +246,9 @@ class Stage2Solver:
         Jp = Jp * pose_scale[:, obs.cam][None]
 
         kernel_cam = linalg.nullspace_of_rowf(
-            cam_space.reshape(self.n_cams, 12).T
+            cam_space.astype(sd).reshape(self.n_cams, 12).T
         )  # [12, 11, N]
-        kernel_lm = linalg.nullspace_of_rowf(lm_p_h.T)  # [4, 3, M]
+        kernel_lm = linalg.nullspace_of_rowf(lm_p_h.astype(sd).T)
 
         Jp_ns = small_einsum(
             "ijo,jko->iko", Jp, kernel_cam[:, :, obs.cam]
@@ -368,7 +376,7 @@ class Stage2Solver:
         Wh = small_einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
         corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
         eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
-        diag_blocks = hpp + lam * eye - corr
+        diag_blocks = hpp + lam.astype(hpp.dtype) * eye - corr
         diag_chol = linalg.cholesky_smallf(diag_blocks)
 
         sd = self.solve_dtype
@@ -418,15 +426,20 @@ class Stage2Solver:
         Jl column scale after computing the model decrease, add.
         Cameras: lift 11 -> 12 through kernel_cam, unscale, add.
         Retraction: Frobenius-normalize cameras, dehomogenize landmarks.
-        Returns (new_cam_space, new_lm_p_h, l_diff).
+        Returns (new_cam_space, new_lm_p_h, l_diff). Back-substitution
+        runs in the solve dtype; state updates and retraction in the
+        state dtype.
         """
+        sd = self.solve_dtype
+        inc_s = inc.astype(sd)
+        lam_s = lam.astype(sd)
         eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
             obs, small_einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
         )
-        hll = hll + lam * eye3
+        hll = hll + lam_s * eye3
 
-        jp_inc = small_einsum("ijo,jo->io", lin.Jp_ns, inc[:, obs.cam])
+        jp_inc = small_einsum("ijo,jo->io", lin.Jp_ns, inc_s[:, obs.cam])
         tmp = self._seg_lm(
             obs, small_einsum("kio,ko->io", lin.Jl_ns, lin.r + jp_inc)
         )
@@ -438,13 +451,13 @@ class Stage2Solver:
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
-        new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).T
+        new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).astype(self.dtype).T
 
-        inc12 = small_einsum("ijn,jn->in", lin.kernel_cam, inc)  # [12, N]
-        inc12 = inc12 * lin.pose_scale
+        inc12 = small_einsum("ijn,jn->in", lin.kernel_cam, inc_s)  # [12, N]
+        inc12 = (inc12 * lin.pose_scale).astype(self.dtype)
         new_cam = cam_space + inc12.T.reshape(self.n_cams, 3, 4)
 
         # manifold retraction
         new_cam = linalg.frobenius_normalize(new_cam)
         new_lm_h = new_lm_h / new_lm_h[:, 3:4]
-        return new_cam, new_lm_h, l_diff
+        return new_cam, new_lm_h, l_diff.astype(self.dtype)

@@ -132,6 +132,8 @@ def test_lm_step2_converges_from_perturbation(solver_type):
     error down by orders of magnitude (noise-free => optimum ~0)."""
     problem, _, _, cams, lms_h = _make(5, noise=0.0, perturb=1e-4)
     opts = SolverOptions()
+    # deep convergence below the f32 step floor: test the pure-f64 path
+    opts.mixed_precision_solves = False
     opts.solver_type_step_2 = solver_type
     opts.max_num_iterations_step_2 = 30
     solver = Stage2Solver(
