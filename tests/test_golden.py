@@ -1,0 +1,42 @@
+"""Golden-cost regression (SURVEY.md §4 test (d)): a fixed seeded
+problem must reproduce recorded final costs. Guards the full numeric
+pipeline against silent behavior changes; also pins the mixed-precision
+mode to the f64 trajectory (final costs agree to ~1e-4 relative in
+step 1 and ~1e-9 relative in step 2 on this problem)."""
+
+import pytest
+
+from povar_tpu import SolverOptions, bundle_adjust
+from povar_tpu.problem.synthetic import synthetic_bal_problem
+
+GOLDEN_INITIAL_1 = 163.9616294704582
+GOLDEN_FINAL_1 = 0.018336995003151484
+GOLDEN_FINAL_2 = 0.00023076468869282591
+
+
+def _solve(mixed: bool):
+    problem, _ = synthetic_bal_problem(
+        n_cams=10, n_lms=80, obs_per_lm=5, seed=777, noise=0.001
+    )
+    opts = SolverOptions()
+    opts.mixed_precision_solves = mixed
+    opts.max_num_iterations_step_1 = 15
+    opts.max_num_iterations_step_2 = 15
+    return bundle_adjust(problem, opts, log=lambda s: None)
+
+
+def test_golden_costs_f64():
+    _, s1, s2 = _solve(mixed=False)
+    assert s1.initial_cost.all.error == pytest.approx(
+        GOLDEN_INITIAL_1, rel=1e-10
+    )
+    assert s1.final_cost.all.error == pytest.approx(GOLDEN_FINAL_1, rel=1e-6)
+    assert s2.final_cost.all.error == pytest.approx(GOLDEN_FINAL_2, rel=1e-6)
+
+
+def test_golden_costs_mixed_matches_f64():
+    """Mixed precision (default) must land on the same final costs to
+    within the documented tolerance."""
+    _, s1, s2 = _solve(mixed=True)
+    assert s1.final_cost.all.error == pytest.approx(GOLDEN_FINAL_1, rel=1e-3)
+    assert s2.final_cost.all.error == pytest.approx(GOLDEN_FINAL_2, rel=1e-6)
