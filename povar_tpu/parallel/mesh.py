@@ -91,6 +91,13 @@ def shard_obs(solver, mesh: Mesh) -> None:
             else jax.device_put(obs.weight, sh_o)
         ),
         seg=seg,
+        cam_onehot=(
+            None
+            if obs.cam_onehot is None
+            else jax.device_put(
+                obs.cam_onehot, NamedSharding(mesh, P(OBS_AXIS, None))
+            )
+        ),
     )
 
 

@@ -115,6 +115,50 @@ def build_segment_layout(
     )
 
 
+def onehot_segment_sum(
+    v: jnp.ndarray, onehot: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-segment sum as a matmul against a one-hot incidence matrix
+    [O, S]: v [..., O] -> [..., S]. Streams both operands and runs on
+    the MXU — for small S (camera side of BAL graphs) this is several
+    times faster than index gathers, whose random HBM access patterns
+    run far below peak bandwidth on TPU. f32 only (f64 dot_general is
+    emulated with multi-pass intermediates)."""
+    import jax
+
+    return jax.lax.dot_general(
+        v,
+        onehot,
+        (((v.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=v.dtype,
+    )
+
+
+def onehot_gather(x: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Per-observation expansion as a matmul: x [..., S] with onehot
+    [O, S] -> [..., O] (x[..., seg_id(o)] per observation)."""
+    import jax
+
+    return jax.lax.dot_general(
+        x,
+        onehot,
+        (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+
+
+def build_onehot(
+    seg_ids: np.ndarray, num_segments: int, dtype=np.float32
+) -> jnp.ndarray:
+    """Dense one-hot incidence [O, S]; gate on O*S*4 bytes at call site."""
+    import numpy as np
+
+    o = len(seg_ids)
+    m = np.zeros((o, num_segments), dtype=dtype)
+    m[np.arange(o), np.asarray(seg_ids)] = 1.0
+    return jnp.asarray(m)
+
+
 def padded_segment_sum(x: jnp.ndarray, red: PaddedReduce) -> jnp.ndarray:
     """Sum x [..., O] per segment -> [..., S]."""
     parts = []

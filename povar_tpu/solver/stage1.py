@@ -44,9 +44,16 @@ from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info
 from povar_tpu.solver.segments import (
     SegmentLayout,
+    build_onehot,
     build_segment_layout,
+    onehot_gather,
+    onehot_segment_sum,
     padded_segment_sum,
 )
+
+# build the dense camera one-hot incidence (MXU path for camera-side
+# gathers/reductions) when it fits comfortably in HBM
+ONEHOT_BUDGET_BYTES = 1_500_000_000
 
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
@@ -62,7 +69,8 @@ class Obs(NamedTuple):
     [2, O]; weight: optional 0/1 padding mask [O] (multi-chip sharding
     pads O to a multiple of the mesh size; padded rows are sorted into
     the final landmark/camera segments and contribute exactly zero);
-    seg: cumsum-reduction boundaries + camera re-sort permutation.
+    seg: bucketed gather/reduce plans; cam_onehot: optional dense [O,N]
+    f32 incidence for MXU-matmul camera reductions (small N only).
     """
 
     cam: jnp.ndarray
@@ -70,6 +78,7 @@ class Obs(NamedTuple):
     uv: jnp.ndarray
     weight: Optional[jnp.ndarray]
     seg: SegmentLayout
+    cam_onehot: Optional[jnp.ndarray]
 
 
 class Lin1(NamedTuple):
@@ -92,7 +101,8 @@ def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_obs(
-    obs_cam, obs_lm, obs_uv, num_cameras, num_landmarks, dtype, obs_weight
+    obs_cam, obs_lm, obs_uv, num_cameras, num_landmarks, dtype, obs_weight,
+    solve_dtype=None,
 ) -> Obs:
     import numpy as np
 
@@ -101,6 +111,12 @@ def make_obs(
     uv = jnp.asarray(obs_uv, dtype)
     if uv.ndim == 2 and uv.shape[-1] == 2:
         uv = uv.T  # accept [O, 2] input, store [2, O]
+    cam_onehot = None
+    if (
+        solve_dtype == jnp.float32
+        and len(obs_cam_np) * num_cameras * 4 <= ONEHOT_BUDGET_BYTES
+    ):
+        cam_onehot = build_onehot(obs_cam_np, num_cameras)
     return Obs(
         cam=jnp.asarray(obs_cam_np, jnp.int32),
         lm=jnp.asarray(obs_lm_np, jnp.int32),
@@ -111,6 +127,7 @@ def make_obs(
         seg=build_segment_layout(
             obs_cam_np, obs_lm_np, num_cameras, num_landmarks
         ),
+        cam_onehot=cam_onehot,
     )
 
 
@@ -128,10 +145,6 @@ class Stage1Solver:
     ):
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
-        self.obs = make_obs(
-            obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
-            obs_weight,
-        )
         self.opts = options
         self.dtype = dtype
         self.alpha = float(options.alpha)
@@ -143,6 +156,10 @@ class Stage1Solver:
             jnp.float32
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
+        )
+        self.obs = make_obs(
+            obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
+            obs_weight, solve_dtype=self.solve_dtype,
         )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
@@ -222,8 +239,17 @@ class Stage1Solver:
     # -------------------------------------------------------------- utils
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        """[..., O] -> [..., N] per-camera reduction."""
+        """[..., O] -> [..., N] per-camera reduction (MXU one-hot
+        matmul when available and f32, else bucketed gather+sum)."""
+        if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
+            return onehot_segment_sum(x, obs.cam_onehot)
         return padded_segment_sum(x, obs.seg.cam)
+
+    def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        """x [..., N] -> per-observation [..., O]."""
+        if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
+            return onehot_gather(x, obs.cam_onehot)
+        return x[..., obs.cam]
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """[..., O] -> [..., M] per-landmark reduction (lm-sorted)."""

@@ -40,7 +40,11 @@ from povar_tpu.ops import linalg, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info
-from povar_tpu.solver.segments import padded_segment_sum
+from povar_tpu.solver.segments import (
+    onehot_gather,
+    onehot_segment_sum,
+    padded_segment_sum,
+)
 from povar_tpu.solver.stage1 import Obs, _mask_rows, make_obs
 
 _ROBUST_CODE = {
@@ -94,10 +98,6 @@ class Stage2Solver:
     ):
         self.n_cams = int(num_cameras)
         self.n_lms = int(num_landmarks)
-        self.obs = make_obs(
-            obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
-            obs_weight,
-        )
         self.opts = options
         self.dtype = dtype
         self.robust = _ROBUST_CODE[options.residual.robust_norm]
@@ -108,6 +108,10 @@ class Stage2Solver:
             jnp.float32
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
+        )
+        self.obs = make_obs(
+            obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
+            obs_weight, solve_dtype=self.solve_dtype,
         )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
@@ -161,7 +165,14 @@ class Stage2Solver:
     # -------------------------------------------------------------- utils
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
+            return onehot_segment_sum(x, obs.cam_onehot)
         return padded_segment_sum(x, obs.seg.cam)
+
+    def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
+            return onehot_gather(x, obs.cam_onehot)
+        return x[..., obs.cam]
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         return padded_segment_sum(x, obs.seg.lm)
@@ -326,7 +337,7 @@ class Stage2Solver:
     def _e0_w_matvec(
         self, x: jnp.ndarray, obs: Obs, W: jnp.ndarray
     ) -> jnp.ndarray:
-        xc = x[:, obs.cam]  # [11, O]
+        xc = self._gather_cam_x(obs, x)  # [11, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
         s = self._seg_lm(obs, u)
         v = small_einsum("ijo,io->jo", W, s[:, obs.lm])  # [11, O]
