@@ -80,7 +80,6 @@ def shard_obs(solver, mesh: Mesh) -> None:
     obs = solver.obs
     # the gather/reduce plan is replicated; GSPMD resolves the
     # cross-shard gathers of the sharded obs-axis operands
-    seg = jax.device_put(obs.seg, sh_rep)
     solver.obs = Obs(
         cam=jax.device_put(obs.cam, sh_o),
         lm=jax.device_put(obs.lm, sh_o),
@@ -90,7 +89,7 @@ def shard_obs(solver, mesh: Mesh) -> None:
             if obs.weight is None
             else jax.device_put(obs.weight, sh_o)
         ),
-        seg=seg,
+        cam_red=jax.device_put(obs.cam_red, sh_rep),
         cam_onehot=(
             None
             if obs.cam_onehot is None
@@ -98,6 +97,8 @@ def shard_obs(solver, mesh: Mesh) -> None:
                 obs.cam_onehot, NamedSharding(mesh, P(OBS_AXIS, None))
             )
         ),
+        lm_order=jax.device_put(obs.lm_order, sh_rep),
+        lm_inv=jax.device_put(obs.lm_inv, sh_rep),
     )
 
 

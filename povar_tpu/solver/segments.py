@@ -169,3 +169,97 @@ def padded_segment_sum(x: jnp.ndarray, red: PaddedReduce) -> jnp.ndarray:
         parts.append(jnp.sum(g, axis=-1))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     return jnp.take(out, red.inv_order, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# Slot layout: the observation axis itself is reordered once (at solver
+# construction) so that each landmark's observations occupy a fixed-
+# width contiguous slot, bucketed by exact observation count. The
+# per-landmark segment sum then degenerates to reshape + sum over the
+# minor axis, and the inverse expansion (per-landmark value -> per-
+# observation) to slice + broadcast — no index gathers at all, which on
+# TPU run far below streaming bandwidth. Rare large landmarks (count >
+# SLOT_EXACT_MAX) are padded up to powers of two with zero-weight slots.
+# ---------------------------------------------------------------------
+
+SLOT_EXACT_MAX = 64
+
+
+def build_slot_plan(obs_lm: np.ndarray, num_landmarks: int):
+    """Returns (perm, pad_weight, shapes, lm_order, inv_pos):
+    perm [O_pad] original-obs position per slot (pads repeat a position),
+    pad_weight [O_pad] 0/1, shapes = tuple of (num_landmarks_in_bucket,
+    slot_width), lm_order [M] canonical lm id per slot-row,
+    inv_pos [M] position of canonical lm id in lm_order."""
+    obs_lm = np.asarray(obs_lm)
+    order = np.argsort(obs_lm, kind="stable")
+    sorted_ids = obs_lm[order]
+    starts = np.searchsorted(sorted_ids, np.arange(num_landmarks), "left")
+    ends = np.searchsorted(sorted_ids, np.arange(num_landmarks), "right")
+    counts = ends - starts
+
+    def width(c):
+        if c <= SLOT_EXACT_MAX:
+            return int(c) if c > 0 else 1
+        return 1 << int(np.ceil(np.log2(c)))
+
+    widths = np.array([width(c) for c in counts], dtype=np.int64)
+    perm_parts = []
+    weight_parts = []
+    shapes = []
+    lm_order_parts = []
+    for w in np.unique(widths):
+        lms = np.nonzero(widths == w)[0]
+        g = len(lms)
+        blk_idx = np.zeros((g, w), dtype=np.int64)
+        blk_w = np.zeros((g, w), dtype=np.float64)
+        for row, m in enumerate(lms):
+            c = counts[m]
+            pos = order[starts[m] : ends[m]]
+            blk_idx[row, :c] = pos
+            blk_idx[row, c:] = pos[0] if c > 0 else 0
+            blk_w[row, :c] = 1.0
+        perm_parts.append(blk_idx.reshape(-1))
+        weight_parts.append(blk_w.reshape(-1))
+        shapes.append((g, int(w)))
+        lm_order_parts.append(lms)
+    perm = np.concatenate(perm_parts)
+    pad_weight = np.concatenate(weight_parts)
+    lm_order = np.concatenate(lm_order_parts).astype(np.int32)
+    inv_pos = np.empty(num_landmarks, dtype=np.int32)
+    inv_pos[lm_order] = np.arange(num_landmarks, dtype=np.int32)
+    return perm, pad_weight, tuple(shapes), lm_order, inv_pos
+
+
+def slot_segment_sum(
+    x: jnp.ndarray, shapes, inv_pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-landmark sum for slot-ordered x [..., O_pad] -> [..., M]
+    (canonical landmark order)."""
+    parts = []
+    ofs = 0
+    for g, w in shapes:
+        blk = x[..., ofs : ofs + g * w]
+        parts.append(blk.reshape(x.shape[:-1] + (g, w)).sum(axis=-1))
+        ofs += g * w
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return jnp.take(out, inv_pos, axis=-1)
+
+
+def slot_expand(
+    s: jnp.ndarray, shapes, lm_order: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse of slot_segment_sum's indexing: per-landmark values
+    s [..., M] -> per-observation [..., O_pad] (slot order)."""
+    s_slot = jnp.take(s, lm_order, axis=-1)  # [..., M] in slot-row order
+    parts = []
+    ofs = 0
+    for g, w in shapes:
+        blk = s_slot[..., ofs : ofs + g]
+        parts.append(
+            jnp.broadcast_to(
+                blk[..., None], blk.shape + (w,)
+            ).reshape(s.shape[:-1] + (g * w,))
+        )
+        ofs += g
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

@@ -43,12 +43,15 @@ from povar_tpu.options import RobustNorm, SolverOptions, SolverType
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info
 from povar_tpu.solver.segments import (
-    SegmentLayout,
+    PaddedReduce,
+    _build_padded_reduce,
     build_onehot,
-    build_segment_layout,
+    build_slot_plan,
     onehot_gather,
     onehot_segment_sum,
     padded_segment_sum,
+    slot_expand,
+    slot_segment_sum,
 )
 
 # build the dense camera one-hot incidence (MXU path for camera-side
@@ -63,22 +66,29 @@ _ROBUST_CODE = {
 
 
 class Obs(NamedTuple):
-    """Static problem structure as a pytree.
+    """Static problem structure as a pytree (slot-ordered observations).
 
-    cam/lm: per-observation indices [O] (lm-sorted); uv: measurements
-    [2, O]; weight: optional 0/1 padding mask [O] (multi-chip sharding
-    pads O to a multiple of the mesh size; padded rows are sorted into
-    the final landmark/camera segments and contribute exactly zero);
-    seg: bucketed gather/reduce plans; cam_onehot: optional dense [O,N]
-    f32 incidence for MXU-matmul camera reductions (small N only).
+    Observations are reordered once at construction into the landmark
+    slot layout (segments.build_slot_plan): each landmark's entries
+    occupy a fixed-width contiguous slot, so per-landmark reductions
+    are reshape+sum and expansions are broadcast. Fields:
+    cam/lm: per-observation indices [Op]; uv: measurements [2, Op];
+    weight: optional 0/1 mask [Op] covering slot pads and multi-chip
+    shard pads (zero-weight rows contribute exactly zero everywhere);
+    cam_red: bucketed gather/reduce plan for the camera side;
+    cam_onehot: optional dense [Op, N] f32 incidence for MXU-matmul
+    camera reductions (small N only); lm_order/lm_inv: slot-row <->
+    canonical landmark id maps.
     """
 
     cam: jnp.ndarray
     lm: jnp.ndarray
     uv: jnp.ndarray
     weight: Optional[jnp.ndarray]
-    seg: SegmentLayout
+    cam_red: PaddedReduce
     cam_onehot: Optional[jnp.ndarray]
+    lm_order: jnp.ndarray
+    lm_inv: jnp.ndarray
 
 
 class Lin1(NamedTuple):
@@ -103,32 +113,52 @@ def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
 def make_obs(
     obs_cam, obs_lm, obs_uv, num_cameras, num_landmarks, dtype, obs_weight,
     solve_dtype=None,
-) -> Obs:
+):
+    """Build the slot-ordered Obs pytree. Returns (obs, lm_slot_shapes);
+    the shapes are static Python ints kept on the solver (outside the
+    pytree)."""
     import numpy as np
 
     obs_cam_np = np.asarray(obs_cam)
     obs_lm_np = np.asarray(obs_lm)
-    uv = jnp.asarray(obs_uv, dtype)
-    if uv.ndim == 2 and uv.shape[-1] == 2:
-        uv = uv.T  # accept [O, 2] input, store [2, O]
+    obs_uv_np = np.asarray(obs_uv)
+    if obs_uv_np.ndim == 2 and obs_uv_np.shape[-1] == 2:
+        obs_uv_np = obs_uv_np.T  # accept [O, 2] input, use [2, O]
+
+    perm, pad_w, shapes, lm_order, inv_pos = build_slot_plan(
+        obs_lm_np, num_landmarks
+    )
+    cam_slot = obs_cam_np[perm]
+    lm_slot = obs_lm_np[perm]
+    uv_slot = obs_uv_np[:, perm]
+    if obs_weight is None:
+        w = pad_w if (pad_w < 1.0).any() else None
+    else:
+        w = np.asarray(obs_weight)[perm] * pad_w
+
     cam_onehot = None
     if (
         solve_dtype == jnp.float32
-        and len(obs_cam_np) * num_cameras * 4 <= ONEHOT_BUDGET_BYTES
+        and len(cam_slot) * num_cameras * 4 <= ONEHOT_BUDGET_BYTES
     ):
-        cam_onehot = build_onehot(obs_cam_np, num_cameras)
-    return Obs(
-        cam=jnp.asarray(obs_cam_np, jnp.int32),
-        lm=jnp.asarray(obs_lm_np, jnp.int32),
-        uv=uv,
-        weight=(
-            None if obs_weight is None else jnp.asarray(obs_weight, dtype)
-        ),
-        seg=build_segment_layout(
-            obs_cam_np, obs_lm_np, num_cameras, num_landmarks
-        ),
+        oh = np.zeros((len(cam_slot), num_cameras), dtype=np.float32)
+        oh[np.arange(len(cam_slot)), cam_slot] = 1.0
+        if w is not None:
+            # fold the pad mask into the scatter side
+            oh *= w[:, None].astype(np.float32)
+        cam_onehot = jnp.asarray(oh)
+
+    obs = Obs(
+        cam=jnp.asarray(cam_slot, jnp.int32),
+        lm=jnp.asarray(lm_slot, jnp.int32),
+        uv=jnp.asarray(uv_slot, dtype),
+        weight=None if w is None else jnp.asarray(w, dtype),
+        cam_red=_build_padded_reduce(cam_slot, num_cameras),
         cam_onehot=cam_onehot,
+        lm_order=jnp.asarray(lm_order),
+        lm_inv=jnp.asarray(inv_pos),
     )
+    return obs, shapes
 
 
 class Stage1Solver:
@@ -157,7 +187,7 @@ class Stage1Solver:
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
         )
-        self.obs = make_obs(
+        self.obs, self.lm_shapes = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
         )
@@ -243,7 +273,7 @@ class Stage1Solver:
         matmul when available and f32, else bucketed gather+sum)."""
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_segment_sum(x, obs.cam_onehot)
-        return padded_segment_sum(x, obs.seg.cam)
+        return padded_segment_sum(x, obs.cam_red)
 
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """x [..., N] -> per-observation [..., O]."""
@@ -252,8 +282,14 @@ class Stage1Solver:
         return x[..., obs.cam]
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        """[..., O] -> [..., M] per-landmark reduction (lm-sorted)."""
-        return padded_segment_sum(x, obs.seg.lm)
+        """[..., O] -> [..., M] per-landmark reduction: reshape+sum over
+        the fixed-width landmark slots."""
+        return slot_segment_sum(x, self.lm_shapes, obs.lm_inv)
+
+    def _gather_lm_x(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
+        """s [..., M] -> per-observation [..., O]: slice + broadcast
+        over the landmark slots."""
+        return slot_expand(s, self.lm_shapes, obs.lm_order)
 
     @staticmethod
     def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
@@ -269,7 +305,7 @@ class Stage1Solver:
         always 'valid' (linearize_point_pOSE sets projection_valid=true
         unconditionally, helper.cpp:263)."""
         P = self._gather_cams(obs, cam_space)
-        x = lm_p.T[:, obs.lm]  # [3, O]
+        x = self._gather_lm_x(obs, lm_p.T)  # [3, O]
         r = _mask_rows(
             obs, pose_math.pose_residual_t(P, x, obs.uv, self.alpha)
         )
@@ -319,7 +355,7 @@ class Stage1Solver:
         at ~1e-7 relative — inside the forcing tolerance."""
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
-        x = lm_p.astype(sd).T[:, obs.lm]
+        x = self._gather_lm_x(obs, lm_p.astype(sd).T)
         r, Jp, Jl = pose_math.pose_jacobians_t(
             P, x, obs.uv.astype(sd), self.alpha
         )
@@ -340,12 +376,12 @@ class Stage1Solver:
         # landmark's rows
         jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [3, M]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * jl_scale[:, obs.lm][None]
+        Jl = Jl * self._gather_lm_x(obs, jl_scale)[None]
 
         # pose Jacobi column scaling: 1 / (eps + sqrt(diag(Jp^T Jp)))
         jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=0))  # [12, N]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * pose_scale[:, obs.cam][None]
+        Jp = Jp * self._gather_cam_x(obs, pose_scale)[None]
 
         return Lin1(
             Jp=Jp, Jl=Jl, r=r, pose_scale=pose_scale, jl_scale=jl_scale
@@ -373,7 +409,7 @@ class Stage1Solver:
         hll_inv_bl = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
 
         r_tilde = lin.r - small_einsum(
-            "ijo,jo->io", lin.Jl, hll_inv_bl[:, obs.lm]
+            "ijo,jo->io", lin.Jl, self._gather_lm_x(obs, hll_inv_bl)
         )
         b = self._seg_cam(obs, small_einsum("kio,ko->io", lin.Jp, r_tilde))
 
@@ -389,11 +425,13 @@ class Stage1Solver:
         (right_mul_e0_pOSE, linearization_power_varproj.hpp:364-407):
         gather x per obs, two small einsums, per-landmark reduce through
         Hll^-1, and a per-camera segment reduce. x, result: [12, N]."""
-        xc = x[:, obs.cam]  # [12, O]
+        xc = self._gather_cam_x(obs, x)  # [12, O]
         jpx = small_einsum("ijo,jo->io", lin.Jp, xc)  # [4, O]
         u = self._seg_lm(obs, small_einsum("ijo,io->jo", lin.Jl, jpx))
         w = small_einsum("ijm,jm->im", hll_inv, u)  # [3, M]
-        v = small_einsum("ijo,jo->io", lin.Jl, w[:, obs.lm])  # [4, O]
+        v = small_einsum(
+            "ijo,jo->io", lin.Jl, self._gather_lm_x(obs, w)
+        )  # [4, O]
         return self._seg_cam(obs, small_einsum("ijo,io->jo", lin.Jp, v))
 
     def _e0_factor(
@@ -406,7 +444,7 @@ class Stage1Solver:
         (~40% less HBM traffic across the m terms)."""
         A = small_einsum("kio,kjo->ijo", lin.Jl, lin.Jp)  # [3, 12, O]
         L = linalg.cholesky_smallf(hll_inv)  # [3, 3, M]
-        Lg = L[:, :, obs.lm].astype(dtype)
+        Lg = self._gather_lm_x(obs, L).astype(dtype)
         return small_einsum("kio,kjo->ijo", Lg, A.astype(dtype))
 
     def _e0_w_matvec(
@@ -416,7 +454,9 @@ class Stage1Solver:
         xc = x[:, obs.cam]  # [12, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
         s = self._seg_lm(obs, u)  # [3, M]
-        v = small_einsum("ijo,io->jo", W, s[:, obs.lm])  # [12, O]
+        v = small_einsum(
+            "ijo,io->jo", W, self._gather_lm_x(obs, s)
+        )  # [12, O]
         return self._seg_cam(obs, v)
 
     # ------------------------------------------------------------ solves
@@ -470,7 +510,7 @@ class Stage1Solver:
           W_o = Jp_o^T Jl_o.
         """
         W = small_einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
-        Wh = small_einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
+        Wh = small_einsum("ijo,jko->iko", W, self._gather_lm_x(obs, hll_inv))
         corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
         eye = jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         return hpp + lam.astype(hpp.dtype) * eye - corr
@@ -534,7 +574,7 @@ class Stage1Solver:
         hll_inv_chol = linalg.cholesky_smallf(hll_inv)  # hll^-1 = L L^T
         W = small_einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
         WL = small_einsum(
-            "ijo,jko->oik", W, hll_inv_chol[:, :, obs.lm]
+            "ijo,jko->oik", W, self._gather_lm_x(obs, hll_inv_chol)
         )  # [O, 12, 3]
 
         A = jnp.zeros((n12, self.n_lms * 3), dtype=lin.Jp.dtype)
@@ -598,7 +638,7 @@ class Stage1Solver:
         )
 
         P_new = self._gather_cams(obs, new_cam.astype(sd))
-        x = lm_p.astype(sd).T[:, obs.lm]
+        x = self._gather_lm_x(obs, lm_p.astype(sd).T)
         r_new, Jp_new, Jl_new = pose_math.pose_jacobians_t(
             P_new, x, obs.uv.astype(sd), self.alpha
         )
@@ -611,8 +651,8 @@ class Stage1Solver:
         inc_lm = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
         j_inc = small_einsum(
-            "ijo,jo->io", Jp_new, inc_scaled.astype(sd)[:, obs.cam]
-        ) + small_einsum("ijo,jo->io", lin.Jl, inc_lm[:, obs.lm])
+            "ijo,jo->io", Jp_new, self._gather_cam_x(obs, inc_scaled.astype(sd))
+        ) + small_einsum("ijo,jo->io", lin.Jl, self._gather_lm_x(obs, inc_lm))
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
         return (
@@ -640,14 +680,16 @@ class Stage1Solver:
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
         hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
         hll = hll + lam.astype(lin.Jl.dtype) * eye3
-        jp_inc = small_einsum("ijo,jo->io", lin.Jp, inc_s[:, obs.cam])
+        jp_inc = small_einsum(
+            "ijo,jo->io", lin.Jp, self._gather_cam_x(obs, inc_s)
+        )
         tmp = self._seg_lm(
             obs, small_einsum("kio,ko->io", lin.Jl, lin.r + jp_inc)
         )
         inc_lm_scaled = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
         j_inc = jp_inc + small_einsum(
-            "ijo,jo->io", lin.Jl, inc_lm_scaled[:, obs.lm]
+            "ijo,jo->io", lin.Jl, self._gather_lm_x(obs, inc_lm_scaled)
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 

@@ -44,6 +44,8 @@ from povar_tpu.solver.segments import (
     onehot_gather,
     onehot_segment_sum,
     padded_segment_sum,
+    slot_expand,
+    slot_segment_sum,
 )
 from povar_tpu.solver.stage1 import Obs, _mask_rows, make_obs
 
@@ -109,7 +111,7 @@ class Stage2Solver:
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
         )
-        self.obs = make_obs(
+        self.obs, self.lm_shapes = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
         )
@@ -167,7 +169,7 @@ class Stage2Solver:
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_segment_sum(x, obs.cam_onehot)
-        return padded_segment_sum(x, obs.seg.cam)
+        return padded_segment_sum(x, obs.cam_red)
 
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
@@ -175,7 +177,10 @@ class Stage2Solver:
         return x[..., obs.cam]
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        return padded_segment_sum(x, obs.seg.lm)
+        return slot_segment_sum(x, self.lm_shapes, obs.lm_inv)
+
+    def _gather_lm_x(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
+        return slot_expand(s, self.lm_shapes, obs.lm_order)
 
     @staticmethod
     def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
@@ -189,7 +194,7 @@ class Stage2Solver:
         """compute_error_projective_space_homogeneous
         (helper.cpp:156-196)."""
         P = self._gather_cams(obs, cam_space)
-        xh = lm_p_h.T[:, obs.lm]  # [4, O]
+        xh = self._gather_lm_x(obs, lm_p_h.T)  # [4, O]
         r, valid = pose_math.homogeneous_residual_t(P, xh, obs.uv)
         r = _mask_rows(obs, r)
         res_sq = jnp.sum(r * r, axis=0)
@@ -223,7 +228,7 @@ class Stage2Solver:
         stage1._linearize for the precision argument)."""
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
-        xh = lm_p_h.astype(sd).T[:, obs.lm]
+        xh = self._gather_lm_x(obs, lm_p_h.astype(sd).T)
         r, Jp, Jl, valid = pose_math.homogeneous_jacobians_t(
             P, xh, obs.uv.astype(sd)
         )
@@ -250,11 +255,11 @@ class Stage2Solver:
 
         jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [4, M]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * jl_scale[:, obs.lm][None]
+        Jl = Jl * self._gather_lm_x(obs, jl_scale)[None]
 
         jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=0))  # [12, N]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * pose_scale[:, obs.cam][None]
+        Jp = Jp * self._gather_cam_x(obs, pose_scale)[None]
 
         kernel_cam = linalg.nullspace_of_rowf(
             cam_space.astype(sd).reshape(self.n_cams, 12).T
@@ -262,10 +267,10 @@ class Stage2Solver:
         kernel_lm = linalg.nullspace_of_rowf(lm_p_h.astype(sd).T)
 
         Jp_ns = small_einsum(
-            "ijo,jko->iko", Jp, kernel_cam[:, :, obs.cam]
+            "ijo,jko->iko", Jp, self._gather_cam_x(obs, kernel_cam)
         )  # [2, 11, O]
         Jl_ns = small_einsum(
-            "ijo,jko->iko", Jl, kernel_lm[:, :, obs.lm]
+            "ijo,jko->iko", Jl, self._gather_lm_x(obs, kernel_lm)
         )  # [2, 3, O]
 
         return Lin2(
@@ -300,7 +305,7 @@ class Stage2Solver:
         hll_inv_bl = small_einsum("ijm,jm->im", hll_inv, bl)
 
         r_tilde = lin.r - small_einsum(
-            "ijo,jo->io", lin.Jl_ns, hll_inv_bl[:, obs.lm]
+            "ijo,jo->io", lin.Jl_ns, self._gather_lm_x(obs, hll_inv_bl)
         )
         b = self._seg_cam(
             obs, small_einsum("kio,ko->io", lin.Jp_ns, r_tilde)
@@ -317,11 +322,13 @@ class Stage2Solver:
         self, x: jnp.ndarray, obs: Obs, lin: Lin2, hll_inv: jnp.ndarray
     ) -> jnp.ndarray:
         """right_mul_e0_joint (hpp:409-453). x, result: [11, N]."""
-        xc = x[:, obs.cam]  # [11, O]
+        xc = self._gather_cam_x(obs, x)  # [11, O]
         jpx = small_einsum("ijo,jo->io", lin.Jp_ns, xc)  # [2, O]
         u = self._seg_lm(obs, small_einsum("ijo,io->jo", lin.Jl_ns, jpx))
         w = small_einsum("ijm,jm->im", hll_inv, u)
-        v = small_einsum("ijo,jo->io", lin.Jl_ns, w[:, obs.lm])
+        v = small_einsum(
+            "ijo,jo->io", lin.Jl_ns, self._gather_lm_x(obs, w)
+        )
         return self._seg_cam(obs, small_einsum("ijo,io->jo", lin.Jp_ns, v))
 
     def _e0_factor(
@@ -331,7 +338,7 @@ class Stage2Solver:
         stage1._e0_factor)."""
         A = small_einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jp_ns)
         L = linalg.cholesky_smallf(hll_inv)
-        Lg = L[:, :, obs.lm].astype(dtype)
+        Lg = self._gather_lm_x(obs, L).astype(dtype)
         return small_einsum("kio,kjo->ijo", Lg, A.astype(dtype))
 
     def _e0_w_matvec(
@@ -340,7 +347,9 @@ class Stage2Solver:
         xc = self._gather_cam_x(obs, x)  # [11, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
         s = self._seg_lm(obs, u)
-        v = small_einsum("ijo,io->jo", W, s[:, obs.lm])  # [11, O]
+        v = small_einsum(
+            "ijo,io->jo", W, self._gather_lm_x(obs, s)
+        )  # [11, O]
         return self._seg_cam(obs, v)
 
     # ------------------------------------------------------------ solves
@@ -384,7 +393,7 @@ class Stage2Solver:
         )
 
         W = small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jl_ns)  # [11, 3, O]
-        Wh = small_einsum("ijo,jko->iko", W, hll_inv[:, :, obs.lm])
+        Wh = small_einsum("ijo,jko->iko", W, self._gather_lm_x(obs, hll_inv))
         corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
         eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
         diag_blocks = hpp + lam.astype(hpp.dtype) * eye - corr
@@ -450,7 +459,9 @@ class Stage2Solver:
         )
         hll = hll + lam_s * eye3
 
-        jp_inc = small_einsum("ijo,jo->io", lin.Jp_ns, inc_s[:, obs.cam])
+        jp_inc = small_einsum(
+            "ijo,jo->io", lin.Jp_ns, self._gather_cam_x(obs, inc_s)
+        )
         tmp = self._seg_lm(
             obs, small_einsum("kio,ko->io", lin.Jl_ns, lin.r + jp_inc)
         )
@@ -458,7 +469,7 @@ class Stage2Solver:
         inc_proj = small_einsum("ijm,jm->im", lin.kernel_lm, inc3)  # [4, M]
 
         j_inc = jp_inc + small_einsum(
-            "ijo,jo->io", lin.Jl, inc_proj[:, obs.lm]
+            "ijo,jo->io", lin.Jl, self._gather_lm_x(obs, inc_proj)
         )
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
