@@ -48,13 +48,6 @@ class PaddedReduce(NamedTuple):
     inv_order: jnp.ndarray
 
 
-class SegmentLayout(NamedTuple):
-    """Reduction plans for both sides of the camera-landmark graph."""
-
-    lm: PaddedReduce
-    cam: PaddedReduce
-
-
 def _build_padded_reduce(
     seg_ids: np.ndarray, num_segments: int
 ) -> PaddedReduce:
@@ -98,20 +91,6 @@ def _build_padded_reduce(
         idx=tuple(idx_list),
         mask=tuple(mask_list),
         inv_order=jnp.asarray(inv_order),
-    )
-
-
-def build_segment_layout(
-    obs_cam: np.ndarray,
-    obs_lm: np.ndarray,
-    num_cameras: int,
-    num_landmarks: int,
-) -> SegmentLayout:
-    obs_cam = np.asarray(obs_cam)
-    obs_lm = np.asarray(obs_lm)
-    return SegmentLayout(
-        lm=_build_padded_reduce(obs_lm, num_landmarks),
-        cam=_build_padded_reduce(obs_cam, num_cameras),
     )
 
 

@@ -45,7 +45,6 @@ from povar_tpu.solver.common import accumulate_residual_info
 from povar_tpu.solver.segments import (
     PaddedReduce,
     _build_padded_reduce,
-    build_onehot,
     build_slot_plan,
     onehot_gather,
     onehot_segment_sum,
