@@ -5,8 +5,11 @@ latency is reported separately). Complements bench.py.
 Usage: python benchmarks/stage_timings.py [n_cams n_lms obs_per_lm]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
