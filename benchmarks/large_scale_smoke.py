@@ -1,0 +1,74 @@
+"""Large-scale smoke: one full step-1 LM iteration at venice-1778 scale
+(1778 cams, 993,923 landmarks, ~5M observations) — validates HBM fit
+and reports throughput. Camera one-hot is disabled automatically at
+this N*O (falls back to bucketed gathers).
+
+Usage: python benchmarks/large_scale_smoke.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from povar_tpu.options import SolverOptions  # noqa: E402
+from povar_tpu.problem.synthetic import synthetic_bal_problem_fast  # noqa: E402
+from povar_tpu.solver.stage1 import Stage1Solver  # noqa: E402
+
+
+def main() -> None:
+    t0 = time.time()
+    problem = synthetic_bal_problem_fast(1778, 993_923, 5, seed=0)
+    print(f"generated {problem.num_observations} obs in {time.time()-t0:.1f}s",
+          flush=True)
+    opts = SolverOptions()
+    opts.power_sc_iterations = 10
+    opts.eta = 0.0
+    s = Stage1Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+    cams = jnp.asarray(problem.cam_space)
+    t0 = time.time()
+    lms = s.initialize_varproj(cams)
+    e0 = float(np.asarray(s.compute_error(cams, lms)["error_all"]))
+    print(f"init+error: {time.time()-t0:.1f}s cost0={e0:.6e}", flush=True)
+
+    def sync(x):
+        return float(np.asarray(jnp.sum(x)))
+
+    lam = jnp.asarray(1e-4, lms.dtype)
+    t0 = time.time()
+    lin = s.linearize(cams, lms)
+    inc, terms = s.solve_power(lin, lam)
+    out = s.apply(cams, lms, lin, inc)
+    sync(out[2])
+    print(f"first iteration (incl compile): {time.time()-t0:.1f}s", flush=True)
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        lin = s.linearize(cams, lms)
+        inc, _ = s.solve_power(lin, lam)
+        out = s.apply(cams, lms, lin, inc)
+    sync(out[2])
+    dt = (time.time() - t0) / reps
+    e1 = float(np.asarray(s.compute_error(out[0], out[1])["error_all"]))
+    print(
+        f"steady LM iteration: {dt*1e3:.0f} ms "
+        f"({problem.num_observations/dt/1e6:.1f} Mobs/s); "
+        f"cost after 1 step: {e1:.6e} (from {e0:.6e})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
