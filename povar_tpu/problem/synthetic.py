@@ -135,10 +135,12 @@ def synthetic_bal_problem_fast(
     pts = rng.standard_normal((n_lms, 3)) * 2.0
 
     k = min(obs_per_lm, n_cams)
-    # k distinct cameras per landmark via random-key argpartition
-    keys = rng.random((n_lms, n_cams))
-    cams_per_lm = np.argpartition(keys, k - 1, axis=1)[:, :k]  # [M, k]
-    cams_per_lm.sort(axis=1)
+    # k distinct cameras per landmark, O(M*k) memory: draw k values in
+    # [0, n_cams - k], sort rows, add arange(k) -> strictly increasing
+    # (mildly biased toward spread-out cameras; fine for benchmarks)
+    base = rng.integers(0, n_cams - k + 1, size=(n_lms, k))
+    base.sort(axis=1)
+    cams_per_lm = base + np.arange(k)[None, :]
 
     obs_lm = np.repeat(np.arange(n_lms, dtype=np.int32), k)
     obs_cam = cams_per_lm.reshape(-1).astype(np.int32)
