@@ -1,29 +1,39 @@
-"""Tiny-dimension contractions as broadcast-multiply + sum.
+"""Tiny-dimension contractions for observation-last arrays.
 
 On TPU, f64 `dot_general` is emulated with multi-pass f32 products; for
 contractions over tiny static dims (3, 4, 11, 12) XLA materializes the
 stacked emulation passes as [6-8, O, ...] intermediates — gigabytes at
-BAL scale — and the MXU could not help at these shapes anyway. Lowering
-the contraction to explicit broadcast-multiply + axis-sum keeps it in
-the VPU as fused elementwise work with no blowup.
+BAL scale — and the MXU could not help at these shapes anyway.
 
-`small_einsum` supports exactly the two-operand patterns the solver
-uses (no repeated letters within an operand, no ellipsis).
+A broadcast-multiply + axis-sum formulation avoids dot_general but
+creates rank-4 temporaries like [4, 3, 3, O]; XLA's layout assignment
+sometimes places a small dim minor-most on those, padding it to 128
+lanes (observed: a 227 MB temp padded to 9.5 GB). So the default path
+here fully *unrolls* the static dims: every multiply/add operates on a
+clean [O] (or [batch]) vector — the one shape class that cannot be
+padded badly — and the output is assembled with one stack+reshape. The
+static dims are <= 12, so the unrolled op count stays in the hundreds
+and fuses into a single elementwise kernel.
+
+`small_einsum` supports the two-operand patterns the solver uses.
+Specs where the last letter of both operands and the output coincide
+(the big axis) take the unrolled path; anything else (pure small-batch
+specs, ellipsis specs) falls back to broadcast-multiply + sum.
 """
 
 from __future__ import annotations
 
+import itertools
 from functools import lru_cache
 from typing import Tuple
 
 import jax.numpy as jnp
 
-
 _BATCH_LETTERS = "ZYXWVU"
 
 
 @lru_cache(maxsize=256)
-def _plan(spec: str, a_ndim: int, b_ndim: int):
+def _bcast_plan(spec: str, a_ndim: int, b_ndim: int):
     ins, out = spec.split("->")
     sa, sb = ins.split(",")
     if "..." in spec:
@@ -41,7 +51,6 @@ def _plan(spec: str, a_ndim: int, b_ndim: int):
         out = out.replace("...", batch)
     assert len(sa) == a_ndim and len(sb) == b_ndim, (spec, a_ndim, b_ndim)
     contracted = [c for c in sa + sb if c not in out]
-    # dedupe preserving order
     seen = set()
     contracted = [
         c for c in contracted if not (c in seen or seen.add(c))
@@ -59,10 +68,67 @@ def _plan(spec: str, a_ndim: int, b_ndim: int):
     return axes_plan(sa), axes_plan(sb), tuple(range(len(contracted)))
 
 
-def small_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """einsum(spec, a, b) via broadcast-multiply + sum (two operands)."""
-    (pa, ea), (pb, eb), sum_axes = _plan(spec, a.ndim, b.ndim)
+def _broadcast_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray):
+    (pa, ea), (pb, eb), sum_axes = _bcast_plan(spec, a.ndim, b.ndim)
     aa = jnp.expand_dims(jnp.transpose(a, pa), ea)
     bb = jnp.expand_dims(jnp.transpose(b, pb), eb)
     prod = aa * bb
     return prod.sum(axis=sum_axes) if sum_axes else prod
+
+
+@lru_cache(maxsize=256)
+def _unroll_plan(spec: str):
+    """Plan for specs of the form '<small>v,<small>v-><small>v' where v
+    (the big vector axis) is the trailing letter everywhere. Returns
+    None if the spec doesn't qualify."""
+    if "..." in spec:
+        return None
+    ins, out = spec.split("->")
+    sa, sb = ins.split(",")
+    if not out or not sa or not sb:
+        return None
+    v = out[-1]
+    if sa[-1] != v or sb[-1] != v:
+        return None
+    sa_s, sb_s, out_s = sa[:-1], sb[:-1], out[:-1]
+    if v in sa_s or v in sb_s or v in out_s:
+        return None
+    if len(set(sa_s)) != len(sa_s) or len(set(sb_s)) != len(sb_s):
+        return None
+    contracted = []
+    for c in sa_s + sb_s:
+        if c not in out_s and c not in contracted:
+            contracted.append(c)
+    return sa_s, sb_s, out_s, tuple(contracted)
+
+
+def small_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """einsum(spec, a, b) with layout-safe lowering (see module doc)."""
+    plan = _unroll_plan(spec)
+    if plan is None:
+        return _broadcast_einsum(spec, a, b)
+    sa_s, sb_s, out_s, contracted = plan
+
+    dims = {}
+    for i, c in enumerate(sa_s):
+        dims[c] = a.shape[i]
+    for i, c in enumerate(sb_s):
+        dims[c] = b.shape[i]
+
+    def sl(x, s_static, assign):
+        return x[tuple(assign[c] for c in s_static)]
+
+    outs = []
+    for combo in itertools.product(*[range(dims[c]) for c in out_s]):
+        assign = dict(zip(out_s, combo))
+        acc = None
+        for ccombo in itertools.product(
+            *[range(dims[c]) for c in contracted]
+        ):
+            assign.update(zip(contracted, ccombo))
+            term = sl(a, sa_s, assign) * sl(b, sb_s, assign)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    stacked = jnp.stack(outs, axis=0)
+    out_shape = tuple(dims[c] for c in out_s) + (a.shape[-1],)
+    return stacked.reshape(out_shape)
