@@ -267,6 +267,28 @@ class Stage1Solver:
 
     # -------------------------------------------------------------- utils
 
+    def _seg_cam_outer(
+        self, obs: Obs, A: jnp.ndarray, B: jnp.ndarray
+    ) -> jnp.ndarray:
+        """seg_cam(einsum('kio,kjo->ijo', A, B)) with bounded peak
+        memory: with the one-hot path the [I,J,O] product streams into
+        the MXU; without it (large N), the product plus its bucket-
+        gather copy would be multi-GB at BAL-final scale, so compute it
+        in row chunks of I."""
+        if obs.cam_onehot is not None and A.dtype == obs.cam_onehot.dtype:
+            return onehot_segment_sum(
+                small_einsum("kio,kjo->ijo", A, B), obs.cam_onehot
+            )
+        i_dim = A.shape[1]
+        o_dim = A.shape[-1]
+        if i_dim * B.shape[1] * o_dim * A.dtype.itemsize <= 1 << 30:
+            return self._seg_cam(obs, small_einsum("kio,kjo->ijo", A, B))
+        rows = []
+        for i in range(i_dim):
+            row = small_einsum("ko,kjo->jo", A[:, i, :], B)
+            rows.append(self._seg_cam(obs, row))  # [J, N]
+        return jnp.stack(rows, axis=0)  # [I, J, N]
+
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """[..., O] -> [..., N] per-camera reduction (MXU one-hot
         matmul when available and f32, else bucketed gather+sum)."""
@@ -412,7 +434,7 @@ class Stage1Solver:
         )
         b = self._seg_cam(obs, small_einsum("kio,ko->io", lin.Jp, r_tilde))
 
-        hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
+        hpp = self._seg_cam_outer(obs, lin.Jp, lin.Jp)
         hpp = hpp + lam * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp)
         return b, b_inv, hll_inv

@@ -171,6 +171,25 @@ class Stage2Solver:
             return onehot_segment_sum(x, obs.cam_onehot)
         return padded_segment_sum(x, obs.cam_red)
 
+    def _seg_cam_outer(
+        self, obs: Obs, A: jnp.ndarray, B: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Chunked seg_cam(einsum('kio,kjo->ijo', A, B)); see
+        stage1._seg_cam_outer."""
+        if obs.cam_onehot is not None and A.dtype == obs.cam_onehot.dtype:
+            return onehot_segment_sum(
+                small_einsum("kio,kjo->ijo", A, B), obs.cam_onehot
+            )
+        i_dim = A.shape[1]
+        o_dim = A.shape[-1]
+        if i_dim * B.shape[1] * o_dim * A.dtype.itemsize <= 1 << 30:
+            return self._seg_cam(obs, small_einsum("kio,kjo->ijo", A, B))
+        rows = []
+        for i in range(i_dim):
+            row = small_einsum("ko,kjo->jo", A[:, i, :], B)
+            rows.append(self._seg_cam(obs, row))
+        return jnp.stack(rows, axis=0)
+
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_gather(x, obs.cam_onehot)
@@ -311,9 +330,7 @@ class Stage2Solver:
             obs, small_einsum("kio,ko->io", lin.Jp_ns, r_tilde)
         )
 
-        hpp = self._seg_cam(
-            obs, small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
-        )
+        hpp = self._seg_cam_outer(obs, lin.Jp_ns, lin.Jp_ns)
         hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp)
         return b, b_inv, hll_inv
