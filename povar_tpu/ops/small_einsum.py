@@ -102,10 +102,16 @@ def _unroll_plan(spec: str):
     return sa_s, sb_s, out_s, tuple(contracted)
 
 
+# below this vector length the broadcast path is used: the worst-case
+# layout padding on small arrays is bounded (tens of MB), and the
+# unrolled form costs noticeably more compile time
+UNROLL_MIN_LANES = 1 << 16
+
+
 def small_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """einsum(spec, a, b) with layout-safe lowering (see module doc)."""
     plan = _unroll_plan(spec)
-    if plan is None:
+    if plan is None or a.shape[-1] < UNROLL_MIN_LANES:
         return _broadcast_einsum(spec, a, b)
     sa_s, sb_s, out_s, contracted = plan
 
