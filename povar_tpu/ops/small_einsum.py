@@ -102,10 +102,12 @@ def _unroll_plan(spec: str):
     return sa_s, sb_s, out_s, tuple(contracted)
 
 
-# below this vector length the broadcast path is used: the worst-case
-# layout padding on small arrays is bounded (tens of MB), and the
-# unrolled form costs noticeably more compile time
-UNROLL_MIN_LANES = 1 << 16
+# below this vector length the broadcast path is used: its rank-3/4
+# temporaries run ~25% faster than the unrolled form and the worst-case
+# layout padding (~40x on a [4,3,O] temp) stays under ~2 GB; above it,
+# the unrolled form is required to fit HBM (venice-1778+: a 227 MB temp
+# was observed padded to 9.5 GB)
+UNROLL_MIN_LANES = 1 << 20
 
 
 def small_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
