@@ -148,9 +148,13 @@ def main(argv=None) -> int:
     timer_total = Timer()
     timing: dict = {}
     dataset_summary = DatasetSummary()
-    problem = load_normalized_bal_problem(
-        opts.dataset, dataset_summary, timing
-    )
+    try:
+        problem = load_normalized_bal_problem(
+            opts.dataset, dataset_summary, timing
+        )
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
     from povar_tpu.utils.profiling import trace
 

@@ -41,7 +41,14 @@ from povar_tpu.utils.timer import Timer
 def _read_tokens(path: str) -> np.ndarray:
     """Whitespace-separated numeric tokens of the whole file (the BAL
     grammar is whitespace-insensitive, like the reference's fscanf)."""
+    import os
+
     from povar_tpu.utils import native
+
+    if not os.path.exists(path):
+        # clear message instead of a tokenizer traceback (the reference
+        # LOG(FATAL)s "Could not open '{}'", bal_problem.cpp:187-189)
+        raise FileNotFoundError(f"Could not open '{path}'")
 
     if native.available():
         return native.parse_tokens(path)
