@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax profiler trace of the solve "
                         "into this directory (TensorBoard/Perfetto)")
+    parser.add_argument("--mesh-devices", default=0, type=int,
+                        help="shard the observation axis over this many "
+                        "devices (0 = single device); the multi-chip "
+                        "analogue of the reference's --num-threads")
     defaults = BalAppOptions()
     _add_dataclass_args(parser, defaults.solver, "solver")
     _add_dataclass_args(parser, defaults.dataset, "dataset")
@@ -158,9 +162,23 @@ def main(argv=None) -> int:
 
     from povar_tpu.utils.profiling import trace
 
+    mesh = None
+    if args.mesh_devices:
+        from povar_tpu.parallel.mesh import make_mesh
+
+        n_avail = len(jax.devices())
+        if args.mesh_devices > n_avail:
+            print(
+                f"error: --mesh-devices {args.mesh_devices} but only "
+                f"{n_avail} devices available",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh(args.mesh_devices)
+
     t_opt = Timer()
     with trace(args.profile_dir):
-        problem, s1, s2 = bundle_adjust(problem, opts.solver)
+        problem, s1, s2 = bundle_adjust(problem, opts.solver, mesh=mesh)
     timing["optimize_time"] = t_opt.elapsed()
 
     t_post = Timer()

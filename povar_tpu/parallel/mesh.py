@@ -38,6 +38,14 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), (OBS_AXIS,))
 
 
+def replicate(mesh: Mesh, *arrays):
+    """Place arrays fully replicated on the mesh (camera/landmark state;
+    the observation arrays are the only sharded operands)."""
+    sh = NamedSharding(mesh, P())
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) != 1 else out[0]
+
+
 def pad_obs_to_multiple(
     obs_cam: np.ndarray,
     obs_lm: np.ndarray,

@@ -86,6 +86,41 @@ def test_stage2_sharding_invariance():
     )
 
 
+def test_full_pipeline_sharded_trajectory_matches_single_device():
+    """Drive the ENTIRE two-step LM loop (optimize_step1/optimize_step2
+    with accept/reject backtracking) through bundle_adjust on an
+    8-device mesh and verify the f64 cost trajectory matches the
+    single-device run iteration for iteration."""
+    from povar_tpu.solver.pipeline import bundle_adjust
+
+    def run(mesh):
+        problem, _ = synthetic_bal_problem(
+            n_cams=6, n_lms=48, obs_per_lm=4, seed=7
+        )
+        opts = SolverOptions()
+        opts.mixed_precision_solves = False
+        opts.power_sc_iterations = 3
+        opts.max_num_iterations_step_1 = 5
+        opts.max_num_iterations_step_2 = 4
+        _p, s1, s2 = bundle_adjust(
+            problem, opts, log=lambda s: None, mesh=mesh
+        )
+        return s1, s2
+
+    s1_a, s2_a = run(None)
+    s1_b, s2_b = run(make_mesh())
+
+    for sa, sb in ((s1_a, s1_b), (s2_a, s2_b)):
+        assert len(sa.iterations) == len(sb.iterations)
+        for ia, ib in zip(sa.iterations, sb.iterations):
+            assert ia.step_is_successful == ib.step_is_successful
+            # f64 segment reductions sum in shard order, so tiny
+            # rounding drift compounds across accepted LM steps
+            np.testing.assert_allclose(
+                ia.cost.all.error, ib.cost.all.error, rtol=1e-7
+            )
+
+
 def test_odd_observation_count_sharding():
     """O not divisible by the mesh size must still work (GSPMD handles
     uneven partitions)."""
