@@ -149,20 +149,25 @@ class BalProblem:
         (bal_problem.cpp:747-814), computed vectorized instead of the
         reference's TBB loop + atomic mask."""
         n = self.num_cameras
-        # camera pairs sharing a landmark: join obs with itself on obs_lm
+        # camera pairs sharing a landmark: join obs with itself on
+        # obs_lm. Landmarks are bucketed by exact observation count so
+        # each bucket's pair enumeration is one broadcast — no Python
+        # loop over the (potentially millions of) landmarks.
         order = np.lexsort((self.obs_cam, self.obs_lm))
         cams = self.obs_cam[order]
         lms = self.obs_lm[order]
-        # boundaries of each landmark's obs run
-        starts = np.searchsorted(lms, np.arange(self.num_landmarks), "left")
-        ends = np.searchsorted(lms, np.arange(self.num_landmarks), "right")
+        counts = np.bincount(lms, minlength=self.num_landmarks)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         mask = np.zeros(n * n, dtype=bool)
-        for s, e in zip(starts, ends):
-            cs = cams[s:e]
-            if len(cs) > 1:
-                ii, jj = np.meshgrid(cs, cs)
-                sel = ii > jj
-                mask[ii[sel] * n + jj[sel]] = True
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            sel = counts == k
+            # [Lk, k] camera ids of every landmark with exactly k obs
+            rows = cams[starts[sel][:, None] + np.arange(k)[None, :]]
+            ii, jj = np.broadcast_arrays(rows[:, :, None], rows[:, None, :])
+            pair_sel = ii > jj
+            mask[ii[pair_sel] * n + jj[pair_sel]] = True
         nnz = n + 2 * int(mask.sum())
         return 1.0 - nnz / float(n * n)
 

@@ -536,6 +536,32 @@ class Stage1Solver:
         eye = jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         return hpp + lam.astype(hpp.dtype) * eye - corr
 
+    def _make_precond(self, obs, lin, hll_inv, hpp, lam, sd):
+        """Build the CG preconditioner apply-closure per
+        options.preconditioner_type."""
+        from povar_tpu.options import PreconditionerType as PT
+
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            return lambda x: x
+        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
+        if pt == PT.JACOBI:
+            # DiagonalPreconditioner (cg/preconditioner.hpp:46-68):
+            # elementwise 1/diag(S), zeros mapped to 1
+            n = diag_blocks.shape[0]
+            d = diag_blocks[jnp.arange(n), jnp.arange(n)].astype(sd)
+            invd = jnp.where(d != 0, 1.0 / d, 1.0)
+            return lambda x: invd * x
+        if pt == PT.SCHUR_JACOBI:
+            diag_chol_s = linalg.cholesky_smallf(diag_blocks).astype(sd)
+
+            def precond(x):
+                y = linalg.solve_lower_trif(diag_chol_s, x)
+                return linalg.solve_upper_from_lowerf(diag_chol_s, y)
+
+            return precond
+        raise ValueError(f"unknown preconditioner type {pt}")
+
     def _solve_pcg(
         self, obs: Obs, lin: Lin1, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -544,15 +570,18 @@ class Stage1Solver:
         returns inc = -x (linearizor_base.cpp:102-125 negation).
 
         Mixed precision like _solve_power: assembly in state dtype, CG
-        iteration in solve_dtype."""
+        iteration in solve_dtype.
+
+        Preconditioner per options.preconditioner_type: SCHUR_JACOBI
+        (block-diagonal of S, cg/preconditioner.hpp:70-144 — the only
+        one the reference's live path allows, linearizor_sc.cpp:143),
+        JACOBI (scalar diagonal of S, DiagonalPreconditioner
+        hpp:46-68), or IDENTITY."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
         hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
-        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
-        diag_chol = linalg.cholesky_smallf(diag_blocks)
 
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
-        diag_chol_s = diag_chol.astype(sd)
         W = self._e0_factor(obs, lin, hll_inv, sd)
         lam_s = lam.astype(sd)
         b_s = b.astype(sd)
@@ -561,9 +590,9 @@ class Stage1Solver:
             bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
             return bx - self._e0_w_matvec(x, obs, W)
 
-        def precond(x):
-            y = linalg.solve_lower_trif(diag_chol_s, x)
-            return linalg.solve_upper_from_lowerf(diag_chol_s, y)
+        precond = self._make_precond(
+            obs, lin, hll_inv, hpp, lam, sd
+        )
 
         res = pcg_mod.conjugate_gradients(
             matvec,
@@ -587,6 +616,13 @@ class Stage1Solver:
         small/medium N (tests, small problems), like the reference's
         SimplicialLLT path. S = blockdiag(Hpp) + lam I - A A^T with
         A = [W_o hll_chol^-T] scattered by (cam, lm)."""
+        if self.n_cams > 1536:
+            raise ValueError(
+                f"CHOLESKY materializes a dense [{self.n_cams * 12}]^2 "
+                "reduced camera system; use POWER_VARPROJ or PCG above "
+                "1536 cameras (the reference's SimplicialLLT serves the "
+                "same small/medium regime)"
+            )
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
         n12 = self.n_cams * 12
         hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
@@ -611,12 +647,15 @@ class Stage1Solver:
         S = S.at[
             blk * 12 + r12[None, :, None], blk * 12 + r12[None, None, :]
         ].add(jnp.transpose(hpp, (2, 0, 1)))
-        S = S + lam * jnp.eye(n12, dtype=S.dtype)
+        # keep the whole assembly+solve in the storage dtype: a raw f64
+        # lam would promote S and make solve_psd_small scatter f64 into
+        # f32 buffers (a future-error in JAX)
+        S = S + lam.astype(S.dtype) * jnp.eye(n12, dtype=S.dtype)
 
-        inc = -linalg.solve_psd_small(S, b.T.reshape(-1)).reshape(
-            self.n_cams, 12
-        )
-        return inc.T, jnp.asarray(1, jnp.int32)
+        inc = -linalg.solve_psd_small(
+            S, b.astype(S.dtype).T.reshape(-1)
+        ).reshape(self.n_cams, 12)
+        return inc.T.astype(self.dtype), jnp.asarray(1, jnp.int32)
 
     # ------------------------------------------------------------- apply
 

@@ -399,26 +399,50 @@ class Stage2Solver:
         )
         return inc.astype(self.dtype), n_iter
 
+    def _schur_diag(self, obs, lin, hll_inv, hpp, lam):
+        """Diagonal 11x11 tangent Schur blocks (see stage1._schur_diag)."""
+        W = small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jl_ns)  # [11, 3, O]
+        Wh = small_einsum("ijo,jko->iko", W, self._gather_lm_x(obs, hll_inv))
+        corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
+        eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
+        return hpp + lam.astype(hpp.dtype) * eye - corr
+
+    def _make_precond(self, obs, lin, hll_inv, hpp, lam, sd):
+        """CG preconditioner per options.preconditioner_type (see
+        stage1._make_precond)."""
+        from povar_tpu.options import PreconditionerType as PT
+
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            return lambda x: x
+        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
+        if pt == PT.JACOBI:
+            n = diag_blocks.shape[0]
+            d = diag_blocks[jnp.arange(n), jnp.arange(n)].astype(sd)
+            invd = jnp.where(d != 0, 1.0 / d, 1.0)
+            return lambda x: invd * x
+        if pt == PT.SCHUR_JACOBI:
+            diag_chol_s = linalg.cholesky_smallf(diag_blocks).astype(sd)
+
+            def precond(x):
+                y = linalg.solve_lower_trif(diag_chol_s, x)
+                return linalg.solve_upper_from_lowerf(diag_chol_s, y)
+
+            return precond
+        raise ValueError(f"unknown preconditioner type {pt}")
+
     def _solve_pcg(
         self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPCG (linearizor_sc.cpp:245-325): implicit tangent RCS +
-        Schur-Jacobi preconditioner; inc = -x of S x = b."""
+        preconditioned CG; inc = -x of S x = b."""
         b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
         hpp = self._seg_cam(
             obs, small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
         )
 
-        W = small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jl_ns)  # [11, 3, O]
-        Wh = small_einsum("ijo,jko->iko", W, self._gather_lm_x(obs, hll_inv))
-        corr = self._seg_cam(obs, small_einsum("iko,jko->ijo", Wh, W))
-        eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
-        diag_blocks = hpp + lam.astype(hpp.dtype) * eye - corr
-        diag_chol = linalg.cholesky_smallf(diag_blocks)
-
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
-        diag_chol_s = diag_chol.astype(sd)
         W = self._e0_factor(obs, lin, hll_inv, sd)
         lam_s = lam.astype(sd)
 
@@ -426,9 +450,7 @@ class Stage2Solver:
             bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
             return bx - self._e0_w_matvec(x, obs, W)
 
-        def precond(x):
-            y = linalg.solve_lower_trif(diag_chol_s, x)
-            return linalg.solve_upper_from_lowerf(diag_chol_s, y)
+        precond = self._make_precond(obs, lin, hll_inv, hpp, lam, sd)
 
         res = pcg_mod.conjugate_gradients(
             matvec,

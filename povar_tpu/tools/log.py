@@ -25,29 +25,32 @@ class AttrDict(dict):
         return AttrDict(v) if isinstance(v, dict) else v
 
 
-def _decode_rle(obj: Any) -> Any:
-    """Decode the reference's {__index: [...], __values: [...]} sparse
-    run-length arrays (python/rootba/log.py semantics): values are
-    placed at the given indices, other slots repeat the previous value
-    (0 before the first index)."""
-    if (
-        isinstance(obj, dict)
-        and "__index" in obj
-        and "__values" in obj
-    ):
-        idx = np.asarray(obj["__index"], dtype=np.int64)
-        vals = np.asarray(obj["__values"])
-        n = int(idx[-1]) + 1 if len(idx) else 0
-        out = np.zeros(n, dtype=vals.dtype)
-        cur = 0
-        k = 0
-        for i in range(n):
-            if k < len(idx) and idx[k] == i:
-                cur = vals[k]
-                k += 1
-            out[i] = cur
+def _convert(data: Any) -> Any:
+    """Decode the reference's `<name>__index` / `<name>__values` pairs
+    (python/rootba/log.py:56-63 semantics): `__values` holds the
+    flattened concatenation of per-entry arrays and `__index` their
+    START offsets, so the field decodes by splitting the value array at
+    the start indices — np.split(values, idx[1:]) — stacking into a 2-D
+    array when all rows have equal length. Applied recursively through
+    mappings and lists at load time."""
+    if isinstance(data, dict):
+        out: Dict[str, Any] = {}
+        for k, v in data.items():
+            if k.endswith("__values"):
+                continue  # handled with its __index twin
+            if k.endswith("__index"):
+                values = np.asarray(data[k[: -len("__index")] + "__values"])
+                idx = list(v)
+                res = np.split(values, idx[1:])
+                if all(len(res[0]) == len(x) for x in res):
+                    res = np.array(res)
+                out[k[: -len("__index")]] = res
+            else:
+                out[k] = _convert(v)
         return out
-    return obj
+    if isinstance(data, list):
+        return [_convert(x) for x in data]
+    return data
 
 
 class Log:
@@ -62,9 +65,9 @@ class Log:
             from povar_tpu.utils import ubjson
 
             with open(path, "rb") as f:
-                return Log(ubjson.loads(f.read()))
+                return Log(_convert(ubjson.loads(f.read())))
         with open(path) as f:
-            return Log(json.load(f))
+            return Log(_convert(json.load(f)))
 
     @property
     def problem_info(self) -> AttrDict:
@@ -77,7 +80,7 @@ class Log:
         self, field: str, section: str = "iterations"
     ) -> np.ndarray:
         its = self._iterations(section)
-        return np.array([_decode_rle(it.get(field, 0.0)) for it in its])
+        return np.array([it.get(field, 0.0) for it in its])
 
     def cost_curve(self, section: str = "iterations"):
         """(cumulative_time, cost) over successful iterations (the

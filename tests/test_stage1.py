@@ -272,3 +272,30 @@ def test_mixed_precision_solve_within_forcing_tolerance():
     np.testing.assert_allclose(
         np.asarray(inc32), np.asarray(inc64), atol=1e-4 * scale
     )
+
+
+def test_pcg_preconditioner_types_agree():
+    """IDENTITY / JACOBI / SCHUR_JACOBI preconditioners change CG's
+    path, not its limit: converged increments must agree (the reference
+    exposes all three enum values, cg/preconditioner.hpp:46-144)."""
+    from povar_tpu.options import PreconditionerType
+
+    incs = {}
+    for pt in PreconditionerType:
+        problem, solver, opts = _make(11)
+        opts.preconditioner_type = pt
+        opts.eta = 1e-10  # drive CG to convergence
+        opts.max_linear_solver_iterations = 500
+        cams = jnp.asarray(problem.cam_space)
+        lms = solver.initialize_varproj(cams)
+        lin = solver.linearize(cams, lms)
+        inc, iters = solver.solve_pcg(lin, jnp.asarray(1e-3))
+        assert int(iters) > 0
+        incs[pt] = np.asarray(inc)
+    ref = incs[PreconditionerType.SCHUR_JACOBI]
+    for pt, inc in incs.items():
+        # each run stops at its own q-tolerance truncation point, so
+        # agreement is to the forcing tolerance, not machine precision
+        np.testing.assert_allclose(
+            inc, ref, rtol=0, atol=1e-2, err_msg=str(pt)
+        )

@@ -6,7 +6,7 @@ import os
 
 import numpy as np
 
-from povar_tpu.tools.log import Log, _decode_rle
+from povar_tpu.tools.log import Log, _convert
 from povar_tpu.tools.run import Experiment, Run
 from povar_tpu.tools.tables import (
     performance_profile,
@@ -38,9 +38,36 @@ def test_log_cost_curve_and_final():
     assert log.total_time() == 9.0
 
 
-def test_rle_decode():
-    out = _decode_rle({"__index": [0, 2, 4], "__values": [1.0, 3.0, 7.0]})
-    np.testing.assert_allclose(out, [1.0, 1.0, 3.0, 3.0, 7.0])
+def test_reference_index_values_decode(tmp_path):
+    """Reference-format `<name>__index/<name>__values` fields must decode
+    with the SPLIT-at-start-indices semantics of python/rootba/log.py:56-63
+    (values concatenated, __index = start offset of each row)."""
+    raw = {
+        "solver": {
+            "cg_iter__index": [0, 3, 5],
+            "cg_iter__values": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            "even__index": [0, 2],
+            "even__values": [10.0, 11.0, 20.0, 21.0],
+            "plain": 5,
+        }
+    }
+    out = _convert(raw)
+    rows = out["solver"]["cg_iter"]
+    assert len(rows) == 3
+    np.testing.assert_allclose(rows[0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(rows[1], [4.0, 5.0])
+    np.testing.assert_allclose(rows[2], [6.0, 7.0])
+    # equal-length rows stack into a 2-D array like the reference
+    np.testing.assert_allclose(
+        out["solver"]["even"], [[10.0, 11.0], [20.0, 21.0]]
+    )
+    assert out["solver"]["plain"] == 5
+
+    # end-to-end through Log.load
+    p = tmp_path / "ba_log.json"
+    p.write_text(json.dumps(raw))
+    log = Log.load(str(p))
+    assert len(log.data["solver"]["cg_iter"]) == 3
 
 
 def test_time_to_cost_tolerance():
