@@ -86,16 +86,22 @@ def main() -> None:
     out = step(cams, lms, lam)
     _ = float(np.asarray(out[2]))
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = step(cams, lms, lam)
-        # force full execution: pull the model-cost scalar to the host
-        # (block_until_ready alone can return before remote execution
-        # completes on tunneled TPU backends)
-        _ = float(np.asarray(out[2]))
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
+    # Iterations are chained THROUGH DEVICE STATE (the updated
+    # cameras/landmarks feed the next step, exactly like the LM loop)
+    # and synced to the host once, so the measurement amortizes the
+    # remote-tunnel round trip (~30 ms on tunneled backends — which a
+    # production host does not pay per iteration). eta=0/r_tol<0 pin
+    # the work per iteration regardless of the evolving state.
+    reps = 20
+    t0 = time.perf_counter()
+    c, l = cams, lms
+    for _ in range(reps):
+        c, l, ld = step(c, l, lam)
+    # force full execution: pull the model-cost scalar to the host
+    # (block_until_ready alone can return before remote execution
+    # completes on tunneled TPU backends)
+    _ = float(np.asarray(ld))
+    t = (time.perf_counter() - t0) / reps
 
     n_obs = problem.num_observations
     flops = flops_per_iteration(n_obs, N_LMS, N_CAMS, POWER_M)

@@ -1,0 +1,807 @@
+"""Structured pOSE kernels: the fused stage-1 compute core (TPU Pallas).
+
+The pOSE residual (bal_bundle_adjustment_helper.cpp:243-313) has
+Kronecker structure that a per-observation storage layout wastes:
+
+  A~ rows:  A0 = sp (P0 - u P2), A1 = sp (P1 - v P2),
+            A2 = sa P0,          A3 = sa P1          (sp^2 + sa^2 = 1)
+  r  = A~ xh - [0, 0, sa u, sa v],   xh = [x, 1]
+  Jl = A~[:, :3]                                     (4 x 3)
+  Jp[k, 4a+j] = C[k, a] xh_j    with C a function of (u, v) only
+
+Consequences exploited here (all verified against the dense forms in
+ops/pose_math.py by tests/test_pallas_pose.py):
+
+  Jp^T Jp      = K (x) (xh xh^T),  K[a,b] 3x3 from (u,v):   9+10 values
+  Jp^T r       = rho (x) xh,       rho[a] 3 values from (r, u, v)
+  Jl^T Jp      = g (x) xh,         g[i,a] = 3x3 from (P, u, v)
+  W = L^T Jl_s^T Jp_s = (h (x) xh) . ps_gather,  h = sw^2 L^T D_jl g
+
+and the Jacobi scalings factor out of every per-camera segment sum:
+pose_scale applies as an outer product on the [12(x12), N] accumulators
+AFTER the reduction, never per observation.
+
+So the solver never materializes Jp [4,12,O], Jl [4,3,O] or W [3,12,O]:
+per-observation state is x [3,O], uv [2,O], w [1,O], r_w [4,O], and the
+9-value factor h [9,O] — an ~8x cut in HBM traffic on the power-series
+hot loop, on top of the on-chip one-hot camera gather/scatter
+(ops/pallas_cam.py) replacing the reference's mutex scatter-add
+(sc/linearization_power_varproj.hpp:364-453).
+
+All kernels are f32 with Precision.HIGHEST incidence matmuls; gating and
+obs-axis padding contract are shared with ops/pallas_cam.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from povar_tpu.ops.pallas_cam import (
+    _HIGHEST,
+    _I0,
+    _interpret,
+    _n_pad,
+    _onehot,
+    _tile,
+)
+
+# robust norm codes (ops/pose_math.py)
+_NONE, _HUBER, _CAUCHY = 0, 1, 2
+
+
+def _obs_spec(rows: int, t: int):
+    return pl.BlockSpec((rows, t), lambda i: (_I0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _fixed_spec(rows: int, cols: int):
+    return pl.BlockSpec((rows, cols), lambda i: (_I0, _I0),
+                        memory_space=pltpu.VMEM)
+
+
+def _gather_table(table_ref, oh):
+    """[R, Npad] table -> [R, T] per-observation rows via the on-chip
+    one-hot incidence."""
+    return jax.lax.dot_general(
+        table_ref[:], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGHEST,
+    )
+
+
+def _scatter_rows(rows, oh):
+    """rows [R, T] -> [R, Npad] per-camera sums."""
+    return jax.lax.dot_general(
+        rows, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGHEST,
+    )
+
+
+def _a_tilde(P, u, v, sp, sa):
+    """A~ [4][4] rows as lists of [T] vectors from P [12, T] rows."""
+    # P rows: P[r*4 + c]
+    A = [[None] * 4 for _ in range(4)]
+    for c in range(4):
+        p0, p1, p2 = P[c], P[4 + c], P[8 + c]
+        A[0][c] = sp * (p0 - u * p2)
+        A[1][c] = sp * (p1 - v * p2)
+        A[2][c] = sa * p0
+        A[3][c] = sa * p1
+    return A
+
+
+def _residual(A, xh, u, v, sa):
+    """pOSE residual rows [4][T] = A~ xh - [0,0,sa u, sa v]."""
+    r = []
+    for k in range(4):
+        acc = A[k][0] * xh[0]
+        for c in range(1, 4):
+            acc += A[k][c] * xh[c]
+        r.append(acc)
+    r[2] = r[2] - sa * u
+    r[3] = r[3] - sa * v
+    return r
+
+
+def _robust_w(res_sq, robust: int, huber: float):
+    """IRLS weight (helper.cpp:50-74); error term not needed here."""
+    if robust == _HUBER:
+        return jnp.where(
+            res_sq < huber * huber,
+            jnp.ones_like(res_sq),
+            huber / jnp.sqrt(jnp.maximum(res_sq, 1e-30)),
+        )
+    return jnp.ones_like(res_sq)
+
+
+# --------------------------------------------------------------- K1
+# One pass over observations at a linearization point: residual,
+# robust weight, and every reduction input the solver needs —
+# ata/atr feed the landmark (Hll) side via slot sums, jpsq is the
+# per-camera Jp column-norm accumulator (scattered in-kernel).
+
+
+def _prepare_kernel(
+    cam_ref, x_ref, uv_ref, m_ref, ct_ref,
+    rw_ref, sw_ref, ata_ref, atr_ref, jpsq_ref,
+    *, alpha, robust, huber, weighted,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        jpsq_ref[:] = jnp.zeros_like(jpsq_ref)
+
+    t = cam_ref.shape[-1]
+    sp = np.float32(np.sqrt(1.0 - alpha))
+    sa = np.float32(np.sqrt(alpha))
+    oh = _onehot(cam_ref[:], ct_ref.shape[-1])
+    P = _gather_table(ct_ref, oh)  # [12, T]
+    u, v = uv_ref[0], uv_ref[1]
+    xh = [x_ref[0], x_ref[1], x_ref[2], jnp.ones_like(u)]
+    mask = m_ref[0] > 0
+
+    A = _a_tilde(P, u, v, sp, sa)
+    r = _residual(A, xh, u, v, sa)
+    r = [jnp.where(mask, rk, 0.0) for rk in r]
+
+    res_sq = r[0] * r[0] + r[1] * r[1] + r[2] * r[2] + r[3] * r[3]
+    if weighted:
+        w = _robust_w(res_sq, robust, huber)
+    else:
+        w = jnp.ones_like(res_sq)
+    w = jnp.where(mask, w, 0.0)
+    sw = jnp.sqrt(w)
+
+    for k in range(4):
+        rw_ref[k, :] = r[k] * sw
+    sw_ref[0, :] = sw
+
+    # ata[i*3+j] = w sum_k A[k][i] A[k][j]; atr[i] = w sum_k A[k][i] r[k]
+    for i in range(3):
+        for j in range(3):
+            acc = A[0][i] * A[0][j]
+            for k in range(1, 4):
+                acc += A[k][i] * A[k][j]
+            ata_ref[i * 3 + j, :] = w * acc
+        acc = A[0][i] * r[0]
+        for k in range(1, 4):
+            acc += A[k][i] * r[k]
+        atr_ref[i, :] = w * acc
+
+    # Jp column norms^2: jpsq[4a+j] = w K[a,a] xh_j^2 with
+    # K diag = [1, 1, sp^2 (u^2+v^2)]
+    kdiag = [jnp.ones_like(u), jnp.ones_like(u), sp * sp * (u * u + v * v)]
+    rows = []
+    for a in range(3):
+        for j in range(4):
+            rows.append(w * kdiag[a] * xh[j] * xh[j])
+    jpsq_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(12, t), oh
+    )
+
+
+def prepare(
+    cam, cam_table, x, uv, mask, *, alpha, robust, huber, weighted=True
+):
+    """Linearization-point pass. Inputs: cam [O] i32, cam_table
+    [12, N] (row-major vec(P) per camera), x [3, O] (landmarks expanded
+    to observations), uv [2, O], mask [1, O] (>0 = live row). Returns
+    (r_w [4,O], sw [1,O], ata [9,O], atr [3,O], jpsq [12,N]).
+
+    `weighted=False` skips the robust weight (the fresh-Jacobian pass of
+    the VarProj back-substitution is unweighted,
+    helper.cpp update_landmark_jacobian_pOSE:382-454)."""
+    o = cam.shape[0]
+    n = cam_table.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+    t = _tile(o, n)
+    kern = functools.partial(
+        _prepare_kernel, alpha=float(alpha), robust=int(robust),
+        huber=float(huber), weighted=bool(weighted),
+    )
+    rw, sw, ata, atr, jpsq = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, o), jnp.float32),
+            jax.ShapeDtypeStruct((1, o), jnp.float32),
+            jax.ShapeDtypeStruct((9, o), jnp.float32),
+            jax.ShapeDtypeStruct((3, o), jnp.float32),
+            jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+        ),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=(
+            _obs_spec(4, t),
+            _obs_spec(1, t),
+            _obs_spec(9, t),
+            _obs_spec(3, t),
+            _fixed_spec(12, n_pad),
+        ),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), x, uv, mask, cam_table)
+    return rw, sw, ata, atr, jpsq[:, :n]
+
+
+# --------------------------------------------------------------- K2
+# Build the 9-value E0 factor h [9, O]:
+#   g[i, a]  (Jl^T Jp = g (x) xh):
+#     g[i,0] = P0i - sp^2 u P2i
+#     g[i,1] = P1i - sp^2 v P2i
+#     g[i,2] = sp^2 ( (u^2+v^2) P2i - u P0i - v P1i )
+#   h[c, a] = w sum_i (jls_i L[i,c]) g[i, a]
+# where L [3,3] is the Cholesky factor of Hll^-1 (slot-expanded) and
+# jls the landmark Jacobi column scale.
+
+
+def _h_kernel(cam_ref, uv_ref, w_ref, jls_ref, lh_ref, ct_ref, h_ref,
+              *, alpha):
+    sp2 = np.float32(1.0 - alpha)
+    oh = _onehot(cam_ref[:], ct_ref.shape[-1])
+    P = _gather_table(ct_ref, oh)
+    u, v = uv_ref[0], uv_ref[1]
+    w = w_ref[0]
+
+    g = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        p0, p1, p2 = P[i], P[4 + i], P[8 + i]
+        g[i][0] = p0 - sp2 * u * p2
+        g[i][1] = p1 - sp2 * v * p2
+        g[i][2] = sp2 * ((u * u + v * v) * p2 - u * p0 - v * p1)
+
+    for c in range(3):
+        for a in range(3):
+            acc = jls_ref[0] * lh_ref[c, :] * g[0][a]
+            acc += jls_ref[1] * lh_ref[3 + c, :] * g[1][a]
+            acc += jls_ref[2] * lh_ref[6 + c, :] * g[2][a]
+            h_ref[c * 3 + a, :] = w * acc
+
+
+def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha):
+    """h [9, O] (layout c*3+a). Inputs: w [1,O] robust weight (not
+    sqrt), jls [3,O] landmark scale expanded to obs, lh [9,O] chol of
+    Hll^-1 expanded to obs (row-major i*3+c)."""
+    o = cam.shape[0]
+    n = cam_table.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+    t = _tile(o, n)
+    return pl.pallas_call(
+        functools.partial(_h_kernel, alpha=float(alpha)),
+        out_shape=jax.ShapeDtypeStruct((9, o), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(9, t),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=_obs_spec(9, t),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), uv, w, jls, lh, cam_table)
+
+
+# --------------------------------------------------------------- K3
+# Fused Hpp + b assembly from the structured form (prepare_Hb_pOSE,
+# sc/linearization_power_varproj.hpp:126-188):
+#   r~      = r_w - Jl_s (Hll^-1 bl)          (per obs, on the fly)
+#   b_raw   = seg_cam( rho (x) xh )           rho from (r~, u, v)
+#   hpp_raw = seg_cam( w K (x) xh xh^T )
+# the caller applies pose_scale as ps (x) ps / ps outer products.
+
+
+def _hpp_b_kernel(
+    cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, hib_ref, ct_ref,
+    hpp_ref, b_ref, *, alpha,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hpp_ref[:] = jnp.zeros_like(hpp_ref)
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    t = cam_ref.shape[-1]
+    sp = np.float32(np.sqrt(1.0 - alpha))
+    sa = np.float32(np.sqrt(alpha))
+    sp2 = sp * sp
+    oh = _onehot(cam_ref[:], ct_ref.shape[-1])
+    P = _gather_table(ct_ref, oh)
+    u, v = uv_ref[0], uv_ref[1]
+    sw = sw_ref[0]
+    xh = [x_ref[0], x_ref[1], x_ref[2], jnp.ones_like(u)]
+
+    A = _a_tilde(P, u, v, sp, sa)
+    # r~ = r_w - Jl_s hib,  Jl_s[k,i] = A[k][i] sw jls_i
+    rt = []
+    for k in range(4):
+        corr = A[k][0] * jls_ref[0] * hib_ref[0]
+        corr += A[k][1] * jls_ref[1] * hib_ref[1]
+        corr += A[k][2] * jls_ref[2] * hib_ref[2]
+        rt.append(rw_ref[k, :] - sw * corr)
+
+    # rho[a]: Jp^T r~ = rho (x) xh, with the sqrt-weight already in r~
+    # and one more sw from Jp_s's weighting
+    rho = [
+        sw * (sp * rt[0] + sa * rt[2]),
+        sw * (sp * rt[1] + sa * rt[3]),
+        sw * (-sp * (u * rt[0] + v * rt[1])),
+    ]
+    rows = []
+    for a in range(3):
+        for j in range(4):
+            rows.append(rho[a] * xh[j])
+    b_ref[:] += _scatter_rows(jnp.stack(rows, axis=0).reshape(12, t), oh)
+
+    # K (x) xh xh^T with w = sw^2
+    w = sw * sw
+    K = [[jnp.ones_like(u), jnp.zeros_like(u), -sp2 * u],
+         [jnp.zeros_like(u), jnp.ones_like(u), -sp2 * v],
+         [-sp2 * u, -sp2 * v, sp2 * (u * u + v * v)]]
+    rows = []
+    for a in range(3):
+        for i in range(4):
+            wk = w * xh[i]
+            for bb in range(3):
+                for j in range(4):
+                    rows.append(wk * K[a][bb] * xh[j])
+    hpp_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(144, t), oh
+    )
+
+
+def hpp_b_structured(
+    cam, cam_table, x, uv, sw, r_w, jls, hib, n_cams, *, alpha
+):
+    """(hpp_raw [144, N], b_raw [12, N]) per-camera sums BEFORE the
+    pose-scale outer products (row layout (4a+i)*12 + (4b+j))."""
+    o = cam.shape[0]
+    n_pad = _n_pad(n_cams)
+    nt = cam_table.shape[-1]
+    if _n_pad(nt) != nt:
+        cam_table = jnp.pad(cam_table, ((0, 0), (0, _n_pad(nt) - nt)))
+    t = min(_tile(o, n_cams), 2048)
+    hpp, b = pl.pallas_call(
+        functools.partial(_hpp_b_kernel, alpha=float(alpha)),
+        out_shape=(
+            jax.ShapeDtypeStruct((144, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+        ),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _obs_spec(4, t),
+            _obs_spec(3, t),
+            _obs_spec(3, t),
+            _fixed_spec(12, _n_pad(nt)),
+        ],
+        out_specs=(
+            _fixed_spec(144, n_pad),
+            _fixed_spec(12, n_pad),
+        ),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), x, uv, sw, r_w, jls, hib, cam_table)
+    return hpp[:, :n_cams], b[:, :n_cams]
+
+
+# ------------------------------------------------------------ K4/K5
+# Power-series E0 matvec through the 9-value factor:
+#   u[c]   = sum_a h[c,a] y[a],  y[a] = sum_j xh_j (ps x)[cam][4a+j]
+#   out    = ps . seg_cam( t (x) xh ),  t[a] = sum_c h[c,a] sb[c]
+# The pose scale rides the z-table on the way in and the accumulator
+# on the way out — never touching per-observation arrays.
+
+
+def _e0_u_kernel(cam_ref, x_ref, h_ref, zt_ref, u_ref):
+    oh = _onehot(cam_ref[:], zt_ref.shape[-1])
+    zc = _gather_table(zt_ref, oh)  # [12, T]
+    xh = [x_ref[0], x_ref[1], x_ref[2]]
+    y = []
+    for a in range(3):
+        acc = zc[4 * a + 3, :]  # xh_3 = 1
+        for j in range(3):
+            acc += xh[j] * zc[4 * a + j, :]
+        y.append(acc)
+    for c in range(3):
+        u_ref[c, :] = (h_ref[c * 3 + 0, :] * y[0]
+                       + h_ref[c * 3 + 1, :] * y[1]
+                       + h_ref[c * 3 + 2, :] * y[2])
+
+
+def e0_u_structured(cam, x, h, z_table):
+    """u [3, O] = W_o . z[:, cam(o)] with z_table = ps . xvec [12, N]."""
+    o = cam.shape[0]
+    n = z_table.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
+    t = _tile(o, n)
+    return pl.pallas_call(
+        _e0_u_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(9, t),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=_obs_spec(3, t),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), x, h, z_table)
+
+
+def _e0_scatter_kernel(cam_ref, x_ref, h_ref, sb_ref, out_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = cam_ref.shape[-1]
+    xh = [x_ref[0], x_ref[1], x_ref[2], None]
+    tt = []
+    for a in range(3):
+        acc = h_ref[a, :] * sb_ref[0, :]
+        acc += h_ref[3 + a, :] * sb_ref[1, :]
+        acc += h_ref[6 + a, :] * sb_ref[2, :]
+        tt.append(acc)
+    rows = []
+    for a in range(3):
+        for j in range(4):
+            rows.append(tt[a] if j == 3 else tt[a] * xh[j])
+    oh = _onehot(cam_ref[:], out_ref.shape[-1])
+    out_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(12, t), oh
+    )
+
+
+def e0_scatter_structured(cam, x, h, sb, n_cams):
+    """out_raw [12, N] = seg_cam( (h^T sb) (x) xh ); caller multiplies
+    by the pose scale."""
+    o = cam.shape[0]
+    n_pad = _n_pad(n_cams)
+    t = _tile(o, n_cams)
+    out = pl.pallas_call(
+        _e0_scatter_kernel,
+        out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(9, t),
+            _obs_spec(3, t),
+        ],
+        out_specs=_fixed_spec(12, n_pad),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), x, h, sb)
+    return out[:, :n_cams]
+
+
+# --------------------------------------------------------------- K6
+# Model-cost decrease for the VarProj apply
+# (back_substitute_pOSE, sc/landmark_block.hpp:670-707):
+#   j_inc = Jp(new cams) inc_gathered + Jl_stored inc_lm
+#   l_diff = -sum j_inc . (0.5 j_inc + r_w)
+# Jp inc via the structure: Jp q = [sp (q~0 - u q~2), sp (q~1 - v q~2),
+# sa q~0, sa q~1], q~a = sum_j q[4a+j] xh_j.
+
+
+def _ldiff_kernel(
+    cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, ilm_ref,
+    ct_new_ref, ct_old_ref, it_ref, out_ref, *, alpha,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sp = np.float32(np.sqrt(1.0 - alpha))
+    sa = np.float32(np.sqrt(alpha))
+    oh = _onehot(cam_ref[:], ct_new_ref.shape[-1])
+    q = _gather_table(it_ref, oh)  # inc (scaled coords) per obs [12, T]
+    Pn = _gather_table(ct_new_ref, oh)
+    Po = _gather_table(ct_old_ref, oh)
+    u, v = uv_ref[0], uv_ref[1]
+    sw = sw_ref[0]
+    xh = [x_ref[0], x_ref[1], x_ref[2], jnp.ones_like(u)]
+
+    qt = []
+    for a in range(3):
+        acc = q[4 * a + 3, :]
+        for j in range(3):
+            acc += xh[j] * q[4 * a + j, :]
+        qt.append(acc)
+    # fresh Jp at the NEW cameras is mask/weight-free in the reference;
+    # but q is zero only where inc is — apply the mask via sw==0 rows
+    # of the stored r_w (pads have r_w = 0 AND jinc contributions that
+    # must vanish): zero via the stored sw mask.
+    live = sw > 0
+    jp_inc = [
+        sp * (qt[0] - u * qt[2]),
+        sp * (qt[1] - v * qt[2]),
+        sa * qt[0],
+        sa * qt[1],
+    ]
+
+    # Jl_stored inc_lm: Jl_s[k,i] = A_old[k][i] sw jls_i
+    Ao = _a_tilde(Po, u, v, sp, sa)
+    del Pn  # fresh Jp uses only the structure (xh, u, v), not P itself
+    ld = jnp.zeros_like(u)
+    for k in range(4):
+        jl_inc = (Ao[k][0] * jls_ref[0] * ilm_ref[0]
+                  + Ao[k][1] * jls_ref[1] * ilm_ref[1]
+                  + Ao[k][2] * jls_ref[2] * ilm_ref[2]) * sw
+        j_inc = jnp.where(live, jp_inc[k] + jl_inc, 0.0)
+        ld += j_inc * (0.5 * j_inc + rw_ref[k, :])
+    t = ld.shape[-1]
+    out_ref[0, :] += jnp.sum(ld.reshape(t // 128, 128), axis=0)
+
+
+def apply_ldiff(
+    cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_new, cam_table_old,
+    inc_table, *, alpha
+):
+    """-l_diff partial sums [128]; sum() for the model cost decrease.
+    inc_table [12, N] is the scaled camera increment; inc_lm_obs [3, O]
+    the (unscaled) landmark increment expanded to observations."""
+    o = cam.shape[0]
+    n = cam_table_new.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        cam_table_new = jnp.pad(cam_table_new, pad)
+        cam_table_old = jnp.pad(cam_table_old, pad)
+        inc_table = jnp.pad(inc_table, pad)
+    t = _tile(o, n)
+    out = pl.pallas_call(
+        functools.partial(_ldiff_kernel, alpha=float(alpha)),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _obs_spec(4, t),
+            _obs_spec(3, t),
+            _obs_spec(3, t),
+            _fixed_spec(12, n_pad),
+            _fixed_spec(12, n_pad),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=_fixed_spec(1, 128),
+        interpret=_interpret(),
+    )(
+        cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
+        cam_table_new, cam_table_old, inc_table,
+    )
+    return out[0]
+
+
+# --------------------------------------------------------------- K7
+# poBA back-substitution input (back_substitute_poBA,
+# sc/landmark_block.hpp:625-668): t3 = Jl_s^T (r_w + Jp_s inc), with
+# Jp_s inc computed through the structure and the z-table
+# (zt = ps . inc per camera), per-landmark slot-summed by the caller.
+
+
+def _poba_t3_kernel(
+    cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, zt_ref, ct_ref,
+    t3_ref, *, alpha,
+):
+    sp = np.float32(np.sqrt(1.0 - alpha))
+    sa = np.float32(np.sqrt(alpha))
+    oh = _onehot(cam_ref[:], zt_ref.shape[-1])
+    q = _gather_table(zt_ref, oh)
+    P = _gather_table(ct_ref, oh)
+    u, v = uv_ref[0], uv_ref[1]
+    sw = sw_ref[0]
+    xh = [x_ref[0], x_ref[1], x_ref[2]]
+
+    qt = []
+    for a in range(3):
+        acc = q[4 * a + 3, :]
+        for j in range(3):
+            acc += xh[j] * q[4 * a + j, :]
+        qt.append(acc)
+    jp_inc = [
+        sw * sp * (qt[0] - u * qt[2]),
+        sw * sp * (qt[1] - v * qt[2]),
+        sw * sa * qt[0],
+        sw * sa * qt[1],
+    ]
+    A = _a_tilde(P, u, v, sp, sa)
+    for i in range(3):
+        acc = A[0][i] * (rw_ref[0, :] + jp_inc[0])
+        for k in range(1, 4):
+            acc += A[k][i] * (rw_ref[k, :] + jp_inc[k])
+        t3_ref[i, :] = acc * sw * jls_ref[i]
+
+
+def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha):
+    """t3 [3, O] = Jl_s^T (r_w + Jp_s inc); slot-sum for the poBA
+    landmark system right-hand side."""
+    o = cam.shape[0]
+    n = cam_table.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+        z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
+    t = _tile(o, n)
+    return pl.pallas_call(
+        functools.partial(_poba_t3_kernel, alpha=float(alpha)),
+        out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _obs_spec(4, t),
+            _obs_spec(3, t),
+            _fixed_spec(12, n_pad),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=_obs_spec(3, t),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), x, uv, sw, r_w, jls, z_table, cam_table)
+
+
+# --------------------------------------------------------------- K8
+# Structured Schur-Jacobi diagonal correction: because each landmark
+# observes a camera at most once, the (i,i) Schur block couples an
+# observation only with itself (stage1._schur_diag), and
+#   W_s Hll^-1 W_s^T per obs = (h^T h) (x) (xh xh^T) . (ps ps^T)
+# so the SCHUR_JACOBI preconditioner costs one streaming pass.
+
+
+def _schur_diag_kernel(cam_ref, x_ref, h_ref, out_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = cam_ref.shape[-1]
+    xh = [x_ref[0], x_ref[1], x_ref[2], None]
+    hth = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(a + 1):
+            acc = h_ref[a, :] * h_ref[b, :]
+            acc += h_ref[3 + a, :] * h_ref[3 + b, :]
+            acc += h_ref[6 + a, :] * h_ref[6 + b, :]
+            hth[a][b] = acc
+            hth[b][a] = acc
+    rows = []
+    for a in range(3):
+        for i in range(4):
+            xi = None if i == 3 else xh[i]
+            for b in range(3):
+                for j in range(4):
+                    r = hth[a][b]
+                    if xi is not None:
+                        r = r * xi
+                    if j != 3:
+                        r = r * xh[j]
+                    rows.append(r)
+    oh = _onehot(cam_ref[:], out_ref.shape[-1])
+    out_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(144, t), oh
+    )
+
+
+def schur_diag_structured(cam, x, h, n_cams):
+    """corr_raw [144, N] = seg_cam( (h^T h) (x) xh xh^T ); the caller
+    applies the ps (x) ps outer and subtracts from the damped Hpp."""
+    o = cam.shape[0]
+    n_pad = _n_pad(n_cams)
+    t = min(_tile(o, n_cams), 2048)
+    out = pl.pallas_call(
+        _schur_diag_kernel,
+        out_shape=jax.ShapeDtypeStruct((144, n_pad), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(9, t),
+        ],
+        out_specs=_fixed_spec(144, n_pad),
+        interpret=_interpret(),
+    )(cam.reshape(1, o), x, h)
+    return out[:, :n_cams]
+
+
+# --------------------------------------------------------------- K9
+# Model-cost decrease from the STORED scaled Jacobians (poBA apply,
+# back_substitute_poBA): j_inc = Jp_s inc + Jl_s inc_lm_scaled with
+# Jp_s inc = sw . structure(q~), q = (ps . inc) gathered.
+
+
+def _ldiff_stored_kernel(
+    cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, ilm_ref,
+    ct_old_ref, zt_ref, out_ref, *, alpha,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sp = np.float32(np.sqrt(1.0 - alpha))
+    sa = np.float32(np.sqrt(alpha))
+    oh = _onehot(cam_ref[:], zt_ref.shape[-1])
+    q = _gather_table(zt_ref, oh)
+    Po = _gather_table(ct_old_ref, oh)
+    u, v = uv_ref[0], uv_ref[1]
+    sw = sw_ref[0]
+    xh = [x_ref[0], x_ref[1], x_ref[2]]
+
+    qt = []
+    for a in range(3):
+        acc = q[4 * a + 3, :]
+        for j in range(3):
+            acc += xh[j] * q[4 * a + j, :]
+        qt.append(acc)
+    jp_inc = [
+        sw * sp * (qt[0] - u * qt[2]),
+        sw * sp * (qt[1] - v * qt[2]),
+        sw * sa * qt[0],
+        sw * sa * qt[1],
+    ]
+    Ao = _a_tilde(Po, u, v, sp, sa)
+    ld = jnp.zeros_like(u)
+    for k in range(4):
+        jl_inc = (Ao[k][0] * jls_ref[0] * ilm_ref[0]
+                  + Ao[k][1] * jls_ref[1] * ilm_ref[1]
+                  + Ao[k][2] * jls_ref[2] * ilm_ref[2]) * sw
+        j_inc = jp_inc[k] + jl_inc
+        ld += j_inc * (0.5 * j_inc + rw_ref[k, :])
+    t = ld.shape[-1]
+    out_ref[0, :] += jnp.sum(ld.reshape(t // 128, 128), axis=0)
+
+
+def apply_ldiff_stored(
+    cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_old, z_table,
+    *, alpha
+):
+    """-l_diff partial sums [128] for the poBA apply; z_table [12, N]
+    = pose_scale . inc (scaled increment through the z-table trick)."""
+    o = cam.shape[0]
+    n = cam_table_old.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        cam_table_old = jnp.pad(cam_table_old, pad)
+        z_table = jnp.pad(z_table, pad)
+    t = _tile(o, n)
+    out = pl.pallas_call(
+        functools.partial(_ldiff_stored_kernel, alpha=float(alpha)),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _obs_spec(4, t),
+            _obs_spec(3, t),
+            _obs_spec(3, t),
+            _fixed_spec(12, n_pad),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=_fixed_spec(1, 128),
+        interpret=_interpret(),
+    )(
+        cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
+        cam_table_old, z_table,
+    )
+    return out[0]

@@ -135,6 +135,12 @@ class SolverOptions:
     # halves the hot-loop cost. Disable for bitwise-strict f64 solves.
     mixed_precision_solves: bool = True
 
+    # Fused Pallas camera-gather/scatter kernels (ops/pallas_cam.py).
+    # "auto": on TPU backends whenever the problem shape supports them
+    # (f32 inner solves, <= ~2k cameras); "on": force (interpreter mode
+    # off-TPU — slow, for tests); "off": always use the XLA lowering.
+    pallas_kernels: str = "auto"
+
     def use_projection_validity_check(self) -> bool:
         """solver_options.cpp:41-52: false iff optimized_cost == ERROR."""
         return self.optimized_cost != OptimizedCost.ERROR

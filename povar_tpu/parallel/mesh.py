@@ -82,6 +82,9 @@ def shard_obs(solver, mesh: Mesh) -> None:
     cam_perm) is sharded; boundary arrays are replicated."""
     from povar_tpu.solver.stage1 import Obs
 
+    # pallas_call has no GSPMD partitioning rules — the sharded path
+    # uses the XLA gather/one-hot lowering throughout
+    solver.use_pallas = False
     sh_o = NamedSharding(mesh, P(OBS_AXIS))
     sh_uv = NamedSharding(mesh, P(None, OBS_AXIS))
     sh_rep = NamedSharding(mesh, P())

@@ -152,24 +152,34 @@ def padded_segment_sum(x: jnp.ndarray, red: PaddedReduce) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------
 # Slot layout: the observation axis itself is reordered once (at solver
-# construction) so that each landmark's observations occupy a fixed-
-# width contiguous slot, bucketed by exact observation count. The
-# per-landmark segment sum then degenerates to reshape + sum over the
-# minor axis, and the inverse expansion (per-landmark value -> per-
-# observation) to slice + broadcast — no index gathers at all, which on
-# TPU run far below streaming bandwidth. Rare large landmarks (count >
-# SLOT_EXACT_MAX) are padded up to powers of two with zero-weight slots.
+# construction) so that each bucket of landmarks with equal (padded)
+# observation count w occupies a contiguous block ordered SLOT-ELEMENT-
+# MAJOR: lane index = k * G + g for slot element k of landmark g. The
+# per-landmark segment sum is then a sum of w contiguous [.., G] slices
+# (the reshape [.., w*G] -> [.., w, G] keeps the big landmark axis on
+# the vector lanes — a landmark-major (g, w) reshape would pad the
+# w-wide minor dim to 128 lanes, a 25x memory blowup measured at 75% of
+# the power-series term cost), and the inverse expansion is a broadcast
+# — no index gathers at all, which on TPU run far below streaming
+# bandwidth. Rare large landmarks (count > SLOT_EXACT_MAX) are padded
+# up to powers of two with zero-weight slots.
 # ---------------------------------------------------------------------
 
 SLOT_EXACT_MAX = 64
 
 
-def build_slot_plan(obs_lm: np.ndarray, num_landmarks: int):
+def build_slot_plan(obs_lm: np.ndarray, num_landmarks: int, pad_to: int = 1):
     """Returns (perm, pad_weight, shapes, lm_order, inv_pos):
     perm [O_pad] original-obs position per slot (pads repeat a position),
     pad_weight [O_pad] 0/1, shapes = tuple of (num_landmarks_in_bucket,
-    slot_width), lm_order [M] canonical lm id per slot-row,
-    inv_pos [M] position of canonical lm id in lm_order."""
+    slot_width), lm_order [M (+1)] canonical lm id per slot-row,
+    inv_pos [M] position of canonical lm id in lm_order.
+
+    pad_to > 1 appends a zero-weight tail block so the total padded
+    length is a multiple (Pallas kernels tile the obs axis; multi-chip
+    sharding divides it). The tail forms an extra fake slot row whose
+    sum is dropped by inv_pos and whose expansion broadcasts landmark 0
+    (masked everywhere by the zero weight)."""
     obs_lm = np.asarray(obs_lm)
     order = np.argsort(obs_lm, kind="stable")
     sorted_ids = obs_lm[order]
@@ -198,8 +208,9 @@ def build_slot_plan(obs_lm: np.ndarray, num_landmarks: int):
             blk_idx[row, :c] = pos
             blk_idx[row, c:] = pos[0] if c > 0 else 0
             blk_w[row, :c] = 1.0
-        perm_parts.append(blk_idx.reshape(-1))
-        weight_parts.append(blk_w.reshape(-1))
+        # slot-element-major: lane = k * G + g (see module comment)
+        perm_parts.append(blk_idx.T.reshape(-1))
+        weight_parts.append(blk_w.T.reshape(-1))
         shapes.append((g, int(w)))
         lm_order_parts.append(lms)
     perm = np.concatenate(perm_parts)
@@ -207,6 +218,12 @@ def build_slot_plan(obs_lm: np.ndarray, num_landmarks: int):
     lm_order = np.concatenate(lm_order_parts).astype(np.int32)
     inv_pos = np.empty(num_landmarks, dtype=np.int32)
     inv_pos[lm_order] = np.arange(num_landmarks, dtype=np.int32)
+    if pad_to > 1 and len(perm) % pad_to:
+        tail = pad_to - len(perm) % pad_to
+        perm = np.concatenate([perm, np.zeros(tail, perm.dtype)])
+        pad_weight = np.concatenate([pad_weight, np.zeros(tail)])
+        shapes.append((1, int(tail)))
+        lm_order = np.concatenate([lm_order, np.zeros(1, np.int32)])
     return perm, pad_weight, tuple(shapes), lm_order, inv_pos
 
 
@@ -214,12 +231,13 @@ def slot_segment_sum(
     x: jnp.ndarray, shapes, inv_pos: jnp.ndarray
 ) -> jnp.ndarray:
     """Per-landmark sum for slot-ordered x [..., O_pad] -> [..., M]
-    (canonical landmark order)."""
+    (canonical landmark order). Buckets are slot-element-major, so the
+    sum keeps the big landmark axis on the vector lanes."""
     parts = []
     ofs = 0
     for g, w in shapes:
         blk = x[..., ofs : ofs + g * w]
-        parts.append(blk.reshape(x.shape[:-1] + (g, w)).sum(axis=-1))
+        parts.append(blk.reshape(x.shape[:-1] + (w, g)).sum(axis=-2))
         ofs += g * w
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     return jnp.take(out, inv_pos, axis=-1)
@@ -237,7 +255,7 @@ def slot_expand(
         blk = s_slot[..., ofs : ofs + g]
         parts.append(
             jnp.broadcast_to(
-                blk[..., None], blk.shape + (w,)
+                blk[..., None, :], blk.shape[:-1] + (w, g)
             ).reshape(s.shape[:-1] + (g * w,))
         )
         ofs += g

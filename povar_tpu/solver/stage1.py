@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from povar_tpu.ops.small_einsum import small_einsum
 
-from povar_tpu.ops import linalg, pose_math
+from povar_tpu.ops import linalg, pallas_cam, pallas_pose, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverType
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info
@@ -101,6 +101,25 @@ class Lin1(NamedTuple):
     jl_scale: jnp.ndarray  # [3, M]
 
 
+class Lin1S(NamedTuple):
+    """Structured step-1 linearization point (Pallas path): the
+    Kronecker-factored storage that replaces the Jp/Jl arrays entirely
+    (see ops/pallas_pose.py). Everything f32.
+
+    hll_raw/bl_raw are the UNSCALED landmark normal-equation slot sums
+    (w A~^T A~, w A~^T r); the Jacobi scales apply as tiny outer
+    products on [.., M]/[.., N] tables, never per observation."""
+
+    ct: jnp.ndarray  # [12, N] camera table (vec(P) rows) at lin point
+    x: jnp.ndarray  # [3, O] landmarks expanded to observations
+    r_w: jnp.ndarray  # [4, O] sqrt-weighted residuals
+    sw: jnp.ndarray  # [1, O] sqrt robust weight (0 on dead rows)
+    hll_raw: jnp.ndarray  # [3, 3, M]
+    bl_raw: jnp.ndarray  # [3, M]
+    jl_scale: jnp.ndarray  # [3, M]
+    pose_scale: jnp.ndarray  # [12, N]
+
+
 def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
     """Zero out padded observation lanes (no-op when unpadded)."""
     if obs.weight is None:
@@ -111,7 +130,7 @@ def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
 
 def make_obs(
     obs_cam, obs_lm, obs_uv, num_cameras, num_landmarks, dtype, obs_weight,
-    solve_dtype=None,
+    solve_dtype=None, build_onehot=True,
 ):
     """Build the slot-ordered Obs pytree. Returns (obs, lm_slot_shapes);
     the shapes are static Python ints kept on the solver (outside the
@@ -125,7 +144,7 @@ def make_obs(
         obs_uv_np = obs_uv_np.T  # accept [O, 2] input, use [2, O]
 
     perm, pad_w, shapes, lm_order, inv_pos = build_slot_plan(
-        obs_lm_np, num_landmarks
+        obs_lm_np, num_landmarks, pad_to=pallas_cam.OBS_PAD
     )
     cam_slot = obs_cam_np[perm]
     lm_slot = obs_lm_np[perm]
@@ -137,7 +156,8 @@ def make_obs(
 
     cam_onehot = None
     if (
-        solve_dtype == jnp.float32
+        build_onehot
+        and solve_dtype == jnp.float32
         and len(cam_slot) * num_cameras * 4 <= ONEHOT_BUDGET_BYTES
     ):
         oh = np.zeros((len(cam_slot), num_cameras), dtype=np.float32)
@@ -186,9 +206,35 @@ class Stage1Solver:
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
         )
+        # fused Pallas camera-side kernels (ops/pallas_cam.py): gated on
+        # shape support; "auto" additionally requires a real TPU backend
+        # (off-TPU they run in the interpreter — only useful for tests).
+        # parallel.mesh.shard_obs turns this off: pallas_call does not
+        # partition under GSPMD (multi-chip uses the XLA lowering).
+        # make_obs always pads the obs axis to OBS_PAD, so support is
+        # a function of camera count and dtype alone.
+        mode = options.pallas_kernels
+        shape_ok = pallas_cam.supported(
+            pallas_cam.OBS_PAD, self.n_cams, self.solve_dtype
+        )
+        if mode == "on" and not shape_ok:
+            raise ValueError(
+                "pallas_kernels='on' but the problem shape is unsupported "
+                f"(n_cams={self.n_cams} <= {pallas_cam.MAX_CAMERAS}, f32 "
+                "inner solves required)"
+            )
+        self.use_pallas = shape_ok and (
+            mode == "on"
+            or (mode == "auto" and jax.default_backend() == "tpu")
+        )
+        # the dense direct solve needs the explicit per-observation W
+        # blocks; it serves small problems where the XLA path is fast
+        if options.solver_type_step_1 == SolverType.CHOLESKY:
+            self.use_pallas = False
         self.obs, self.lm_shapes = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
+            build_onehot=not self.use_pallas,
         )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
@@ -290,14 +336,22 @@ class Stage1Solver:
         return jnp.stack(rows, axis=0)  # [I, J, N]
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        """[..., O] -> [..., N] per-camera reduction (MXU one-hot
-        matmul when available and f32, else bucketed gather+sum)."""
+        """[..., O] -> [..., N] per-camera reduction (fused Pallas
+        scatter, MXU one-hot matmul, or bucketed gather+sum)."""
+        if self.use_pallas and x.dtype == jnp.float32:
+            flat = x.reshape(-1, x.shape[-1])
+            out = pallas_cam.cam_scatter_add(flat, obs.cam, self.n_cams)
+            return out.reshape(x.shape[:-1] + (self.n_cams,))
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_segment_sum(x, obs.cam_onehot)
         return padded_segment_sum(x, obs.cam_red)
 
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """x [..., N] -> per-observation [..., O]."""
+        if self.use_pallas and x.dtype == jnp.float32:
+            flat = x.reshape(-1, x.shape[-1])
+            out = pallas_cam.cam_gather(flat, obs.cam)
+            return out.reshape(x.shape[:-1] + (out.shape[-1],))
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_gather(x, obs.cam_onehot)
         return x[..., obs.cam]
@@ -312,10 +366,13 @@ class Stage1Solver:
         over the landmark slots."""
         return slot_expand(s, self.lm_shapes, obs.lm_order)
 
-    @staticmethod
-    def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
+    def _gather_cams(self, obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
         """cam_space [N,3,4] -> per-obs P [3,4,O]."""
-        return jnp.transpose(cam_space, (1, 2, 0))[:, :, obs.cam]
+        t = jnp.transpose(cam_space, (1, 2, 0))  # [3, 4, N]
+        if self.use_pallas and cam_space.dtype == jnp.float32:
+            o = pallas_cam.cam_gather(t.reshape(12, -1), obs.cam)
+            return o.reshape(3, 4, -1)
+        return t[:, :, obs.cam]
 
     # ------------------------------------------------------ error / init
 
@@ -349,7 +406,23 @@ class Stage1Solver:
         """Closed-form VarProj landmark init v*(u0) = (G^T G)^-1 G^T z
         (helper.cpp:75-99 via normal equations instead of thin SVD; the
         reference documents this identity at helper.cpp:218-219).
-        Returns lm_p [M, 3]."""
+        Returns lm_p [M, 3].
+
+        Structured path: at x = 0 the pOSE residual is r = A~ e4 - corr
+        = -z and A~[:, :3] = G, so one `prepare` pass with zero
+        landmarks yields G^T G = ata and G^T z = -atr exactly."""
+        if self.use_pallas:
+            o = obs.cam.shape[0]
+            ct = cam_space.astype(jnp.float32).reshape(self.n_cams, 12).T
+            zeros = jnp.zeros((3, o), jnp.float32)
+            _rw, _sw, ata, atr, _jpsq = pallas_pose.prepare(
+                obs.cam, ct, zeros, obs.uv.astype(jnp.float32),
+                self._mask1(obs), alpha=self.alpha, robust=0,
+                huber=1.0, weighted=False,
+            )
+            gtg = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
+            gtz = -self._seg_lm(obs, atr)
+            return linalg.solve3x3f(gtg, gtz).T.astype(self.dtype)
         P = self._gather_cams(obs, cam_space)
         gtg, gtz = pose_math.varproj_init_normal_eq_t(P, obs.uv, self.alpha)
         gtg_lm = self._seg_lm(obs, _mask_rows(obs, gtg))  # [3, 3, M]
@@ -374,6 +447,8 @@ class Stage1Solver:
         dtype (f32): every LM decision is driven by f64 costs of exact
         f64 states, so f32 Jacobian storage only perturbs the *steps*
         at ~1e-7 relative — inside the forcing tolerance."""
+        if self.use_pallas:
+            return self._linearize_s(obs, cam_space, lm_p)
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
         x = self._gather_lm_x(obs, lm_p.astype(sd).T)
@@ -417,7 +492,7 @@ class Stage1Solver:
         (sc/linearization_power_varproj.hpp:126-188):
           hll_inv [3,3,M]   = (Jl^T Jl (+ lam I for poBA))^-1
           b       [12,N]    = sum_obs Jp^T (r - Jl hll_inv bl)
-          b_inv   [12,12,N] = (blockdiag(Jp^T Jp) + lam I)^-1
+          hpp     [12,12,N] = blockdiag(Jp^T Jp), undamped
         """
         lam = lam.astype(lin.Jl.dtype)
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
@@ -432,12 +507,18 @@ class Stage1Solver:
         r_tilde = lin.r - small_einsum(
             "ijo,jo->io", lin.Jl, self._gather_lm_x(obs, hll_inv_bl)
         )
-        b = self._seg_cam(obs, small_einsum("kio,ko->io", lin.Jp, r_tilde))
-
-        hpp = self._seg_cam_outer(obs, lin.Jp, lin.Jp)
-        hpp = hpp + lam * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
-        b_inv = linalg.inv_psd_smallf(hpp)
-        return b, b_inv, hll_inv
+        if self.use_pallas and lin.Jp.dtype == jnp.float32:
+            # one fused pass over Jp produces both per-camera sums
+            hpp_flat, b = pallas_cam.hpp_b(
+                lin.Jp.reshape(48, -1), r_tilde, obs.cam, self.n_cams
+            )
+            hpp = hpp_flat.reshape(12, 12, self.n_cams)
+        else:
+            b = self._seg_cam(
+                obs, small_einsum("kio,ko->io", lin.Jp, r_tilde)
+            )
+            hpp = self._seg_cam_outer(obs, lin.Jp, lin.Jp)
+        return b, hpp, hll_inv
 
     def _e0_matvec(
         self, x: jnp.ndarray, obs: Obs, lin: Lin1, hll_inv: jnp.ndarray
@@ -471,7 +552,18 @@ class Stage1Solver:
     def _e0_w_matvec(
         self, x: jnp.ndarray, obs: Obs, W: jnp.ndarray
     ) -> jnp.ndarray:
-        """E0 x through the factorized operand W [3, 12, O]."""
+        """E0 x through the factorized operand W [3, 12, O].
+
+        Pallas path: two fused kernels around the slot-layout landmark
+        reduction, each reading W exactly once per power term and
+        building the camera one-hot on-chip (no [12, O] intermediates,
+        no [O, N] incidence in HBM)."""
+        if self.use_pallas and W.dtype == jnp.float32:
+            w36 = W.reshape(36, -1)
+            u = pallas_cam.e0_u(w36, obs.cam, x)  # [3, O]
+            s = self._seg_lm(obs, u)  # [3, M]
+            sb = self._gather_lm_x(obs, s)  # [3, O]
+            return pallas_cam.e0_scatter(w36, obs.cam, sb, self.n_cams)
         xc = x[:, obs.cam]  # [12, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
         s = self._seg_lm(obs, u)  # [3, M]
@@ -495,10 +587,16 @@ class Stage1Solver:
         Returns (inc [12, N] in scaled coordinates, num_terms).
 
         Assembly (residual-dependent b, Hll, Hpp inverses) runs in the
-        state dtype; the series itself optionally runs in f32 (see
+        storage dtype; the series itself optionally runs in f32 (see
         SolverOptions.mixed_precision_solves) — the forcing tolerance
         eta bounds the required inner accuracy far above f32 epsilon."""
-        b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam, landmark_damping)
+        if isinstance(lin, Lin1S):
+            return self._solve_power_s(obs, lin, lam, landmark_damping)
+        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam, landmark_damping)
+        hpp = hpp + lam.astype(hpp.dtype) * jnp.eye(
+            12, dtype=hpp.dtype
+        )[:, :, None]
+        b_inv = linalg.inv_psd_smallf(hpp)
 
         sd = self.solve_dtype
         b_inv_s = b_inv.astype(sd)
@@ -577,8 +675,9 @@ class Stage1Solver:
         one the reference's live path allows, linearizor_sc.cpp:143),
         JACOBI (scalar diagonal of S, DiagonalPreconditioner
         hpp:46-68), or IDENTITY."""
-        b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
-        hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
+        if isinstance(lin, Lin1S):
+            return self._solve_pcg_s(obs, lin, lam)
+        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam, False)
 
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
@@ -616,6 +715,13 @@ class Stage1Solver:
         small/medium N (tests, small problems), like the reference's
         SimplicialLLT path. S = blockdiag(Hpp) + lam I - A A^T with
         A = [W_o hll_chol^-T] scattered by (cam, lm)."""
+        if isinstance(lin, Lin1S):
+            raise ValueError(
+                "CHOLESKY is not supported on the structured Pallas "
+                "path; set pallas_kernels='off' or use POWER_VARPROJ/"
+                "PCG (the dense direct solve serves small problems, "
+                "where the XLA path is fast anyway)"
+            )
         if self.n_cams > 1536:
             raise ValueError(
                 f"CHOLESKY materializes a dense [{self.n_cams * 12}]^2 "
@@ -623,9 +729,8 @@ class Stage1Solver:
                 "1536 cameras (the reference's SimplicialLLT serves the "
                 "same small/medium regime)"
             )
-        b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam, False)
+        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam, False)
         n12 = self.n_cams * 12
-        hpp = self._seg_cam(obs, small_einsum("kio,kjo->ijo", lin.Jp, lin.Jp))
 
         # A [12N, 3M]: column block (cam(o), lm(o)) is W_o Hll^-1/2.
         hll_inv_chol = linalg.cholesky_smallf(hll_inv)  # hll^-1 = L L^T
@@ -691,6 +796,8 @@ class Stage1Solver:
         perturbation of v raises the f64-evaluated cost only to second
         order (~1e-14 relative); l_diff only feeds the lambda schedule.
         """
+        if isinstance(lin, Lin1S):
+            return self._apply_s(obs, cam_space, lm_p, lin, inc_scaled)
         sd = self.solve_dtype
         inc_phys = inc_scaled.astype(sd) * lin.pose_scale  # [12, N]
         new_cam = cam_space + inc_phys.astype(self.dtype).T.reshape(
@@ -735,6 +842,10 @@ class Stage1Solver:
         (back_substitute_poBA, sc/landmark_block.hpp:625-668;
         linearizor_power_varproj.cpp:264-273 order: back-substitute with
         the scaled inc first, then unscale and update cameras)."""
+        if isinstance(lin, Lin1S):
+            return self._apply_poba_s(
+                obs, cam_space, lm_p, lin, inc_scaled, lam
+            )
         sd = self.solve_dtype
         inc_s = inc_scaled.astype(sd)
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
@@ -757,5 +868,233 @@ class Stage1Solver:
         # model-cost computation (landmark_block.hpp:664-666)
         new_lm = lm_p + (inc_lm_scaled * lin.jl_scale).astype(self.dtype).T
         inc_phys = (inc_s * lin.pose_scale).astype(self.dtype)
+        new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
+        return new_cam, new_lm, l_diff.astype(self.dtype)
+
+    # ------------------------------------------------ structured path
+    # (Pallas; ops/pallas_pose.py). Same math as the methods above, but
+    # through the Kronecker factorization of the pOSE Jacobians — the
+    # solver never materializes Jp [4,12,O], Jl [4,3,O] or W [3,12,O].
+
+    def _mask1(self, obs: Obs) -> jnp.ndarray:
+        if obs.weight is None:
+            return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
+        return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
+
+    def _linearize_s(
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
+    ) -> Lin1S:
+        f32 = jnp.float32
+        ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
+        x = self._gather_lm_x(obs, lm_p.astype(f32).T)  # [3, O]
+        r_w, sw, ata, atr, jpsq = pallas_pose.prepare(
+            obs.cam, ct, x, obs.uv.astype(f32), self._mask1(obs),
+            alpha=self.alpha, robust=self.robust, huber=self.huber,
+        )
+        hll_raw = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
+        bl_raw = self._seg_lm(obs, atr)
+        jl_sq = hll_raw[jnp.arange(3), jnp.arange(3)]  # [3, M]
+        jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
+        pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
+        return Lin1S(
+            ct=ct, x=x, r_w=r_w, sw=sw, hll_raw=hll_raw, bl_raw=bl_raw,
+            jl_scale=jl_scale, pose_scale=pose_scale,
+        )
+
+    def _hll_pieces_s(
+        self, obs: Obs, lin: Lin1S, lam: jnp.ndarray, landmark_damping
+    ):
+        """(hll_inv [3,3,M], hib_obs [3,O], jls_obs [3,O], lh_obs [9,O])
+        from the raw slot sums: scale, damp (poBA), invert, factor."""
+        d = lin.jl_scale
+        hll = lin.hll_raw * (d[:, None, :] * d[None, :, :])
+        if landmark_damping:
+            hll = hll + lam.astype(hll.dtype) * jnp.eye(
+                3, dtype=hll.dtype
+            )[:, :, None]
+        hll_inv = linalg.inv3x3f(hll)
+        bl = d * lin.bl_raw
+        hib = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
+        lh = linalg.cholesky_smallf(hll_inv)  # [3, 3, M] lower
+        jls_obs = self._gather_lm_x(obs, d)
+        hib_obs = self._gather_lm_x(obs, hib)
+        lh_obs = self._gather_lm_x(obs, lh.reshape(9, self.n_lms))
+        return hll_inv, hib_obs, jls_obs, lh_obs
+
+    def _hpp_b_s(self, obs: Obs, lin: Lin1S, hib_obs, jls_obs):
+        """(hpp [12,12,N] undamped, b [12,N]) with pose scales applied
+        as outer products after the reduction."""
+        hpp_raw, b_raw = pallas_pose.hpp_b_structured(
+            obs.cam, lin.ct, lin.x, obs.uv.astype(jnp.float32), lin.sw,
+            lin.r_w, jls_obs, hib_obs, self.n_cams, alpha=self.alpha,
+        )
+        ps = lin.pose_scale
+        hpp = hpp_raw.reshape(12, 12, self.n_cams) * (
+            ps[:, None, :] * ps[None, :, :]
+        )
+        return hpp, b_raw * ps
+
+    def _e0_apply_s(self, obs: Obs, lin: Lin1S, h: jnp.ndarray):
+        """Matrix-free structured E0 = W^T(seg_lm(W gather .)) closure."""
+        ps = lin.pose_scale
+
+        def e0(v):
+            u = pallas_pose.e0_u_structured(obs.cam, lin.x, h, ps * v)
+            s = self._seg_lm(obs, u)
+            sb = self._gather_lm_x(obs, s)
+            return ps * pallas_pose.e0_scatter_structured(
+                obs.cam, lin.x, h, sb, self.n_cams
+            )
+
+        return e0
+
+    def _h_factor_s(self, obs: Obs, lin: Lin1S, jls_obs, lh_obs):
+        return pallas_pose.e0_factor(
+            obs.cam, lin.ct, obs.uv.astype(jnp.float32),
+            lin.sw * lin.sw, jls_obs, lh_obs, alpha=self.alpha,
+        )
+
+    def _solve_power_s(
+        self, obs: Obs, lin: Lin1S, lam: jnp.ndarray, landmark_damping
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        lam32 = lam.astype(jnp.float32)
+        _hll_inv, hib_obs, jls_obs, lh_obs = self._hll_pieces_s(
+            obs, lin, lam32, landmark_damping
+        )
+        hpp, b = self._hpp_b_s(obs, lin, hib_obs, jls_obs)
+        hpp = hpp + lam32 * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
+        b_inv = linalg.inv_psd_smallf(hpp)
+        h = self._h_factor_s(obs, lin, jls_obs, lh_obs)
+
+        def b_inv_apply(v):
+            return small_einsum("ijn,jn->in", b_inv, v)
+
+        inc, n_iter = pcg_mod.power_series(
+            b_inv_apply,
+            self._e0_apply_s(obs, lin, h),
+            -b,
+            max_terms=self.power_m,
+            q_tolerance=self.opts.eta,
+            r_tolerance=self.opts.r_tolerance,
+        )
+        return inc.astype(self.dtype), n_iter
+
+    def _solve_pcg_s(
+        self, obs: Obs, lin: Lin1S, lam: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from povar_tpu.options import PreconditionerType as PT
+
+        lam32 = lam.astype(jnp.float32)
+        _hll_inv, hib_obs, jls_obs, lh_obs = self._hll_pieces_s(
+            obs, lin, lam32, False
+        )
+        hpp, b = self._hpp_b_s(obs, lin, hib_obs, jls_obs)
+        h = self._h_factor_s(obs, lin, jls_obs, lh_obs)
+        e0 = self._e0_apply_s(obs, lin, h)
+
+        def matvec(v):
+            return (
+                small_einsum("ijn,jn->in", hpp, v) + lam32 * v - e0(v)
+            )
+
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            precond = lambda v: v  # noqa: E731
+        else:
+            ps = lin.pose_scale
+            corr = pallas_pose.schur_diag_structured(
+                obs.cam, lin.x, h, self.n_cams
+            ).reshape(12, 12, self.n_cams) * (
+                ps[:, None, :] * ps[None, :, :]
+            )
+            diag_blocks = (
+                hpp
+                + lam32 * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
+                - corr
+            )
+            if pt == PT.JACOBI:
+                dg = diag_blocks[jnp.arange(12), jnp.arange(12)]
+                invd = jnp.where(dg != 0, 1.0 / dg, 1.0)
+                precond = lambda v: invd * v  # noqa: E731
+            else:  # SCHUR_JACOBI
+                chol = linalg.cholesky_smallf(diag_blocks)
+
+                def precond(v):
+                    y = linalg.solve_lower_trif(chol, v)
+                    return linalg.solve_upper_from_lowerf(chol, y)
+
+        res = pcg_mod.conjugate_gradients(
+            matvec,
+            b,
+            jnp.zeros_like(b),
+            precond,
+            max_iterations=self.opts.max_linear_solver_iterations,
+            min_iterations=self.opts.min_linear_solver_iterations,
+            q_tolerance=self.opts.eta,
+            r_tolerance=-1.0,
+            residual_reset_period=self.opts.residual_reset_period,
+        )
+        return (-res.x).astype(self.dtype), res.num_iterations
+
+    def _apply_s(
+        self, obs: Obs, cam_space, lm_p, lin: Lin1S, inc_scaled
+    ):
+        f32 = jnp.float32
+        inc_f = inc_scaled.astype(f32)
+        inc_phys = inc_f * lin.pose_scale
+        new_cam = cam_space + inc_phys.astype(self.dtype).T.reshape(
+            self.n_cams, 3, 4
+        )
+        ct_new = new_cam.astype(f32).reshape(self.n_cams, 12).T
+        # exact VarProj back-substitution from UNWEIGHTED fresh
+        # Jacobians at the updated cameras (helper.cpp:382-454)
+        _rw, _sw, ata, atr, _jpsq = pallas_pose.prepare(
+            obs.cam, ct_new, lin.x, obs.uv.astype(f32),
+            self._mask1(obs), alpha=self.alpha, robust=0, huber=1.0,
+            weighted=False,
+        )
+        hll_new = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
+        tmp = self._seg_lm(obs, atr)
+        inc_lm = -linalg.solve3x3f(hll_new, tmp)  # [3, M]
+
+        part = pallas_pose.apply_ldiff(
+            obs.cam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
+            self._gather_lm_x(obs, lin.jl_scale),
+            self._gather_lm_x(obs, inc_lm),
+            ct_new, lin.ct, inc_f, alpha=self.alpha,
+        )
+        l_diff = -jnp.sum(part)
+        return (
+            new_cam,
+            lm_p + inc_lm.astype(self.dtype).T,
+            l_diff.astype(self.dtype),
+        )
+
+    def _apply_poba_s(
+        self, obs: Obs, cam_space, lm_p, lin: Lin1S, inc_scaled, lam
+    ):
+        f32 = jnp.float32
+        lam32 = lam.astype(f32)
+        inc_f = inc_scaled.astype(f32)
+        d = lin.jl_scale
+        hll = lin.hll_raw * (d[:, None, :] * d[None, :, :])
+        hll = hll + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
+        jls_obs = self._gather_lm_x(obs, d)
+        t3 = pallas_pose.poba_t3(
+            obs.cam, lin.ct, lin.x, obs.uv.astype(f32), lin.sw,
+            lin.r_w, jls_obs, lin.pose_scale * inc_f, alpha=self.alpha,
+        )
+        tmp = self._seg_lm(obs, t3)
+        inc_lm_scaled = -linalg.solve3x3f(hll, tmp)  # [3, M]
+
+        part = pallas_pose.apply_ldiff_stored(
+            obs.cam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
+            jls_obs, self._gather_lm_x(obs, inc_lm_scaled),
+            lin.ct, lin.pose_scale * inc_f, alpha=self.alpha,
+        )
+        l_diff = -jnp.sum(part)
+
+        new_lm = lm_p + (inc_lm_scaled * d).astype(self.dtype).T
+        inc_phys = (inc_f * lin.pose_scale).astype(self.dtype)
         new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
         return new_cam, new_lm, l_diff.astype(self.dtype)

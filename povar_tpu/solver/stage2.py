@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from povar_tpu.ops.small_einsum import small_einsum
 
-from povar_tpu.ops import linalg, pose_math
+from povar_tpu.ops import linalg, pallas_cam, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import accumulate_residual_info
@@ -111,9 +111,19 @@ class Stage2Solver:
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
         )
+        # fused Pallas camera-side kernels: same gating as Stage1Solver
+        mode = options.pallas_kernels
+        shape_ok = pallas_cam.supported(
+            pallas_cam.OBS_PAD, self.n_cams, self.solve_dtype
+        )
+        self.use_pallas = shape_ok and (
+            mode == "on"
+            or (mode == "auto" and jax.default_backend() == "tpu")
+        )
         self.obs, self.lm_shapes = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
+            build_onehot=not self.use_pallas,
         )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
@@ -167,6 +177,10 @@ class Stage2Solver:
     # -------------------------------------------------------------- utils
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas and x.dtype == jnp.float32:
+            flat = x.reshape(-1, x.shape[-1])
+            out = pallas_cam.cam_scatter_add(flat, obs.cam, self.n_cams)
+            return out.reshape(x.shape[:-1] + (self.n_cams,))
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_segment_sum(x, obs.cam_onehot)
         return padded_segment_sum(x, obs.cam_red)
@@ -191,6 +205,10 @@ class Stage2Solver:
         return jnp.stack(rows, axis=0)
 
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas and x.dtype == jnp.float32:
+            flat = x.reshape(-1, x.shape[-1])
+            out = pallas_cam.cam_gather(flat, obs.cam)
+            return out.reshape(x.shape[:-1] + (out.shape[-1],))
         if obs.cam_onehot is not None and x.dtype == obs.cam_onehot.dtype:
             return onehot_gather(x, obs.cam_onehot)
         return x[..., obs.cam]
@@ -201,9 +219,12 @@ class Stage2Solver:
     def _gather_lm_x(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
         return slot_expand(s, self.lm_shapes, obs.lm_order)
 
-    @staticmethod
-    def _gather_cams(obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
-        return jnp.transpose(cam_space, (1, 2, 0))[:, :, obs.cam]
+    def _gather_cams(self, obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
+        t = jnp.transpose(cam_space, (1, 2, 0))  # [3, 4, N]
+        if self.use_pallas and cam_space.dtype == jnp.float32:
+            o = pallas_cam.cam_gather(t.reshape(12, -1), obs.cam)
+            return o.reshape(3, 4, -1)
+        return t[:, :, obs.cam]
 
     # ------------------------------------------------------------- error
 
@@ -311,8 +332,9 @@ class Stage2Solver:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """prepare_Hb_joint (linearization_power_varproj.hpp:74-122):
         tangent-space Hll^-1 [3,3,M] (with Proj^T lam Proj = lam I
-        damping), gradient b [11,N], damped per-camera (Jp_ns^T Jp_ns +
-        lam I)^-1 [11,11,N]."""
+        damping), gradient b [11,N], undamped per-camera block diagonal
+        Jp_ns^T Jp_ns [11,11,N]."""
+        lam = lam.astype(lin.Jl_ns.dtype)
         eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
             obs, small_einsum("kio,kjo->ijo", lin.Jl_ns, lin.Jl_ns)
@@ -326,14 +348,17 @@ class Stage2Solver:
         r_tilde = lin.r - small_einsum(
             "ijo,jo->io", lin.Jl_ns, self._gather_lm_x(obs, hll_inv_bl)
         )
-        b = self._seg_cam(
-            obs, small_einsum("kio,ko->io", lin.Jp_ns, r_tilde)
-        )
-
-        hpp = self._seg_cam_outer(obs, lin.Jp_ns, lin.Jp_ns)
-        hpp = hpp + lam * jnp.eye(11, dtype=hpp.dtype)[:, :, None]
-        b_inv = linalg.inv_psd_smallf(hpp)
-        return b, b_inv, hll_inv
+        if self.use_pallas and lin.Jp_ns.dtype == jnp.float32:
+            hpp_flat, b = pallas_cam.hpp_b(
+                lin.Jp_ns.reshape(22, -1), r_tilde, obs.cam, self.n_cams
+            )
+            hpp = hpp_flat.reshape(11, 11, self.n_cams)
+        else:
+            b = self._seg_cam(
+                obs, small_einsum("kio,ko->io", lin.Jp_ns, r_tilde)
+            )
+            hpp = self._seg_cam_outer(obs, lin.Jp_ns, lin.Jp_ns)
+        return b, hpp, hll_inv
 
     def _e0_matvec(
         self, x: jnp.ndarray, obs: Obs, lin: Lin2, hll_inv: jnp.ndarray
@@ -361,6 +386,12 @@ class Stage2Solver:
     def _e0_w_matvec(
         self, x: jnp.ndarray, obs: Obs, W: jnp.ndarray
     ) -> jnp.ndarray:
+        if self.use_pallas and W.dtype == jnp.float32:
+            w33 = W.reshape(33, -1)
+            u = pallas_cam.e0_u(w33, obs.cam, x)  # [3, O]
+            s = self._seg_lm(obs, u)
+            sb = self._gather_lm_x(obs, s)
+            return pallas_cam.e0_scatter(w33, obs.cam, sb, self.n_cams)
         xc = self._gather_cam_x(obs, x)  # [11, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
         s = self._seg_lm(obs, u)
@@ -377,7 +408,11 @@ class Stage2Solver:
         """RIPOBA: power series on the 11-dof tangent system
         (solve_joint, hpp:240-287). Returns (inc [11, N], num_terms).
         Mixed precision: see stage1._solve_power."""
-        b, b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
+        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam)
+        hpp_d = hpp + lam.astype(hpp.dtype) * jnp.eye(
+            11, dtype=hpp.dtype
+        )[:, :, None]
+        b_inv = linalg.inv_psd_smallf(hpp_d)
 
         sd = self.solve_dtype
         b_inv_s = b_inv.astype(sd)
@@ -436,10 +471,7 @@ class Stage2Solver:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPCG (linearizor_sc.cpp:245-325): implicit tangent RCS +
         preconditioned CG; inc = -x of S x = b."""
-        b, _b_inv, hll_inv = self._prepare_hb(obs, lin, lam)
-        hpp = self._seg_cam(
-            obs, small_einsum("kio,kjo->ijo", lin.Jp_ns, lin.Jp_ns)
-        )
+        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam)
 
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)

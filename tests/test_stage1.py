@@ -61,6 +61,8 @@ def test_varproj_init_gradient_zero():
     P = cams[solver.obs_cam]
     x = lms[solver.obs_lm]
     r, _, Jl = pose_math.pose_jacobians(P, x, solver.obs_uv, ALPHA)
+    if solver.obs.weight is not None:  # drop slot/tile padding rows
+        r = r * (solver.obs.weight > 0)[:, None]
     g = segment_sum(
         jnp.einsum("oki,ok->oi", Jl, r), solver.obs_lm, solver.n_lms
     )
@@ -158,7 +160,12 @@ def test_power_series_identity_when_no_coupling():
     lms = solver.initialize_varproj(cams)
     lin = solver.linearize(cams, lms)
     lam = jnp.asarray(0.5)
-    b, b_inv, hll_inv = solver._prepare_hb(solver.obs, lin, lam, False)
+    b, hpp, hll_inv = solver._prepare_hb(solver.obs, lin, lam, False)
+    from povar_tpu.ops import linalg
+
+    b_inv = linalg.inv_psd_smallf(
+        hpp + lam.astype(hpp.dtype) * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
+    )
     # m = 0 => inc = B^-1 (-b)
     opts0 = SolverOptions()
     opts0.alpha = ALPHA

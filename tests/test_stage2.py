@@ -79,6 +79,8 @@ def test_tangent_jacobian_consistency():
     r1, _ = pose_math.homogeneous_residual(P1, xh, solver.obs_uv)
     r2, _ = pose_math.homogeneous_residual(P2, xh, solver.obs_uv)
     dr_actual = np.asarray(r2 - r1)
+    if solver.obs.weight is not None:  # drop slot/tile padding rows
+        dr_actual = dr_actual * (np.asarray(solver.obs.weight) > 0)[:, None]
     dr_pred = np.einsum(
         "ijo,jo->oi",
         np.asarray(lin.Jp_ns),
