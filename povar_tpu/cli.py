@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dump-config", action="store_true",
                         help="print effective config and exit")
     parser.add_argument("--log-file", default="ba_log.json")
+    parser.add_argument("--log-ubjson", action="store_true",
+                        help="also write the log as UBJSON next to the "
+                        "JSON file (ba_log SaveLogFlags analogue)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax profiler trace of the solve "
                         "into this directory (TensorBoard/Perfetto)")
@@ -187,7 +190,13 @@ def main(argv=None) -> int:
     timing["postprocess_time"] = t_post.elapsed()
     timing["total"] = timer_total.elapsed()
 
-    ba_log.save_json(args.log_file, dataset_summary, s1, s2, timing)
+    from povar_tpu.utils.profiling import device_memory_stats
+
+    ba_log.save_json(
+        args.log_file, dataset_summary, s1, s2, timing,
+        save_ubjson=args.log_ubjson,
+        device_memory=device_memory_stats(),
+    )
     print(f"Saved log to {args.log_file}")
     return 0
 

@@ -42,11 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # pad quantum for the obs axis: the largest tile a kernel may choose
-OBS_PAD = 4096
+OBS_PAD = 8192
 # largest camera count the in-VMEM one-hot supports
 MAX_CAMERAS = 1024
 # VMEM budget for the per-tile one-hot incidence
-_ONEHOT_VMEM = 4 << 20
+_ONEHOT_VMEM = 4 << 20  # allows T=8192 at Npad=128 (tiny-N problems)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 

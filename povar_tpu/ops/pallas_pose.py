@@ -200,7 +200,9 @@ def prepare(
     n_pad = _n_pad(n)
     if n_pad != n:
         cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
-    t = _tile(o, n)
+    # the A~ / residual / outer temporaries bound the tile below the
+    # one-hot VMEM budget
+    t = min(_tile(o, n), 4096)
     kern = functools.partial(
         _prepare_kernel, alpha=float(alpha), robust=int(robust),
         huber=float(huber), weighted=bool(weighted),
@@ -277,7 +279,7 @@ def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha):
     n_pad = _n_pad(n)
     if n_pad != n:
         cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
-    t = _tile(o, n)
+    t = min(_tile(o, n), 4096)
     return pl.pallas_call(
         functools.partial(_h_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((9, o), jnp.float32),
@@ -430,7 +432,7 @@ def e0_u_structured(cam, x, h, z_table):
     n_pad = _n_pad(n)
     if n_pad != n:
         z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
-    t = _tile(o, n)
+    t = min(_tile(o, n), 4096)
     return pl.pallas_call(
         _e0_u_kernel,
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
@@ -565,7 +567,7 @@ def apply_ldiff(
         cam_table_new = jnp.pad(cam_table_new, pad)
         cam_table_old = jnp.pad(cam_table_old, pad)
         inc_table = jnp.pad(inc_table, pad)
-    t = _tile(o, n)
+    t = min(_tile(o, n), 4096)
     out = pl.pallas_call(
         functools.partial(_ldiff_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
@@ -640,7 +642,7 @@ def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha):
     if n_pad != n:
         cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
         z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
-    t = _tile(o, n)
+    t = min(_tile(o, n), 4096)
     return pl.pallas_call(
         functools.partial(_poba_t3_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
@@ -782,7 +784,7 @@ def apply_ldiff_stored(
         pad = ((0, 0), (0, n_pad - n))
         cam_table_old = jnp.pad(cam_table_old, pad)
         z_table = jnp.pad(z_table, pad)
-    t = _tile(o, n)
+    t = min(_tile(o, n), 4096)
     out = pl.pallas_call(
         functools.partial(_ldiff_stored_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
@@ -805,3 +807,217 @@ def apply_ldiff_stored(
         cam_table_old, z_table,
     )
     return out[0]
+
+
+# -------------------------------------------------------------- K10
+# Double-float (two-f32) pOSE cost evaluation. TPU has no native f64:
+# XLA's emulated-f64 residual sweep measured 72 ms/call at venice-89
+# (the reduction alone 54 ms). Error-free transforms (Dekker two_prod /
+# Knuth two_sum) give ~47 significant bits end to end — residuals,
+# squares, and the global accumulation — at VPU f32 speed. The robust
+# nonlinearity (Huber/Cauchy) is applied to the double-float value's
+# leading component; with NONE (the default) the whole error is carried
+# in double-float. Matches compute_error_pOSE (helper.cpp:116-154).
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _split(a):
+    c = a * np.float32(4097.0)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _df_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    hi, lo = _two_sum(s, e)
+    return (hi, lo)
+
+
+def _df_mul(x, y):
+    p, e = _two_prod(x[0], y[0])
+    e = e + x[0] * y[1] + x[1] * y[0]
+    hi, lo = _two_sum(p, e)
+    return (hi, lo)
+
+
+def _df_scale(x, c):
+    # c an exact f32 constant
+    p, e = _two_prod(x[0], np.float32(c))
+    e = e + x[1] * np.float32(c)
+    hi, lo = _two_sum(p, e)
+    return (hi, lo)
+
+
+def _df_const(c64: float):
+    """Split an f64 host constant into an (hi, lo) f32 pair — sqrt(1-a)
+    etc. rounded to a single f32 would inject a systematic 2^-25
+    relative error into every residual."""
+    hi = np.float32(c64)
+    return hi, np.float32(c64 - np.float64(hi))
+
+
+def _df_cmul(x, c):
+    """x (df) times a _df_const pair."""
+    p, e = _two_prod(x[0], c[0])
+    e = e + (x[0] * c[1] + x[1] * c[0])
+    hi, lo = _two_sum(p, e)
+    return (hi, lo)
+
+
+def _df_neg(x):
+    return (-x[0], -x[1])
+
+
+def _error_kernel(
+    cam_ref, xh_ref, xl_ref, uvh_ref, uvl_ref, m_ref,
+    cth_ref, ctl_ref, out_ref, *, alpha, robust, huber,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = cam_ref.shape[-1]
+    sp = _df_const(np.sqrt(np.float64(1.0) - np.float64(alpha)))
+    sa = _df_const(np.sqrt(np.float64(alpha)))
+    oh = _onehot(cam_ref[:], cth_ref.shape[-1])
+    Ph = _gather_table(cth_ref, oh)  # exact one-hot selection
+    Pl = _gather_table(ctl_ref, oh)
+    u = (uvh_ref[0], uvl_ref[0])
+    v = (uvh_ref[1], uvl_ref[1])
+    mask = m_ref[0] > 0
+    one = jnp.ones_like(uvh_ref[0])
+    zero = jnp.zeros_like(one)
+    xh = [
+        (xh_ref[0], xl_ref[0]),
+        (xh_ref[1], xl_ref[1]),
+        (xh_ref[2], xl_ref[2]),
+        (one, zero),
+    ]
+
+    # r_k = sum_c A[k][c] xh[c] - corr_k, all in double-float
+    r = []
+    for k in range(4):
+        acc = None
+        for c in range(4):
+            p0 = (Ph[c], Pl[c])
+            p1 = (Ph[4 + c], Pl[4 + c])
+            p2 = (Ph[8 + c], Pl[8 + c])
+            if k == 0:
+                a = _df_cmul(_df_add(p0, _df_neg(_df_mul(u, p2))), sp)
+            elif k == 1:
+                a = _df_cmul(_df_add(p1, _df_neg(_df_mul(v, p2))), sp)
+            elif k == 2:
+                a = _df_cmul(p0, sa)
+            else:
+                a = _df_cmul(p1, sa)
+            term = _df_mul(a, xh[c])
+            acc = term if acc is None else _df_add(acc, term)
+        r.append(acc)
+    r[2] = _df_add(r[2], _df_neg(_df_cmul(u, sa)))
+    r[3] = _df_add(r[3], _df_neg(_df_cmul(v, sa)))
+
+    finite = mask | True  # all-true; masked rows zero -> stay finite
+    res_sq = None
+    for k in range(4):
+        rk = (
+            jnp.where(mask, r[k][0], 0.0),
+            jnp.where(mask, r[k][1], 0.0),
+        )
+        finite = finite & jnp.isfinite(rk[0])
+        sq = _df_mul(rk, rk)
+        res_sq = sq if res_sq is None else _df_add(res_sq, sq)
+
+    if robust == _HUBER:
+        h2 = np.float32(huber * huber)
+        w = jnp.where(
+            res_sq[0] < h2,
+            jnp.ones_like(res_sq[0]),
+            np.float32(huber)
+            / jnp.sqrt(jnp.maximum(res_sq[0], 1e-30)),
+        )
+        err = _df_scale(
+            ( (2.0 - w) * w * res_sq[0], (2.0 - w) * w * res_sq[1] ),
+            0.5,
+        )
+    elif robust == _CAUCHY:
+        err = (jnp.log1p(res_sq[0]), jnp.zeros_like(res_sq[0]))
+    else:
+        err = _df_scale(res_sq, 0.5)
+    rn = jnp.sqrt(jnp.maximum(res_sq[0], 0.0))
+
+    # reduce the tile to 128 lanes in double-float, then fold into the
+    # running accumulator rows
+    def lane_fold(val_df):
+        acc = (jnp.zeros((128,), jnp.float32), jnp.zeros((128,), jnp.float32))
+        hi2 = val_df[0].reshape(t // 128, 128)
+        lo2 = val_df[1].reshape(t // 128, 128)
+        for i in range(t // 128):
+            acc = _df_add(acc, (hi2[i], lo2[i]))
+        return acc
+
+    err_acc = lane_fold(err)
+    rn_acc = lane_fold((rn, jnp.zeros_like(rn)))
+    bad = jnp.sum(
+        (~finite).astype(jnp.float32).reshape(t // 128, 128), axis=0
+    )
+
+    cur = _df_add((out_ref[0, :], out_ref[1, :]), err_acc)
+    out_ref[0, :] = cur[0]
+    out_ref[1, :] = cur[1]
+    cur = _df_add((out_ref[2, :], out_ref[3, :]), rn_acc)
+    out_ref[2, :] = cur[0]
+    out_ref[3, :] = cur[1]
+    out_ref[4, :] += bad
+
+
+def pose_error_df32(
+    cam, ct_hi, ct_lo, x_hi, x_lo, uv_hi, uv_lo, mask,
+    *, alpha, robust, huber,
+):
+    """[5, 128] partials: (err_hi, err_lo, rn_hi, rn_lo, nonfinite).
+    Sum each row pair in f64 for the totals."""
+    o = cam.shape[0]
+    n = ct_hi.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        ct_hi = jnp.pad(ct_hi, pad)
+        ct_lo = jnp.pad(ct_lo, pad)
+    # deep double-float temporary chains bound the tile
+    t = min(_tile(o, n), 2048)
+    return pl.pallas_call(
+        functools.partial(
+            _error_kernel, alpha=float(alpha), robust=int(robust),
+            huber=float(huber),
+        ),
+        out_shape=jax.ShapeDtypeStruct((5, 128), jnp.float32),
+        grid=(o // t,),
+        in_specs=[
+            _obs_spec(1, t),
+            _obs_spec(3, t),
+            _obs_spec(3, t),
+            _obs_spec(2, t),
+            _obs_spec(2, t),
+            _obs_spec(1, t),
+            _fixed_spec(12, n_pad),
+            _fixed_spec(12, n_pad),
+        ],
+        out_specs=_fixed_spec(5, 128),
+        interpret=_interpret(),
+    )(
+        cam.reshape(1, o), x_hi, x_lo, uv_hi, uv_lo, mask,
+        ct_hi, ct_lo,
+    )

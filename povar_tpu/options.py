@@ -141,6 +141,15 @@ class SolverOptions:
     # off-TPU — slow, for tests); "off": always use the XLA lowering.
     pallas_kernels: str = "auto"
 
+    # Staged execution with per-stage timing: split each LM iteration's
+    # fused device programs at the reference's timing boundaries
+    # (jacobian eval / scaling / Hll / prepare / solve / back-sub /
+    # camera update, solver_summary.hpp:186-212) and sync between
+    # stages so the iteration log carries real stage wall times. Costs
+    # a few extra dispatches per iteration; disable for maximum
+    # throughput (timings then cover the fused calls only).
+    detailed_timing: bool = True
+
     def use_projection_validity_check(self) -> bool:
         """solver_options.cpp:41-52: false iff optimized_cost == ERROR."""
         return self.optimized_cost != OptimizedCost.ERROR

@@ -13,6 +13,29 @@ import jax
 import jax.numpy as jnp
 
 
+class StagedTiming:
+    """Mixin for staged (timed) execution: cache per-stage jitted
+    sub-functions and measure synced device wall times around them.
+    The reference's per-iteration stage timers
+    (solver_summary.hpp:186-212) are host wall clocks around serial
+    phases; splitting the fused jit graphs at the same boundaries and
+    blocking between them recovers the same observability."""
+
+    def _jit_cached(self, name, fn, **kw):
+        key = "_jitc_" + name
+        if not hasattr(self, key):
+            setattr(self, key, jax.jit(fn, **kw))
+        return getattr(self, key)
+
+    @staticmethod
+    def _timed(fn, *args):
+        import time
+
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        return out, time.perf_counter() - t0
+
+
 def segment_sum(
     x: jnp.ndarray, idx: jnp.ndarray, num_segments: int, sorted_: bool = False
 ) -> jnp.ndarray:
@@ -65,13 +88,16 @@ def accumulate_residual_info(
     res_norm: jnp.ndarray,  # [O]
     projection_valid: jnp.ndarray,  # [O] bool
     numerically_valid: jnp.ndarray,  # [O] bool
+    num_obs_all=None,  # live-observation count (excl. padding rows)
 ) -> Dict[str, jnp.ndarray]:
     """Device-side ResidualInfoAccu (residual_info.cpp:96-109): `all`
     sums everything; `valid` sums projection-valid observations;
     is_numerically_valid is the AND over observations."""
     validf = projection_valid.astype(weighted_error.dtype)
+    if num_obs_all is None:
+        num_obs_all = weighted_error.shape[0]
     return {
-        "num_obs_all": jnp.asarray(weighted_error.shape[0], jnp.int64),
+        "num_obs_all": jnp.asarray(num_obs_all, jnp.int64),
         "error_all": jnp.sum(weighted_error),
         "residual_sum_all": jnp.sum(res_norm),
         "num_obs_valid": jnp.sum(projection_valid.astype(jnp.int64)),

@@ -78,14 +78,38 @@ def _function_tolerance_reached(
     return False, ""
 
 
+_TIMING_FIELDS = {
+    "jacobian_evaluation": "jacobian_evaluation_time_in_seconds",
+    "scale_landmark_jacobian": "scale_landmark_jacobian_time_in_seconds",
+    "scale_pose_jacobian": "scale_pose_jacobian_time_in_seconds",
+    "perform_qr": "perform_qr_time_in_seconds",
+    "stage2": "stage2_time_in_seconds",
+    "landmark_damping": "landmark_damping_time_in_seconds",
+    "prepare": "prepare_time_in_seconds",
+    "compute_preconditioner": "compute_preconditioner_time_in_seconds",
+    "solve_reduced_system": "solve_reduced_system_time_in_seconds",
+    "back_substitution": "back_substitution_time_in_seconds",
+    "update_cameras": "update_cameras_time_in_seconds",
+}
+
+
+def _set_timings(it_summary: IterationSummary, tdict) -> None:
+    """Copy staged per-stage wall times into the iteration summary
+    (field names follow solver_summary.hpp:186-212)."""
+    if not tdict:
+        return
+    for k, v in tdict.items():
+        setattr(it_summary, _TIMING_FIELDS[k], float(v))
+
+
 def _optimize_lm_loop(
     *,
     options: SolverOptions,
     max_lm_iter: int,
     compute_error: Callable[[], ResidualInfo],
-    linearize: Callable[[], None],
-    solve: Callable[[float], Tuple[np.ndarray, int]],
-    apply_step: Callable[[np.ndarray], float],
+    linearize: Callable[[], Optional[dict]],
+    solve: Callable[[float], Tuple[np.ndarray, int, Optional[dict]]],
+    apply_step: Callable[[np.ndarray], Tuple[float, Optional[dict]]],
     accept: Callable[[], None],
     reject: Callable[[], None],
     accept_rule: str,  # "step1" (f_diff > 0) or "step2" (quality gate)
@@ -137,11 +161,14 @@ def _optimize_lm_loop(
             continue
 
         t_stage1 = Timer()
-        linearize()
+        t_lin = linearize()
         it_summary.stage1_time_in_seconds = t_stage1.elapsed()
-        it_summary.jacobian_evaluation_time_in_seconds = (
-            it_summary.stage1_time_in_seconds
-        )
+        if t_lin is None:
+            it_summary.jacobian_evaluation_time_in_seconds = (
+                it_summary.stage1_time_in_seconds
+            )
+        else:
+            _set_timings(it_summary, t_lin)
         summary.num_jacobian_evaluations += 1
 
         # inner backtracking loop (unlimited, cpp:337-340)
@@ -154,8 +181,13 @@ def _optimize_lm_loop(
             j += 1
 
             t_solve = Timer()
-            inc, lin_iters = solve(lam)
-            it_summary.solve_reduced_system_time_in_seconds = t_solve.elapsed()
+            inc, lin_iters, t_sol = solve(lam)
+            if t_sol is None:
+                it_summary.solve_reduced_system_time_in_seconds = (
+                    t_solve.elapsed()
+                )
+            else:
+                _set_timings(it_summary, t_sol)
             it_summary.linear_solver_iterations = int(lin_iters)
             summary.num_linear_solves += 1
 
@@ -186,8 +218,13 @@ def _optimize_lm_loop(
                 continue
 
             t_bsub = Timer()
-            l_diff = apply_step(inc)
-            it_summary.back_substitution_time_in_seconds = t_bsub.elapsed()
+            l_diff, t_app = apply_step(inc)
+            if t_app is None:
+                it_summary.back_substitution_time_in_seconds = (
+                    t_bsub.elapsed()
+                )
+            else:
+                _set_timings(it_summary, t_app)
 
             t_res = Timer()
             ri2 = compute_error()
@@ -347,6 +384,7 @@ def optimize_step1(
     is_poba = (
         options.solver_type_step_1 == SolverType.POWER_SCHUR_COMPLEMENT
     )
+    detailed = options.detailed_timing
 
     def initialize():
         state.lms = solver.initialize_varproj(state.cams)
@@ -358,16 +396,34 @@ def optimize_step1(
         )
 
     def linearize():
+        if detailed:
+            lin_box["lin"], t = solver.linearize_timed(
+                state.cams, state.lms
+            )
+            return t
         lin_box["lin"] = solver.linearize(state.cams, state.lms)
+        return None
 
-    def solve(lam):
+    def solve_with_lam(lam):
+        # poBA needs the damping lambda inside apply; thread via the box
+        lin_box["lam"] = lam
+        if detailed:
+            inc, iters, t = solver.solve_timed(lin_box["lin"], lam)
+            return np.asarray(inc), np.asarray(iters), t
         inc, iters = solver.solve(
             lin_box["lin"], jnp.asarray(lam, solver.dtype)
         )
-        return np.asarray(inc), np.asarray(iters)
+        return np.asarray(inc), np.asarray(iters), None
 
     def apply_step(inc):
         inc = jnp.asarray(inc)
+        if detailed:
+            new_cams, new_lms, l_diff, t = solver.apply_timed(
+                state.cams, state.lms, lin_box["lin"], inc,
+                lam=lin_box["lam"],
+            )
+            state.stage(new_cams, new_lms)
+            return float(l_diff), t
         if is_poba:
             new_cams, new_lms, l_diff = solver.apply_poba(
                 state.cams, state.lms, lin_box["lin"], inc,
@@ -378,14 +434,7 @@ def optimize_step1(
                 state.cams, state.lms, lin_box["lin"], inc
             )
         state.stage(new_cams, new_lms)
-        return float(l_diff)
-
-    # poBA needs the damping lambda inside apply; thread it via the box
-    orig_solve = solve
-
-    def solve_with_lam(lam):
-        lin_box["lam"] = lam
-        return orig_solve(lam)
+        return float(l_diff), None
 
     _optimize_lm_loop(
         options=options,
@@ -420,6 +469,7 @@ def optimize_step2(
     cpp:557-843). Returns optimized (cam_space, lm_p_h)."""
     state = _State(cam_space, lm_p_h)
     lin_box = {}
+    detailed = options.detailed_timing
 
     def compute_error():
         return ResidualInfo.from_device(
@@ -428,16 +478,32 @@ def optimize_step2(
         )
 
     def linearize():
+        if detailed:
+            lin_box["lin"], t = solver.linearize_timed(
+                state.cams, state.lms
+            )
+            return t
         lin_box["lin"] = solver.linearize(state.cams, state.lms)
+        return None
 
     def solve(lam):
         lin_box["lam"] = lam
+        if detailed:
+            inc, iters, t = solver.solve_timed(lin_box["lin"], lam)
+            return np.asarray(inc), np.asarray(iters), t
         inc, iters = solver.solve(
             lin_box["lin"], jnp.asarray(lam, solver.dtype)
         )
-        return np.asarray(inc), np.asarray(iters)
+        return np.asarray(inc), np.asarray(iters), None
 
     def apply_step(inc):
+        if detailed:
+            new_cams, new_lms, l_diff, t = solver.apply_timed(
+                state.cams, state.lms, lin_box["lin"],
+                jnp.asarray(inc), jnp.asarray(lin_box["lam"]),
+            )
+            state.stage(new_cams, new_lms)
+            return float(l_diff), t
         new_cams, new_lms, l_diff = solver.apply(
             state.cams,
             state.lms,
@@ -446,7 +512,7 @@ def optimize_step2(
             jnp.asarray(lin_box["lam"], solver.dtype),
         )
         state.stage(new_cams, new_lms)
-        return float(l_diff)
+        return float(l_diff), None
 
     _optimize_lm_loop(
         options=options,

@@ -63,9 +63,12 @@ def bundle_adjust(
     per-camera/per-landmark reductions ride the mesh collectives."""
     options = options or SolverOptions()
     timer_total = Timer()
+    n_mesh = mesh.size if mesh is not None else 1
 
     s1 = _make_solver(Stage1Solver, problem, options, dtype, mesh)
-    summary1 = SolverSummary()
+    summary1 = SolverSummary(
+        num_threads_given=n_mesh, num_threads_used=n_mesh
+    )
     cams = jnp.asarray(problem.cam_space, dtype)
     lms = jnp.asarray(problem.lm_p, dtype)
     if mesh is not None:
@@ -79,7 +82,9 @@ def bundle_adjust(
     cams, lms_h = create_homogeneous(cams, lms)
 
     s2 = _make_solver(Stage2Solver, problem, options, dtype, mesh)
-    summary2 = SolverSummary()
+    summary2 = SolverSummary(
+        num_threads_given=n_mesh, num_threads_used=n_mesh
+    )
     cams, lms_h = optimize_step2(
         s2, cams, lms_h, options, summary2, timer_total, log
     )

@@ -41,7 +41,7 @@ from povar_tpu.ops.small_einsum import small_einsum
 from povar_tpu.ops import linalg, pallas_cam, pallas_pose, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverType
 from povar_tpu.solver import pcg as pcg_mod
-from povar_tpu.solver.common import accumulate_residual_info
+from povar_tpu.solver.common import StagedTiming, accumulate_residual_info
 from povar_tpu.solver.segments import (
     PaddedReduce,
     _build_padded_reduce,
@@ -180,7 +180,7 @@ def make_obs(
     return obs, shapes
 
 
-class Stage1Solver:
+class Stage1Solver(StagedTiming):
     def __init__(
         self,
         obs_cam: jnp.ndarray,
@@ -238,6 +238,15 @@ class Stage1Solver:
         )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
+        )
+        # live-observation count for ResidualInfo (padding rows carry
+        # zero weight and must not inflate num_obs / mean residuals)
+        import numpy as _np
+
+        self.n_obs_live = (
+            int(self.obs.cam.shape[0])
+            if self.obs.weight is None
+            else int(_np.sum(_np.asarray(self.obs.weight) > 0))
         )
 
         self._jit_compute_error = jax.jit(self._compute_error)
@@ -311,6 +320,187 @@ class Stage1Solver:
             return self.solve_cholesky(lin, lam)
         raise ValueError(f"unknown step-1 solver type {st}")
 
+    # ----------------------------------------------- staged (timed) API
+    # The same compute graphs as linearize/solve/apply, split at the
+    # reference's per-iteration timing boundaries
+    # (solver_summary.hpp:186-212) and synced between stages so each
+    # span is a real device wall time. The fused methods above remain
+    # the single source of truth: every staged piece is a sub-function
+    # they compose.
+
+    def linearize_timed(self, cam_space, lm_p):
+        """Returns (lin, timings): jacobian_evaluation,
+        scale_landmark_jacobian, scale_pose_jacobian."""
+        t = {}
+        if self.use_pallas:
+            core, t["jacobian_evaluation"] = self._timed(
+                self._jit_cached("lin_core_s", self._lin_core_s),
+                self.obs, cam_space, lm_p,
+            )
+            ct, x, r_w, sw, hll_raw, bl_raw, jpsq = core
+            jl_scale, t["scale_landmark_jacobian"] = self._timed(
+                self._jit_cached("lin_scale_jl_s", self._lin_scale_jl_s),
+                hll_raw,
+            )
+            pose_scale, t["scale_pose_jacobian"] = self._timed(
+                self._jit_cached("lin_scale_jp_s", self._lin_scale_jp_s),
+                jpsq,
+            )
+            return Lin1S(
+                ct=ct, x=x, r_w=r_w, sw=sw, hll_raw=hll_raw,
+                bl_raw=bl_raw, jl_scale=jl_scale, pose_scale=pose_scale,
+            ), t
+        (r, Jp, Jl), t["jacobian_evaluation"] = self._timed(
+            self._jit_cached("lin_core", self._lin_core),
+            self.obs, cam_space, lm_p,
+        )
+        (Jl, jl_scale), t["scale_landmark_jacobian"] = self._timed(
+            self._jit_cached("lin_scale_jl", self._lin_scale_jl),
+            self.obs, Jl,
+        )
+        (Jp, pose_scale), t["scale_pose_jacobian"] = self._timed(
+            self._jit_cached("lin_scale_jp", self._lin_scale_jp),
+            self.obs, Jp,
+        )
+        return Lin1(
+            Jp=Jp, Jl=Jl, r=r, pose_scale=pose_scale, jl_scale=jl_scale
+        ), t
+
+    def solve_timed(self, lin, lam):
+        """Dispatch like `solve`, returning (inc, lin_iters, timings):
+        stage2 (Hll scale/damp/invert span), landmark_damping, prepare,
+        compute_preconditioner (PCG), solve_reduced_system."""
+        st = self.opts.solver_type_step_1
+        lam = jnp.asarray(lam, self.dtype)
+        t = {}
+        structured = isinstance(lin, Lin1S)
+        if st in (SolverType.POWER_VARPROJ,
+                  SolverType.POWER_SCHUR_COMPLEMENT):
+            ld = st == SolverType.POWER_SCHUR_COMPLEMENT
+            if structured:
+                lam32 = lam.astype(jnp.float32)
+                pieces, t["stage2"] = self._timed(
+                    self._jit_cached(
+                        "hll_pieces_s", self._hll_pieces_s,
+                        static_argnames=("landmark_damping",),
+                    ),
+                    self.obs, lin, lam32, ld,
+                )
+                prep, t["prepare"] = self._timed(
+                    self._jit_cached("power_prep_s", self._power_prep_s),
+                    self.obs, lin, lam32, pieces,
+                )
+                (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                    self._jit_cached(
+                        "power_iterate_s", self._power_iterate_s
+                    ),
+                    self.obs, lin, prep,
+                )
+            else:
+                pieces, t["stage2"] = self._timed(
+                    self._jit_cached(
+                        "prep_hll", self._prep_hll,
+                        static_argnames=("landmark_damping",),
+                    ),
+                    self.obs, lin, lam, ld,
+                )
+                prep, t["prepare"] = self._timed(
+                    self._jit_cached("power_prep", self._power_prep),
+                    self.obs, lin, lam, *pieces,
+                )
+                (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                    self._jit_cached("power_iterate", self._power_iterate),
+                    self.obs, lin, prep,
+                )
+            # the Hll span includes the poBA landmark damping
+            # (set_landmark_damping, linearizor_power_varproj.cpp:199-201)
+            t["landmark_damping"] = t["stage2"] if ld else 0.0
+            return inc, n_iter, t
+        if st == SolverType.PCG:
+            if structured:
+                lam32 = lam.astype(jnp.float32)
+                pieces, t["stage2"] = self._timed(
+                    self._jit_cached(
+                        "hll_pieces_s", self._hll_pieces_s,
+                        static_argnames=("landmark_damping",),
+                    ),
+                    self.obs, lin, lam32, False,
+                )
+                (b, hpp, h), t["prepare"] = self._timed(
+                    self._jit_cached("pcg_prep_s", self._pcg_prep_s),
+                    self.obs, lin, pieces,
+                )
+                pmats, t["compute_preconditioner"] = self._timed(
+                    self._jit_cached("pcg_precond_s", self._pcg_precond_s),
+                    self.obs, lin, lam32, hpp, h,
+                )
+                (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                    self._jit_cached("pcg_iterate_s", self._pcg_iterate_s),
+                    self.obs, lin, lam32, b, hpp, h, pmats,
+                )
+            else:
+                pieces, t["stage2"] = self._timed(
+                    self._jit_cached(
+                        "prep_hll", self._prep_hll,
+                        static_argnames=("landmark_damping",),
+                    ),
+                    self.obs, lin, lam, False,
+                )
+                hll_inv, hll_inv_bl = pieces
+                (b, hpp, W), t["prepare"] = self._timed(
+                    self._jit_cached("pcg_prep", self._pcg_prep),
+                    self.obs, lin, hll_inv, hll_inv_bl,
+                )
+                pmats, t["compute_preconditioner"] = self._timed(
+                    self._jit_cached("pcg_precond", self._pcg_precond),
+                    self.obs, lin, hll_inv, hpp, lam,
+                )
+                (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                    self._jit_cached("pcg_iterate", self._pcg_iterate),
+                    self.obs, lin, lam, b, hpp, W, pmats,
+                )
+            return inc, n_iter, t
+        if st == SolverType.CHOLESKY:
+            pieces, t["stage2"] = self._timed(
+                self._jit_cached(
+                    "prep_hll", self._prep_hll,
+                    static_argnames=("landmark_damping",),
+                ),
+                self.obs, lin, lam, False,
+            )
+            (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                self._jit_cached("chol_solve", self._chol_solve),
+                self.obs, lin, lam, *pieces,
+            )
+            return inc, n_iter, t
+        raise ValueError(f"unknown step-1 solver type {st}")
+
+    def apply_timed(self, cam_space, lm_p, lin, inc_scaled, lam=None):
+        """Apply with (update_cameras, back_substitution) wall times.
+        `lam` selects the poBA back-substitution (dispatch mirrors the
+        LM driver's solver-type switch)."""
+        t = {}
+        is_poba = (
+            self.opts.solver_type_step_1
+            == SolverType.POWER_SCHUR_COMPLEMENT
+        )
+        new_cam, t["update_cameras"] = self._timed(
+            self._jit_cached("update_cams", self._update_cams),
+            cam_space, lin, inc_scaled,
+        )
+        if is_poba:
+            (new_lm, l_diff), t["back_substitution"] = self._timed(
+                self._jit_cached("back_sub_poba", self._back_sub_poba),
+                self.obs, lm_p, lin, inc_scaled,
+                jnp.asarray(lam, self.dtype),
+            )
+        else:
+            (new_lm, l_diff), t["back_substitution"] = self._timed(
+                self._jit_cached("back_sub", self._back_sub),
+                self.obs, new_cam, lm_p, lin, inc_scaled,
+            )
+        return new_cam, new_lm, l_diff, t
+
     # -------------------------------------------------------------- utils
 
     def _seg_cam_outer(
@@ -381,7 +571,13 @@ class Stage1Solver:
     ) -> Dict[str, jnp.ndarray]:
         """compute_error_pOSE (helper.cpp:116-154). pOSE projections are
         always 'valid' (linearize_point_pOSE sets projection_valid=true
-        unconditionally, helper.cpp:263)."""
+        unconditionally, helper.cpp:263).
+
+        Structured path: double-float (two-f32) evaluation at ~47-bit
+        end-to-end precision (ops/pallas_pose.pose_error_df32) — the
+        emulated-f64 sweep costs 72 ms/call at venice-89 on v5e."""
+        if self.use_pallas and self.dtype == jnp.float64:
+            return self._compute_error_df32(obs, cam_space, lm_p)
         P = self._gather_cams(obs, cam_space)
         x = self._gather_lm_x(obs, lm_p.T)  # [3, O]
         r = _mask_rows(
@@ -398,7 +594,10 @@ class Stage1Solver:
             err = jnp.where(active, err, 0.0)
             valid = active
             finite = jnp.logical_or(finite, ~active)
-        return accumulate_residual_info(err, jnp.sqrt(res_sq), valid, finite)
+        return accumulate_residual_info(
+            err, jnp.sqrt(res_sq), valid, finite,
+            num_obs_all=self.n_obs_live,
+        )
 
     def _initialize_varproj(
         self, obs: Obs, cam_space: jnp.ndarray
@@ -449,6 +648,18 @@ class Stage1Solver:
         at ~1e-7 relative — inside the forcing tolerance."""
         if self.use_pallas:
             return self._linearize_s(obs, cam_space, lm_p)
+        r, Jp, Jl = self._lin_core(obs, cam_space, lm_p)
+        Jl, jl_scale = self._lin_scale_jl(obs, Jl)
+        Jp, pose_scale = self._lin_scale_jp(obs, Jp)
+        return Lin1(
+            Jp=Jp, Jl=Jl, r=r, pose_scale=pose_scale, jl_scale=jl_scale
+        )
+
+    def _lin_core(
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Jacobian/residual evaluation with sqrt robust weights applied
+        (the jacobian_evaluation timing span)."""
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
         x = self._gather_lm_x(obs, lm_p.astype(sd).T)
@@ -464,36 +675,32 @@ class Stage1Solver:
             res_sq, self.robust, self.huber
         )
         sw = jnp.sqrt(w)  # [O]
-        r = r * sw[None]
-        Jp = Jp * sw[None, None]
-        Jl = Jl * sw[None, None]
+        return r * sw[None], Jp * sw[None, None], Jl * sw[None, None]
 
-        # landmark Jacobi column scaling: 1 / (eps + col_norm) over the
-        # landmark's rows
+    def _lin_scale_jl(self, obs: Obs, Jl: jnp.ndarray):
+        """Landmark Jacobi column scaling: 1 / (eps + col_norm) over the
+        landmark's rows (scale_Jl_cols_pOSE, landmark_block.hpp:284-300)."""
         jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [3, M]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * self._gather_lm_x(obs, jl_scale)[None]
+        return Jl * self._gather_lm_x(obs, jl_scale)[None], jl_scale
 
-        # pose Jacobi column scaling: 1 / (eps + sqrt(diag(Jp^T Jp)))
+    def _lin_scale_jp(self, obs: Obs, Jp: jnp.ndarray):
+        """Pose Jacobi column scaling: 1 / (eps + sqrt(diag(Jp^T Jp)))
+        (scale_Jp_cols_pOSE, landmark_block.hpp:324-334)."""
         jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=0))  # [12, N]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * self._gather_cam_x(obs, pose_scale)[None]
-
-        return Lin1(
-            Jp=Jp, Jl=Jl, r=r, pose_scale=pose_scale, jl_scale=jl_scale
-        )
+        return Jp * self._gather_cam_x(obs, pose_scale)[None], pose_scale
 
     # ------------------------------------------------------ Schur pieces
 
-    def _prepare_hb(
+    def _prep_hll(
         self, obs: Obs, lin: Lin1, lam: jnp.ndarray, landmark_damping: bool
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """prepare_Hb_pOSE / prepare_Hb_pOSE_poBA
-        (sc/linearization_power_varproj.hpp:126-188):
-          hll_inv [3,3,M]   = (Jl^T Jl (+ lam I for poBA))^-1
-          b       [12,N]    = sum_obs Jp^T (r - Jl hll_inv bl)
-          hpp     [12,12,N] = blockdiag(Jp^T Jp), undamped
-        """
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Landmark-side half of prepare_Hb: assemble + (poBA-)damp +
+        invert Hll, and the landmark gradient solve Hll^-1 bl. This is
+        the staged-timing boundary matching the reference's stage-2
+        span (set_landmark_damping + Hll work,
+        linearizor_power_varproj.cpp:185-203)."""
         lam = lam.astype(lin.Jl.dtype)
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
         hll = self._seg_lm(obs, small_einsum("kio,kjo->ijo", lin.Jl, lin.Jl))
@@ -503,7 +710,13 @@ class Stage1Solver:
 
         bl = self._seg_lm(obs, small_einsum("kio,ko->io", lin.Jl, lin.r))
         hll_inv_bl = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
+        return hll_inv, hll_inv_bl
 
+    def _prep_hpp_b(
+        self, obs: Obs, lin: Lin1, hll_inv_bl: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Camera-side half of prepare_Hb: VarProj-corrected residual and
+        the per-camera gradient/block-diagonal sums."""
         r_tilde = lin.r - small_einsum(
             "ijo,jo->io", lin.Jl, self._gather_lm_x(obs, hll_inv_bl)
         )
@@ -518,6 +731,19 @@ class Stage1Solver:
                 obs, small_einsum("kio,ko->io", lin.Jp, r_tilde)
             )
             hpp = self._seg_cam_outer(obs, lin.Jp, lin.Jp)
+        return b, hpp
+
+    def _prepare_hb(
+        self, obs: Obs, lin: Lin1, lam: jnp.ndarray, landmark_damping: bool
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """prepare_Hb_pOSE / prepare_Hb_pOSE_poBA
+        (sc/linearization_power_varproj.hpp:126-188):
+          hll_inv [3,3,M]   = (Jl^T Jl (+ lam I for poBA))^-1
+          b       [12,N]    = sum_obs Jp^T (r - Jl hll_inv bl)
+          hpp     [12,12,N] = blockdiag(Jp^T Jp), undamped
+        """
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam, landmark_damping)
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         return b, hpp, hll_inv
 
     def _e0_matvec(
@@ -592,15 +818,29 @@ class Stage1Solver:
         eta bounds the required inner accuracy far above f32 epsilon."""
         if isinstance(lin, Lin1S):
             return self._solve_power_s(obs, lin, lam, landmark_damping)
-        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam, landmark_damping)
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam, landmark_damping)
+        prep = self._power_prep(obs, lin, lam, hll_inv, hll_inv_bl)
+        return self._power_iterate(obs, lin, prep)
+
+    def _power_prep(
+        self, obs: Obs, lin: Lin1, lam, hll_inv, hll_inv_bl
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Camera-side prepare for the power solve: (neg-gradient,
+        damped-inverted block diagonal, factorized E0 operand)."""
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         hpp = hpp + lam.astype(hpp.dtype) * jnp.eye(
             12, dtype=hpp.dtype
         )[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp)
-
         sd = self.solve_dtype
-        b_inv_s = b_inv.astype(sd)
         W = self._e0_factor(obs, lin, hll_inv, sd)
+        return (-b).astype(sd), b_inv.astype(sd), W
+
+    def _power_iterate(
+        self, obs: Obs, lin: Lin1, prep
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Power-series recurrence from prepared operands."""
+        nb, b_inv_s, W = prep
 
         def b_inv_apply(v):
             return small_einsum("ijn,jn->in", b_inv_s, v)
@@ -611,7 +851,7 @@ class Stage1Solver:
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
             e0_apply,
-            (-b).astype(sd),
+            nb,
             max_terms=self.power_m,
             q_tolerance=self.opts.eta,
             r_tolerance=self.opts.r_tolerance,
@@ -634,32 +874,6 @@ class Stage1Solver:
         eye = jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         return hpp + lam.astype(hpp.dtype) * eye - corr
 
-    def _make_precond(self, obs, lin, hll_inv, hpp, lam, sd):
-        """Build the CG preconditioner apply-closure per
-        options.preconditioner_type."""
-        from povar_tpu.options import PreconditionerType as PT
-
-        pt = self.opts.preconditioner_type
-        if pt == PT.IDENTITY:
-            return lambda x: x
-        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
-        if pt == PT.JACOBI:
-            # DiagonalPreconditioner (cg/preconditioner.hpp:46-68):
-            # elementwise 1/diag(S), zeros mapped to 1
-            n = diag_blocks.shape[0]
-            d = diag_blocks[jnp.arange(n), jnp.arange(n)].astype(sd)
-            invd = jnp.where(d != 0, 1.0 / d, 1.0)
-            return lambda x: invd * x
-        if pt == PT.SCHUR_JACOBI:
-            diag_chol_s = linalg.cholesky_smallf(diag_blocks).astype(sd)
-
-            def precond(x):
-                y = linalg.solve_lower_trif(diag_chol_s, x)
-                return linalg.solve_upper_from_lowerf(diag_chol_s, y)
-
-            return precond
-        raise ValueError(f"unknown preconditioner type {pt}")
-
     def _solve_pcg(
         self, obs: Obs, lin: Lin1, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -677,11 +891,37 @@ class Stage1Solver:
         hpp:46-68), or IDENTITY."""
         if isinstance(lin, Lin1S):
             return self._solve_pcg_s(obs, lin, lam)
-        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam, False)
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam, False)
+        b, hpp, W = self._pcg_prep(obs, lin, hll_inv, hll_inv_bl)
+        pmats = self._pcg_precond(obs, lin, hll_inv, hpp, lam)
+        return self._pcg_iterate(obs, lin, lam, b, hpp, W, pmats)
+
+    def _pcg_prep(self, obs: Obs, lin: Lin1, hll_inv, hll_inv_bl):
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
+        W = self._e0_factor(obs, lin, hll_inv, self.solve_dtype)
+        return b, hpp, W
+
+    def _pcg_precond(self, obs: Obs, lin: Lin1, hll_inv, hpp, lam):
+        """Preconditioner materials for the generic CG path (see
+        _pcg_precond_s)."""
+        from povar_tpu.options import PreconditionerType as PT
 
         sd = self.solve_dtype
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            return ()
+        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
+        if pt == PT.JACOBI:
+            n = diag_blocks.shape[0]
+            d = diag_blocks[jnp.arange(n), jnp.arange(n)].astype(sd)
+            return (jnp.where(d != 0, 1.0 / d, 1.0),)
+        return (linalg.cholesky_smallf(diag_blocks).astype(sd),)
+
+    def _pcg_iterate(
+        self, obs: Obs, lin: Lin1, lam, b, hpp, W, pmats
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
-        W = self._e0_factor(obs, lin, hll_inv, sd)
         lam_s = lam.astype(sd)
         b_s = b.astype(sd)
 
@@ -689,15 +929,11 @@ class Stage1Solver:
             bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
             return bx - self._e0_w_matvec(x, obs, W)
 
-        precond = self._make_precond(
-            obs, lin, hll_inv, hpp, lam, sd
-        )
-
         res = pcg_mod.conjugate_gradients(
             matvec,
             b_s,
             jnp.zeros_like(b_s),
-            precond,
+            self._precond_closure(pmats),
             max_iterations=self.opts.max_linear_solver_iterations,
             min_iterations=self.opts.min_linear_solver_iterations,
             q_tolerance=self.opts.eta,
@@ -729,7 +965,13 @@ class Stage1Solver:
                 "1536 cameras (the reference's SimplicialLLT serves the "
                 "same small/medium regime)"
             )
-        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam, False)
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam, False)
+        return self._chol_solve(obs, lin, lam, hll_inv, hll_inv_bl)
+
+    def _chol_solve(self, obs: Obs, lin: Lin1, lam, hll_inv, hll_inv_bl):
+        """Dense RCS assembly + direct PSD solve (the staged second half
+        of the CHOLESKY path)."""
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         n12 = self.n_cams * 12
 
         # A [12N, 3M]: column block (cam(o), lm(o)) is W_o Hll^-1/2.
@@ -796,14 +1038,38 @@ class Stage1Solver:
         perturbation of v raises the f64-evaluated cost only to second
         order (~1e-14 relative); l_diff only feeds the lambda schedule.
         """
-        if isinstance(lin, Lin1S):
-            return self._apply_s(obs, cam_space, lm_p, lin, inc_scaled)
-        sd = self.solve_dtype
-        inc_phys = inc_scaled.astype(sd) * lin.pose_scale  # [12, N]
-        new_cam = cam_space + inc_phys.astype(self.dtype).T.reshape(
+        new_cam = self._update_cams(cam_space, lin, inc_scaled)
+        new_lm, l_diff = self._back_sub(
+            obs, new_cam, lm_p, lin, inc_scaled
+        )
+        return new_cam, new_lm, l_diff
+
+    def _update_cams(
+        self, cam_space: jnp.ndarray, lin, inc_scaled: jnp.ndarray
+    ) -> jnp.ndarray:
+        """apply_inc_pose_pOSE (bal_problem.hpp:147-163): unscale the
+        camera increment and add it to the 3x4 matrices. Shared by all
+        apply variants (both Lin1 layouts, VarProj and poBA)."""
+        inc_phys = (
+            inc_scaled.astype(lin.pose_scale.dtype) * lin.pose_scale
+        )
+        return cam_space + inc_phys.astype(self.dtype).T.reshape(
             self.n_cams, 3, 4
         )
 
+    def _back_sub(
+        self,
+        obs: Obs,
+        new_cam: jnp.ndarray,
+        lm_p: jnp.ndarray,
+        lin,
+        inc_scaled: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """VarProj landmark back-substitution + model cost decrease at
+        the updated cameras. Returns (new_lm_p, l_diff)."""
+        if isinstance(lin, Lin1S):
+            return self._back_sub_s(obs, new_cam, lm_p, lin, inc_scaled)
+        sd = self.solve_dtype
         P_new = self._gather_cams(obs, new_cam.astype(sd))
         x = self._gather_lm_x(obs, lm_p.astype(sd).T)
         r_new, Jp_new, Jl_new = pose_math.pose_jacobians_t(
@@ -823,7 +1089,6 @@ class Stage1Solver:
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
         return (
-            new_cam,
             lm_p + inc_lm.astype(self.dtype).T,
             l_diff.astype(self.dtype),
         )
@@ -842,10 +1107,19 @@ class Stage1Solver:
         (back_substitute_poBA, sc/landmark_block.hpp:625-668;
         linearizor_power_varproj.cpp:264-273 order: back-substitute with
         the scaled inc first, then unscale and update cameras)."""
+        new_cam = self._update_cams(cam_space, lin, inc_scaled)
+        new_lm, l_diff = self._back_sub_poba(
+            obs, lm_p, lin, inc_scaled, lam
+        )
+        return new_cam, new_lm, l_diff
+
+    def _back_sub_poba(
+        self, obs: Obs, lm_p, lin, inc_scaled, lam
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """poBA landmark back-substitution from the stored (scaled)
+        Jacobians. Returns (new_lm_p, l_diff)."""
         if isinstance(lin, Lin1S):
-            return self._apply_poba_s(
-                obs, cam_space, lm_p, lin, inc_scaled, lam
-            )
+            return self._back_sub_poba_s(obs, lm_p, lin, inc_scaled, lam)
         sd = self.solve_dtype
         inc_s = inc_scaled.astype(sd)
         eye3 = jnp.eye(3, dtype=lin.Jl.dtype)[:, :, None]
@@ -867,9 +1141,7 @@ class Stage1Solver:
         # landmark inc unscaled by the Jl column scale only after the
         # model-cost computation (landmark_block.hpp:664-666)
         new_lm = lm_p + (inc_lm_scaled * lin.jl_scale).astype(self.dtype).T
-        inc_phys = (inc_s * lin.pose_scale).astype(self.dtype)
-        new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
-        return new_cam, new_lm, l_diff.astype(self.dtype)
+        return new_lm, l_diff.astype(self.dtype)
 
     # ------------------------------------------------ structured path
     # (Pallas; ops/pallas_pose.py). Same math as the methods above, but
@@ -884,6 +1156,20 @@ class Stage1Solver:
     def _linearize_s(
         self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
     ) -> Lin1S:
+        core = self._lin_core_s(obs, cam_space, lm_p)
+        ct, x, r_w, sw, hll_raw, bl_raw, jpsq = core
+        jl_scale = self._lin_scale_jl_s(hll_raw)
+        pose_scale = self._lin_scale_jp_s(jpsq)
+        return Lin1S(
+            ct=ct, x=x, r_w=r_w, sw=sw, hll_raw=hll_raw, bl_raw=bl_raw,
+            jl_scale=jl_scale, pose_scale=pose_scale,
+        )
+
+    def _lin_core_s(
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
+    ):
+        """Structured-path linearization core: one Pallas pass over the
+        observations plus the landmark-slot reductions."""
         f32 = jnp.float32
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
         x = self._gather_lm_x(obs, lm_p.astype(f32).T)  # [3, O]
@@ -893,13 +1179,18 @@ class Stage1Solver:
         )
         hll_raw = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
         bl_raw = self._seg_lm(obs, atr)
+        return ct, x, r_w, sw, hll_raw, bl_raw, jpsq
+
+    def _lin_scale_jl_s(self, hll_raw: jnp.ndarray) -> jnp.ndarray:
+        """Landmark Jacobi scale from the raw Hll diagonal (the scaling
+        itself is applied algebraically as outer products downstream —
+        the structured layout makes scale_Jl_cols a near-free rsqrt)."""
         jl_sq = hll_raw[jnp.arange(3), jnp.arange(3)]  # [3, M]
-        jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
-        return Lin1S(
-            ct=ct, x=x, r_w=r_w, sw=sw, hll_raw=hll_raw, bl_raw=bl_raw,
-            jl_scale=jl_scale, pose_scale=pose_scale,
-        )
+        return 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
+
+    def _lin_scale_jp_s(self, jpsq: jnp.ndarray) -> jnp.ndarray:
+        """Pose Jacobi scale from the per-camera Jp column norms."""
+        return 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
 
     def _hll_pieces_s(
         self, obs: Obs, lin: Lin1S, lam: jnp.ndarray, landmark_damping
@@ -958,13 +1249,22 @@ class Stage1Solver:
         self, obs: Obs, lin: Lin1S, lam: jnp.ndarray, landmark_damping
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         lam32 = lam.astype(jnp.float32)
-        _hll_inv, hib_obs, jls_obs, lh_obs = self._hll_pieces_s(
-            obs, lin, lam32, landmark_damping
-        )
+        hll_pieces = self._hll_pieces_s(obs, lin, lam32, landmark_damping)
+        prep = self._power_prep_s(obs, lin, lam32, hll_pieces)
+        return self._power_iterate_s(obs, lin, prep)
+
+    def _power_prep_s(self, obs: Obs, lin: Lin1S, lam32, hll_pieces):
+        _hll_inv, hib_obs, jls_obs, lh_obs = hll_pieces
         hpp, b = self._hpp_b_s(obs, lin, hib_obs, jls_obs)
         hpp = hpp + lam32 * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp)
         h = self._h_factor_s(obs, lin, jls_obs, lh_obs)
+        return -b, b_inv, h
+
+    def _power_iterate_s(
+        self, obs: Obs, lin: Lin1S, prep
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        nb, b_inv, h = prep
 
         def b_inv_apply(v):
             return small_einsum("ijn,jn->in", b_inv, v)
@@ -972,7 +1272,7 @@ class Stage1Solver:
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
             self._e0_apply_s(obs, lin, h),
-            -b,
+            nb,
             max_terms=self.power_m,
             q_tolerance=self.opts.eta,
             r_tolerance=self.opts.r_tolerance,
@@ -982,14 +1282,62 @@ class Stage1Solver:
     def _solve_pcg_s(
         self, obs: Obs, lin: Lin1S, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        from povar_tpu.options import PreconditionerType as PT
-
         lam32 = lam.astype(jnp.float32)
-        _hll_inv, hib_obs, jls_obs, lh_obs = self._hll_pieces_s(
-            obs, lin, lam32, False
-        )
+        pieces = self._hll_pieces_s(obs, lin, lam32, False)
+        b, hpp, h = self._pcg_prep_s(obs, lin, pieces)
+        pmats = self._pcg_precond_s(obs, lin, lam32, hpp, h)
+        return self._pcg_iterate_s(obs, lin, lam32, b, hpp, h, pmats)
+
+    def _pcg_prep_s(self, obs: Obs, lin: Lin1S, hll_pieces):
+        _hll_inv, hib_obs, jls_obs, lh_obs = hll_pieces
         hpp, b = self._hpp_b_s(obs, lin, hib_obs, jls_obs)
         h = self._h_factor_s(obs, lin, jls_obs, lh_obs)
+        return b, hpp, h
+
+    def _pcg_precond_s(self, obs: Obs, lin: Lin1S, lam32, hpp, h):
+        """Preconditioner materials (a tuple of arrays; the type is
+        static per options.preconditioner_type)."""
+        from povar_tpu.options import PreconditionerType as PT
+
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            return ()
+        ps = lin.pose_scale
+        corr = pallas_pose.schur_diag_structured(
+            obs.cam, lin.x, h, self.n_cams
+        ).reshape(12, 12, self.n_cams) * (
+            ps[:, None, :] * ps[None, :, :]
+        )
+        diag_blocks = (
+            hpp + lam32 * jnp.eye(12, dtype=hpp.dtype)[:, :, None] - corr
+        )
+        if pt == PT.JACOBI:
+            dg = diag_blocks[jnp.arange(12), jnp.arange(12)]
+            return (jnp.where(dg != 0, 1.0 / dg, 1.0),)
+        return (linalg.cholesky_smallf(diag_blocks),)
+
+    def _precond_closure(self, pmats):
+        """Apply-closure over preconditioner materials (shared by the
+        structured and generic CG paths)."""
+        from povar_tpu.options import PreconditionerType as PT
+
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            return lambda v: v
+        if pt == PT.JACOBI:
+            (invd,) = pmats
+            return lambda v: invd * v
+        (chol,) = pmats
+
+        def precond(v):
+            y = linalg.solve_lower_trif(chol, v)
+            return linalg.solve_upper_from_lowerf(chol, y)
+
+        return precond
+
+    def _pcg_iterate_s(
+        self, obs: Obs, lin: Lin1S, lam32, b, hpp, h, pmats
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         e0 = self._e0_apply_s(obs, lin, h)
 
         def matvec(v):
@@ -997,37 +1345,11 @@ class Stage1Solver:
                 small_einsum("ijn,jn->in", hpp, v) + lam32 * v - e0(v)
             )
 
-        pt = self.opts.preconditioner_type
-        if pt == PT.IDENTITY:
-            precond = lambda v: v  # noqa: E731
-        else:
-            ps = lin.pose_scale
-            corr = pallas_pose.schur_diag_structured(
-                obs.cam, lin.x, h, self.n_cams
-            ).reshape(12, 12, self.n_cams) * (
-                ps[:, None, :] * ps[None, :, :]
-            )
-            diag_blocks = (
-                hpp
-                + lam32 * jnp.eye(12, dtype=hpp.dtype)[:, :, None]
-                - corr
-            )
-            if pt == PT.JACOBI:
-                dg = diag_blocks[jnp.arange(12), jnp.arange(12)]
-                invd = jnp.where(dg != 0, 1.0 / dg, 1.0)
-                precond = lambda v: invd * v  # noqa: E731
-            else:  # SCHUR_JACOBI
-                chol = linalg.cholesky_smallf(diag_blocks)
-
-                def precond(v):
-                    y = linalg.solve_lower_trif(chol, v)
-                    return linalg.solve_upper_from_lowerf(chol, y)
-
         res = pcg_mod.conjugate_gradients(
             matvec,
             b,
             jnp.zeros_like(b),
-            precond,
+            self._precond_closure(pmats),
             max_iterations=self.opts.max_linear_solver_iterations,
             min_iterations=self.opts.min_linear_solver_iterations,
             q_tolerance=self.opts.eta,
@@ -1036,15 +1358,11 @@ class Stage1Solver:
         )
         return (-res.x).astype(self.dtype), res.num_iterations
 
-    def _apply_s(
-        self, obs: Obs, cam_space, lm_p, lin: Lin1S, inc_scaled
+    def _back_sub_s(
+        self, obs: Obs, new_cam, lm_p, lin: Lin1S, inc_scaled
     ):
         f32 = jnp.float32
         inc_f = inc_scaled.astype(f32)
-        inc_phys = inc_f * lin.pose_scale
-        new_cam = cam_space + inc_phys.astype(self.dtype).T.reshape(
-            self.n_cams, 3, 4
-        )
         ct_new = new_cam.astype(f32).reshape(self.n_cams, 12).T
         # exact VarProj back-substitution from UNWEIGHTED fresh
         # Jacobians at the updated cameras (helper.cpp:382-454)
@@ -1065,13 +1383,12 @@ class Stage1Solver:
         )
         l_diff = -jnp.sum(part)
         return (
-            new_cam,
             lm_p + inc_lm.astype(self.dtype).T,
             l_diff.astype(self.dtype),
         )
 
-    def _apply_poba_s(
-        self, obs: Obs, cam_space, lm_p, lin: Lin1S, inc_scaled, lam
+    def _back_sub_poba_s(
+        self, obs: Obs, lm_p, lin: Lin1S, inc_scaled, lam
     ):
         f32 = jnp.float32
         lam32 = lam.astype(f32)
@@ -1095,6 +1412,44 @@ class Stage1Solver:
         l_diff = -jnp.sum(part)
 
         new_lm = lm_p + (inc_lm_scaled * d).astype(self.dtype).T
-        inc_phys = (inc_f * lin.pose_scale).astype(self.dtype)
-        new_cam = cam_space + inc_phys.T.reshape(self.n_cams, 3, 4)
-        return new_cam, new_lm, l_diff.astype(self.dtype)
+        return new_lm, l_diff.astype(self.dtype)
+
+    def _compute_error_df32(
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """Double-float pOSE cost: split the f64 state into (hi, lo)
+        f32 pairs, evaluate residuals and accumulate with error-free
+        transforms in one Pallas pass, and assemble the totals in f64
+        host-side arithmetic on 128 lanes."""
+        f32, f64 = jnp.float32, jnp.float64
+
+        def split(a):
+            hi = a.astype(f32)
+            return hi, (a - hi.astype(f64)).astype(f32)
+
+        ct = cam_space.reshape(self.n_cams, 12).T  # [12, N] f64
+        ct_hi, ct_lo = split(ct)
+        lm_hi, lm_lo = split(lm_p.T)  # [3, M]
+        x_hi = self._gather_lm_x(obs, lm_hi)
+        x_lo = self._gather_lm_x(obs, lm_lo)
+        uv_hi, uv_lo = split(obs.uv)
+        part = pallas_pose.pose_error_df32(
+            obs.cam, ct_hi, ct_lo, x_hi, x_lo, uv_hi, uv_lo,
+            self._mask1(obs), alpha=self.alpha, robust=self.robust,
+            huber=self.huber,
+        )
+        err = jnp.sum(part[0].astype(f64)) + jnp.sum(part[1].astype(f64))
+        rn = jnp.sum(part[2].astype(f64)) + jnp.sum(part[3].astype(f64))
+        bad = jnp.sum(part[4]) > 0
+        n_live = jnp.asarray(self.n_obs_live, jnp.int64)
+        return {
+            "num_obs_all": n_live,
+            "error_all": err,
+            "residual_sum_all": rn,
+            # pOSE projections are always valid (helper.cpp:263); the
+            # valid bucket equals the live bucket
+            "num_obs_valid": n_live,
+            "error_valid": err,
+            "residual_sum_valid": rn,
+            "is_numerically_valid": ~bad,
+        }

@@ -39,7 +39,7 @@ from povar_tpu.ops.small_einsum import small_einsum
 from povar_tpu.ops import linalg, pallas_cam, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
-from povar_tpu.solver.common import accumulate_residual_info
+from povar_tpu.solver.common import StagedTiming, accumulate_residual_info
 from povar_tpu.solver.segments import (
     onehot_gather,
     onehot_segment_sum,
@@ -86,7 +86,7 @@ def create_homogeneous(
     return linalg.frobenius_normalize(cam_space), lm_p_h
 
 
-class Stage2Solver:
+class Stage2Solver(StagedTiming):
     def __init__(
         self,
         obs_cam: jnp.ndarray,
@@ -111,15 +111,18 @@ class Stage2Solver:
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
         )
-        # fused Pallas camera-side kernels: same gating as Stage1Solver
+        # Generic Pallas camera kernels measured SLOWER inside stage-2's
+        # einsum chains (pallas_call boundaries break XLA fusion and
+        # force bad layouts on the [2,12,O] temporaries — the same
+        # pathology stage 1 had before its structured rewrite). Until
+        # stage 2 gets the structured treatment, only explicit
+        # pallas_kernels='on' (tests) enables them; 'auto' keeps the
+        # one-hot/XLA lowering.
         mode = options.pallas_kernels
         shape_ok = pallas_cam.supported(
             pallas_cam.OBS_PAD, self.n_cams, self.solve_dtype
         )
-        self.use_pallas = shape_ok and (
-            mode == "on"
-            or (mode == "auto" and jax.default_backend() == "tpu")
-        )
+        self.use_pallas = shape_ok and mode == "on"
         self.obs, self.lm_shapes = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
@@ -127,6 +130,15 @@ class Stage2Solver:
         )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
+        )
+        # live-observation count for ResidualInfo (padding rows carry
+        # zero weight and must not inflate num_obs / mean residuals)
+        import numpy as _np
+
+        self.n_obs_live = (
+            int(self.obs.cam.shape[0])
+            if self.obs.weight is None
+            else int(_np.sum(_np.asarray(self.obs.weight) > 0))
         )
 
         self._jit_compute_error = jax.jit(self._compute_error)
@@ -173,6 +185,91 @@ class Stage2Solver:
         if st == SolverTypeRiemannian.RIPCG:
             return self.solve_pcg(lin, lam)
         raise ValueError(f"unknown step-2 solver type {st}")
+
+    # ----------------------------------------------- staged (timed) API
+    # (see stage1.py: the fused methods compose these same sub-functions)
+
+    def linearize_timed(self, cam_space, lm_p_h):
+        """Returns (lin, timings): jacobian_evaluation,
+        scale_landmark_jacobian, scale_pose_jacobian, perform_qr (the
+        tangent nullspace projection is the QR/COD analogue)."""
+        t = {}
+        (r, Jp, Jl), t["jacobian_evaluation"] = self._timed(
+            self._jit_cached("lin_core", self._lin_core),
+            self.obs, cam_space, lm_p_h,
+        )
+        (Jl, jl_scale), t["scale_landmark_jacobian"] = self._timed(
+            self._jit_cached("lin_scale_jl", self._lin_scale_jl),
+            self.obs, Jl,
+        )
+        (Jp, pose_scale), t["scale_pose_jacobian"] = self._timed(
+            self._jit_cached("lin_scale_jp", self._lin_scale_jp),
+            self.obs, Jp,
+        )
+        ns, t["perform_qr"] = self._timed(
+            self._jit_cached("lin_nullspace", self._lin_nullspace),
+            self.obs, cam_space, lm_p_h, Jp, Jl,
+        )
+        Jp_ns, Jl_ns, kernel_cam, kernel_lm = ns
+        return Lin2(
+            Jp=Jp, Jl=Jl, r=r, Jp_ns=Jp_ns, Jl_ns=Jl_ns,
+            kernel_cam=kernel_cam, kernel_lm=kernel_lm,
+            pose_scale=pose_scale, jl_scale=jl_scale,
+        ), t
+
+    def solve_timed(self, lin, lam):
+        """Dispatch like `solve` with per-stage times: stage2 (tangent
+        Hll + damping span), landmark_damping, prepare,
+        compute_preconditioner (RIPCG), solve_reduced_system."""
+        st = self.opts.solver_type_step_2
+        lam = jnp.asarray(lam, self.dtype)
+        t = {}
+        pieces, t["stage2"] = self._timed(
+            self._jit_cached("prep_hll", self._prep_hll),
+            self.obs, lin, lam,
+        )
+        hll_inv, hll_inv_bl = pieces
+        # the joint Hll damping (Proj^T lam Proj) is inside the span
+        t["landmark_damping"] = t["stage2"]
+        if st == SolverTypeRiemannian.RIPOBA:
+            prep, t["prepare"] = self._timed(
+                self._jit_cached("power_prep", self._power_prep),
+                self.obs, lin, lam, hll_inv, hll_inv_bl,
+            )
+            (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                self._jit_cached("power_iterate", self._power_iterate),
+                self.obs, lin, prep,
+            )
+            return inc, n_iter, t
+        if st == SolverTypeRiemannian.RIPCG:
+            (b, hpp, W), t["prepare"] = self._timed(
+                self._jit_cached("pcg_prep", self._pcg_prep),
+                self.obs, lin, hll_inv, hll_inv_bl,
+            )
+            pmats, t["compute_preconditioner"] = self._timed(
+                self._jit_cached("pcg_precond", self._pcg_precond),
+                self.obs, lin, hll_inv, hpp, lam,
+            )
+            (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                self._jit_cached("pcg_iterate", self._pcg_iterate),
+                self.obs, lin, lam, b, hpp, W, pmats,
+            )
+            return inc, n_iter, t
+        raise ValueError(f"unknown step-2 solver type {st}")
+
+    def apply_timed(self, cam_space, lm_p_h, lin, inc, lam):
+        """Apply with (back_substitution, update_cameras) wall times."""
+        t = {}
+        lam = jnp.asarray(lam, self.dtype)
+        (new_lm_h, l_diff), t["back_substitution"] = self._timed(
+            self._jit_cached("back_sub", self._back_sub),
+            self.obs, lm_p_h, lin, inc, lam,
+        )
+        new_cam, t["update_cameras"] = self._timed(
+            self._jit_cached("update_cams", self._update_cams),
+            cam_space, lin, inc,
+        )
+        return new_cam, new_lm_h, l_diff, t
 
     # -------------------------------------------------------------- utils
 
@@ -247,7 +344,10 @@ class Stage2Solver:
             err = jnp.where(active, err, 0.0)
             valid = jnp.logical_and(valid, active)
             finite = jnp.logical_or(finite, ~active)
-        return accumulate_residual_info(err, jnp.sqrt(res_sq), valid, finite)
+        return accumulate_residual_info(
+            err, jnp.sqrt(res_sq), valid, finite,
+            num_obs_all=self.n_obs_live,
+        )
 
     # --------------------------------------------------------- linearize
 
@@ -266,6 +366,27 @@ class Stage2Solver:
 
         Mixed mode stores everything in the solve dtype (see
         stage1._linearize for the precision argument)."""
+        r, Jp, Jl = self._lin_core(obs, cam_space, lm_p_h)
+        Jl, jl_scale = self._lin_scale_jl(obs, Jl)
+        Jp, pose_scale = self._lin_scale_jp(obs, Jp)
+        Jp_ns, Jl_ns, kernel_cam, kernel_lm = self._lin_nullspace(
+            obs, cam_space, lm_p_h, Jp, Jl
+        )
+        return Lin2(
+            Jp=Jp,
+            Jl=Jl,
+            r=r,
+            Jp_ns=Jp_ns,
+            Jl_ns=Jl_ns,
+            kernel_cam=kernel_cam,
+            kernel_lm=kernel_lm,
+            pose_scale=pose_scale,
+            jl_scale=jl_scale,
+        )
+
+    def _lin_core(self, obs: Obs, cam_space, lm_p_h):
+        """Homogeneous Jacobian/residual evaluation with validity
+        masking and sqrt robust weights."""
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
         xh = self._gather_lm_x(obs, lm_p_h.astype(sd).T)
@@ -289,18 +410,24 @@ class Stage2Solver:
             res_sq, self.robust, self.huber
         )
         sw = jnp.sqrt(w)
-        r = r * sw[None]
-        Jp = Jp * sw[None, None]
-        Jl = Jl * sw[None, None]
+        return r * sw[None], Jp * sw[None, None], Jl * sw[None, None]
 
+    def _lin_scale_jl(self, obs: Obs, Jl):
+        """scale_Jl_cols_homogeneous (landmark_block.hpp:302-318)."""
         jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [4, M]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        Jl = Jl * self._gather_lm_x(obs, jl_scale)[None]
+        return Jl * self._gather_lm_x(obs, jl_scale)[None], jl_scale
 
+    def _lin_scale_jp(self, obs: Obs, Jp):
+        """scale_Jp_cols_joint (landmark_block.hpp:336-350)."""
         jp_sq = self._seg_cam(obs, jnp.sum(Jp * Jp, axis=0))  # [12, N]
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jp_sq))
-        Jp = Jp * self._gather_cam_x(obs, pose_scale)[None]
+        return Jp * self._gather_cam_x(obs, pose_scale)[None], pose_scale
 
+    def _lin_nullspace(self, obs: Obs, cam_space, lm_p_h, Jp, Jl):
+        """Tangent-space projection of the scaled blocks
+        (linearize_nullspace, landmark_block.hpp:227-269)."""
+        sd = self.solve_dtype
         kernel_cam = linalg.nullspace_of_rowf(
             cam_space.astype(sd).reshape(self.n_cams, 12).T
         )  # [12, 11, N]
@@ -312,18 +439,7 @@ class Stage2Solver:
         Jl_ns = small_einsum(
             "ijo,jko->iko", Jl, self._gather_lm_x(obs, kernel_lm)
         )  # [2, 3, O]
-
-        return Lin2(
-            Jp=Jp,
-            Jl=Jl,
-            r=r,
-            Jp_ns=Jp_ns,
-            Jl_ns=Jl_ns,
-            kernel_cam=kernel_cam,
-            kernel_lm=kernel_lm,
-            pose_scale=pose_scale,
-            jl_scale=jl_scale,
-        )
+        return Jp_ns, Jl_ns, kernel_cam, kernel_lm
 
     # ------------------------------------------------------ Schur pieces
 
@@ -334,6 +450,13 @@ class Stage2Solver:
         tangent-space Hll^-1 [3,3,M] (with Proj^T lam Proj = lam I
         damping), gradient b [11,N], undamped per-camera block diagonal
         Jp_ns^T Jp_ns [11,11,N]."""
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam)
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
+        return b, hpp, hll_inv
+
+    def _prep_hll(self, obs: Obs, lin: Lin2, lam: jnp.ndarray):
+        """Tangent Hll assembly + Proj^T lam Proj damping + inversion
+        (the staged stage2/landmark-damping span)."""
         lam = lam.astype(lin.Jl_ns.dtype)
         eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
@@ -344,7 +467,9 @@ class Stage2Solver:
 
         bl = self._seg_lm(obs, small_einsum("kio,ko->io", lin.Jl_ns, lin.r))
         hll_inv_bl = small_einsum("ijm,jm->im", hll_inv, bl)
+        return hll_inv, hll_inv_bl
 
+    def _prep_hpp_b(self, obs: Obs, lin: Lin2, hll_inv_bl):
         r_tilde = lin.r - small_einsum(
             "ijo,jo->io", lin.Jl_ns, self._gather_lm_x(obs, hll_inv_bl)
         )
@@ -358,7 +483,7 @@ class Stage2Solver:
                 obs, small_einsum("kio,ko->io", lin.Jp_ns, r_tilde)
             )
             hpp = self._seg_cam_outer(obs, lin.Jp_ns, lin.Jp_ns)
-        return b, hpp, hll_inv
+        return b, hpp
 
     def _e0_matvec(
         self, x: jnp.ndarray, obs: Obs, lin: Lin2, hll_inv: jnp.ndarray
@@ -408,15 +533,22 @@ class Stage2Solver:
         """RIPOBA: power series on the 11-dof tangent system
         (solve_joint, hpp:240-287). Returns (inc [11, N], num_terms).
         Mixed precision: see stage1._solve_power."""
-        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam)
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam)
+        prep = self._power_prep(obs, lin, lam, hll_inv, hll_inv_bl)
+        return self._power_iterate(obs, lin, prep)
+
+    def _power_prep(self, obs: Obs, lin: Lin2, lam, hll_inv, hll_inv_bl):
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         hpp_d = hpp + lam.astype(hpp.dtype) * jnp.eye(
             11, dtype=hpp.dtype
         )[:, :, None]
         b_inv = linalg.inv_psd_smallf(hpp_d)
-
         sd = self.solve_dtype
-        b_inv_s = b_inv.astype(sd)
         W = self._e0_factor(obs, lin, hll_inv, sd)
+        return (-b).astype(sd), b_inv.astype(sd), W
+
+    def _power_iterate(self, obs: Obs, lin: Lin2, prep):
+        nb, b_inv_s, W = prep
 
         def b_inv_apply(v):
             return small_einsum("ijn,jn->in", b_inv_s, v)
@@ -427,7 +559,7 @@ class Stage2Solver:
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
             e0_apply,
-            (-b).astype(sd),
+            nb,
             max_terms=self.power_m,
             q_tolerance=self.opts.eta,
             r_tolerance=self.opts.r_tolerance,
@@ -442,53 +574,68 @@ class Stage2Solver:
         eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
         return hpp + lam.astype(hpp.dtype) * eye - corr
 
-    def _make_precond(self, obs, lin, hll_inv, hpp, lam, sd):
-        """CG preconditioner per options.preconditioner_type (see
-        stage1._make_precond)."""
+    def _pcg_precond(self, obs, lin, hll_inv, hpp, lam):
+        """CG preconditioner materials (a tuple of arrays; the type is
+        static per options.preconditioner_type)."""
+        from povar_tpu.options import PreconditionerType as PT
+
+        sd = self.solve_dtype
+        pt = self.opts.preconditioner_type
+        if pt == PT.IDENTITY:
+            return ()
+        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
+        if pt == PT.JACOBI:
+            n = diag_blocks.shape[0]
+            d = diag_blocks[jnp.arange(n), jnp.arange(n)].astype(sd)
+            return (jnp.where(d != 0, 1.0 / d, 1.0),)
+        return (linalg.cholesky_smallf(diag_blocks).astype(sd),)
+
+    def _precond_closure(self, pmats):
         from povar_tpu.options import PreconditionerType as PT
 
         pt = self.opts.preconditioner_type
         if pt == PT.IDENTITY:
             return lambda x: x
-        diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
         if pt == PT.JACOBI:
-            n = diag_blocks.shape[0]
-            d = diag_blocks[jnp.arange(n), jnp.arange(n)].astype(sd)
-            invd = jnp.where(d != 0, 1.0 / d, 1.0)
+            (invd,) = pmats
             return lambda x: invd * x
-        if pt == PT.SCHUR_JACOBI:
-            diag_chol_s = linalg.cholesky_smallf(diag_blocks).astype(sd)
+        (chol,) = pmats
 
-            def precond(x):
-                y = linalg.solve_lower_trif(diag_chol_s, x)
-                return linalg.solve_upper_from_lowerf(diag_chol_s, y)
+        def precond(x):
+            y = linalg.solve_lower_trif(chol, x)
+            return linalg.solve_upper_from_lowerf(chol, y)
 
-            return precond
-        raise ValueError(f"unknown preconditioner type {pt}")
+        return precond
 
     def _solve_pcg(
         self, obs: Obs, lin: Lin2, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPCG (linearizor_sc.cpp:245-325): implicit tangent RCS +
         preconditioned CG; inc = -x of S x = b."""
-        b, hpp, hll_inv = self._prepare_hb(obs, lin, lam)
+        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam)
+        b, hpp, W = self._pcg_prep(obs, lin, hll_inv, hll_inv_bl)
+        pmats = self._pcg_precond(obs, lin, hll_inv, hpp, lam)
+        return self._pcg_iterate(obs, lin, lam, b, hpp, W, pmats)
 
+    def _pcg_prep(self, obs: Obs, lin: Lin2, hll_inv, hll_inv_bl):
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
+        W = self._e0_factor(obs, lin, hll_inv, self.solve_dtype)
+        return b, hpp, W
+
+    def _pcg_iterate(self, obs: Obs, lin: Lin2, lam, b, hpp, W, pmats):
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
-        W = self._e0_factor(obs, lin, hll_inv, sd)
         lam_s = lam.astype(sd)
 
         def matvec(x):
             bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
             return bx - self._e0_w_matvec(x, obs, W)
 
-        precond = self._make_precond(obs, lin, hll_inv, hpp, lam, sd)
-
         res = pcg_mod.conjugate_gradients(
             matvec,
             b.astype(sd),
             jnp.zeros_like(b, dtype=sd),
-            precond,
+            self._precond_closure(pmats),
             max_iterations=self.opts.max_linear_solver_iterations,
             min_iterations=self.opts.min_linear_solver_iterations,
             q_tolerance=self.opts.eta,
@@ -521,6 +668,14 @@ class Stage2Solver:
         runs in the solve dtype; state updates and retraction in the
         state dtype.
         """
+        new_lm_h, l_diff = self._back_sub(obs, lm_p_h, lin, inc, lam)
+        new_cam = self._update_cams(cam_space, lin, inc)
+        return new_cam, new_lm_h, l_diff
+
+    def _back_sub(self, obs: Obs, lm_p_h, lin: Lin2, inc, lam):
+        """Damped tangent landmark back-substitution, COD lift 3 -> 4,
+        model cost decrease, landmark update + dehomogenize retraction.
+        Returns (new_lm_p_h, l_diff)."""
         sd = self.solve_dtype
         inc_s = inc.astype(sd)
         lam_s = lam.astype(sd)
@@ -545,12 +700,16 @@ class Stage2Solver:
         l_diff = -jnp.sum(j_inc * (0.5 * j_inc + lin.r))
 
         new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).astype(self.dtype).T
+        new_lm_h = new_lm_h / new_lm_h[:, 3:4]
+        return new_lm_h, l_diff.astype(self.dtype)
 
+    def _update_cams(self, cam_space, lin: Lin2, inc):
+        """Camera tangent lift 11 -> 12 through kernel_cam, unscale, add,
+        Frobenius-normalize retraction (apply_joint,
+        linearizor_power_varproj.cpp:276-308 +
+        bal_bundle_adjustment.cpp:700-703)."""
+        inc_s = inc.astype(self.solve_dtype)
         inc12 = small_einsum("ijn,jn->in", lin.kernel_cam, inc_s)  # [12, N]
         inc12 = (inc12 * lin.pose_scale).astype(self.dtype)
         new_cam = cam_space + inc12.T.reshape(self.n_cams, 3, 4)
-
-        # manifold retraction
-        new_cam = linalg.frobenius_normalize(new_cam)
-        new_lm_h = new_lm_h / new_lm_h[:, 3:4]
-        return new_cam, new_lm_h, l_diff.astype(self.dtype)
+        return linalg.frobenius_normalize(new_cam)

@@ -107,6 +107,7 @@ def save_json(
     summary_step2: Optional[SolverSummary] = None,
     timing: Optional[dict] = None,
     save_ubjson: bool = False,
+    device_memory: Optional[dict] = None,
 ) -> None:
     """Write the combined log (ba_log.cpp save_json:60-150; the
     reference logs step-2 under `solver`/`iterations` and step-1 under
@@ -142,6 +143,10 @@ def save_json(
         log["iterations"] = [
             _iteration_record(it) for it in summary_step2.iterations
         ]
+    if device_memory:
+        # device-side memory view the reference lacks (its RSS sampling
+        # is host-only, system_utils.cpp:52-89)
+        log["device_memory"] = device_memory
     with open(path, "w") as f:
         json.dump(log, f, indent=1)
     if save_ubjson:

@@ -85,6 +85,7 @@ def finish_iteration(summary: SolverSummary, it: IterationSummary) -> None:
         + it.solve_reduced_system_time_in_seconds
         + it.back_substitution_time_in_seconds
     )
+    it.resident_memory = _current_rss()
     try:
         import resource
 
@@ -93,6 +94,19 @@ def finish_iteration(summary: SolverSummary, it: IterationSummary) -> None:
     except Exception:
         pass
     summary.iterations.append(it)
+
+
+def _current_rss() -> int:
+    """Current resident set size in bytes (get_memory_info,
+    util/system_utils.cpp:52-89 reads /proc/self/statm the same way)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        import os
+
+        return pages * os.sysconf("SC_PAGE_SIZE")
+    except Exception:
+        return 0
 
 
 def finish_solve(summary: SolverSummary, solver_type_name: str) -> None:
@@ -125,5 +139,20 @@ def finish_solve(summary: SolverSummary, solver_type_name: str) -> None:
 
         usage = resource.getrusage(resource.RUSAGE_SELF)
         summary.resident_memory_peak = usage.ru_maxrss * 1024
+    except Exception:
+        pass
+    # thread-count analogue on TPU: devices in the executing mesh
+    # (solver_summary.hpp:num_threads_*; ScopedTbbThreadLimit has no
+    # analogue — the mesh shape plays that role, SURVEY.md section 2.7)
+    try:
+        import jax
+
+        n = len(jax.devices())
+        if summary.num_threads_available == 0:
+            summary.num_threads_available = n
+        if summary.num_threads_given == 0:
+            summary.num_threads_given = summary.num_threads_used or n
+        if summary.num_threads_used == 0:
+            summary.num_threads_used = summary.num_threads_given
     except Exception:
         pass

@@ -307,3 +307,78 @@ def test_stage1_structured_solver_equivalence():
         r_off = np.abs(out["off"][i] - f).max() / denom
         r_on = np.abs(out["on"][i] - f).max() / denom
         assert r_on < max(3.0 * r_off, 1e-5), (name, r_on, r_off)
+
+
+def test_compute_error_df32_matches_f64():
+    """The double-float cost evaluation must agree with the f64 path to
+    ~f64 precision (the LM accept/reject decisions hang on it)."""
+    from povar_tpu.options import SolverOptions
+    from povar_tpu.problem.synthetic import synthetic_bal_problem
+    from povar_tpu.solver.stage1 import Stage1Solver
+
+    problem, _ = synthetic_bal_problem(
+        n_cams=8, n_lms=60, obs_per_lm=4, seed=0
+    )
+    vals = {}
+    for mode in ["off", "on"]:
+        opts = SolverOptions()
+        opts.pallas_kernels = mode
+        s = Stage1Solver(
+            problem.obs_cam, problem.obs_lm, problem.obs_uv,
+            problem.num_cameras, problem.num_landmarks, opts,
+        )
+        cams = jnp.asarray(problem.cam_space)
+        lms = s.initialize_varproj(cams)
+        e = s.compute_error(cams, lms)
+        vals[mode] = {k: np.asarray(v) for k, v in e.items()}
+    a, b = vals["off"], vals["on"]
+    np.testing.assert_allclose(
+        float(b["error_all"]), float(a["error_all"]), rtol=1e-13
+    )
+    # residual_sum takes a single-f32 sqrt per observation (display
+    # only); the double-float accumulation keeps the sum at ~1e-9 rel
+    np.testing.assert_allclose(
+        float(b["residual_sum_all"]), float(a["residual_sum_all"]),
+        rtol=1e-7,
+    )
+    assert int(b["num_obs_all"]) == int(a["num_obs_all"])
+    assert bool(b["is_numerically_valid"])
+
+
+def test_stage1_lm_trajectory_structured_matches_f64_decisions():
+    """Six LM iterations on the structured path: every accept/reject
+    decision and the cost sequence must track the XLA path (costs to
+    the mixed-precision tolerance)."""
+    from povar_tpu.options import SolverOptions
+    from povar_tpu.problem.synthetic import synthetic_bal_problem
+    from povar_tpu.solver.lm import optimize_step1
+    from povar_tpu.solver.stage1 import Stage1Solver
+    from povar_tpu.utils.summary import SolverSummary
+    from povar_tpu.utils.timer import Timer
+
+    problem, _ = synthetic_bal_problem(
+        n_cams=8, n_lms=60, obs_per_lm=5, seed=7
+    )
+    traj = {}
+    for mode in ["off", "on"]:
+        opts = SolverOptions()
+        opts.max_num_iterations_step_1 = 6
+        opts.pallas_kernels = mode
+        s = Stage1Solver(
+            problem.obs_cam, problem.obs_lm, problem.obs_uv,
+            problem.num_cameras, problem.num_landmarks, opts,
+        )
+        cams = jnp.asarray(problem.cam_space)
+        lms = s.initialize_varproj(cams)
+        summary = SolverSummary()
+        optimize_step1(
+            s, cams, lms, opts, summary, Timer(), log=lambda s_: None
+        )
+        traj[mode] = [
+            (it.step_is_successful, it.cost.all.error)
+            for it in summary.iterations
+        ]
+    assert len(traj["off"]) == len(traj["on"])
+    for (ok_a, c_a), (ok_b, c_b) in zip(traj["off"], traj["on"]):
+        assert ok_a == ok_b
+        np.testing.assert_allclose(c_b, c_a, rtol=1e-3)
