@@ -64,6 +64,18 @@ class Experiment:
 
     name: str
     runs: Dict[str, Run] = field(default_factory=dict)
+    display_name: str = ""
+
+    def sequences(self, filter_regex: Optional[str] = None) -> List[str]:
+        """Run (problem) names, optionally regex-filtered
+        (experiments.py Experiment.sequences)."""
+        import re
+
+        names = sorted(self.runs)
+        if filter_regex:
+            pat = re.compile(filter_regex)
+            names = [n for n in names if pat.search(n)]
+        return names
 
     @staticmethod
     def load(

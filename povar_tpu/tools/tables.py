@@ -107,3 +107,171 @@ def latex_results_table(
         body += prob.replace("_", "\\_") + " & " + " & ".join(cells)
         body += " \\\\\n"
     return header + body + "\\bottomrule\n\\end{tabular}\n"
+
+
+# -------------------------------------------------- metric-driven tables
+# (latex/overview_table.py:21-109 + latex/results_table.py equivalents,
+# rendered as aligned text and as LaTeX tabular source)
+
+
+_PROBLEM_ACCESSORS = {
+    "#cam": lambda info: f"{int(info.get('num_cameras', 0)):,}",
+    "#lm": lambda info: f"{int(info.get('num_landmarks', 0)):,}",
+    "#obs": lambda info: f"{int(info.get('num_observations', 0)):,}",
+    "#obs-per-cam": lambda info: "{:,.1f}".format(
+        info.get("num_observations", 0)
+        / max(info.get("num_cameras", 1), 1)
+    ),
+    "#obs-per-lm-mean": lambda info: "{:.1f}".format(
+        info.get("per_lm_obs", {}).get("mean", 0.0)
+    ),
+    "#obs-per-lm-max": lambda info: str(
+        int(info.get("per_lm_obs", {}).get("max", 0))
+    ),
+    "rcs-sparsity": lambda info: "{:.0f}%".format(
+        100.0 * info.get("rcs_sparsity", 0.0)
+    ),
+}
+
+
+def overview_table(exps: Dict, columns, filter_regex=None) -> str:
+    """Problem-overview table: rows = sequences, column groups =
+    experiments, cells = problem-size stats from each run's log
+    (the latex/overview_table.py accessors: #cam, #lm, #obs,
+    #obs-per-cam, #obs-per-lm-mean/max, rcs-sparsity).
+
+    `columns` = list of (experiment_name, [stat names])."""
+    seqs = sorted(
+        {s for name, _ in columns for s in exps[name].sequences(filter_regex)}
+    )
+    flat = [(name, stat) for name, stats in columns for stat in stats]
+    width = 16
+    head1 = "".ljust(28) + "".join(
+        name.ljust(width * len(stats)) for name, stats in columns
+    )
+    head2 = "".ljust(28) + "".join(
+        stat.ljust(width) for _, stat in flat
+    )
+    lines = [head1, head2, "-" * len(head2)]
+    for seq in seqs:
+        row = seq.ljust(28)
+        for name, stat in flat:
+            run = exps[name].runs.get(seq)
+            if run is None or run.log is None:
+                row += ("(failed)" if run is not None else "?").ljust(width)
+                continue
+            info = dict(run.log.problem_info)
+            row += str(_PROBLEM_ACCESSORS[stat](info)).ljust(width)
+        lines.append(row)
+    return "\n".join(lines)
+
+
+def metric_results_table(
+    exps: Dict,
+    experiment_names: Sequence[str],
+    metric_specs: Sequence,
+    filter_regex=None,
+    it: int = -1,
+    latex: bool = False,
+) -> str:
+    """Results table driven by the metric registry
+    (tools/metrics.py): rows = sequences, column groups = metrics,
+    sub-columns = experiments — the layout of
+    latex/results_table.py. Supports every registry metric including
+    relative-to-experiment baselines; appends the per-metric mean
+    (geometric where the metric requests it) like the reference's
+    summary row."""
+    from povar_tpu.tools.metrics import metrics_from_spec
+
+    metrics = metrics_from_spec(list(metric_specs))
+    seqs = sorted(
+        {
+            s
+            for name in experiment_names
+            for s in exps[name].sequences(filter_regex)
+        }
+    )
+    cells: Dict[tuple, str] = {}
+    values: Dict[tuple, list] = {}
+    for m_i, m in enumerate(metrics):
+        for name in experiment_names:
+            col_vals = []
+            for seq in seqs:
+                run = exps[name].runs.get(seq)
+                if run is None or run.log is None or run.is_failed:
+                    cells[(seq, m_i, name)] = "x"
+                    continue
+                try:
+                    v = m.value(exps, exps[name], seq, it)
+                except Exception:
+                    cells[(seq, m_i, name)] = "-"
+                    continue
+                cells[(seq, m_i, name)] = m.format(v)
+                col_vals.append(v)
+            values[(m_i, name)] = col_vals
+    width = 14
+
+    def mean_cell(m_i, m, name):
+        vals = [v for v in values.get((m_i, name), []) if np.isfinite(v)]
+        if not vals:
+            return "-"
+        if m.geometric_mean:
+            mean = float(np.exp(np.mean(np.log(np.maximum(vals, 1e-30)))))
+        else:
+            mean = float(np.mean(vals))
+        return m.format(mean)
+
+    if latex:
+        ncol = len(metrics) * len(experiment_names)
+        out = "\\begin{tabular}{l" + "r" * ncol + "}\n\\toprule\n"
+        out += (
+            " & "
+            + " & ".join(
+                f"\\multicolumn{{{len(experiment_names)}}}{{c}}"
+                f"{{{m.display_name}}}"
+                for m in metrics
+            )
+            + " \\\\\n"
+        )
+        out += (
+            " & "
+            + " & ".join(
+                n for _ in metrics for n in experiment_names
+            )
+            + " \\\\\n\\midrule\n"
+        )
+        for seq in seqs:
+            out += seq.replace("_", "\\_")
+            for m_i in range(len(metrics)):
+                for name in experiment_names:
+                    out += " & " + cells[(seq, m_i, name)]
+            out += " \\\\\n"
+        out += "\\midrule\nmean"
+        for m_i, m in enumerate(metrics):
+            for name in experiment_names:
+                out += " & " + mean_cell(m_i, m, name)
+        out += " \\\\\n\\bottomrule\n\\end{tabular}\n"
+        return out
+
+    head1 = "".ljust(28) + "".join(
+        m.display_name.ljust(width * len(experiment_names))
+        for m in metrics
+    )
+    head2 = "".ljust(28) + "".join(
+        n[:width - 1].ljust(width)
+        for _ in metrics
+        for n in experiment_names
+    )
+    lines = [head1, head2, "-" * len(head2)]
+    for seq in seqs:
+        row = seq.ljust(28)
+        for m_i in range(len(metrics)):
+            for name in experiment_names:
+                row += cells[(seq, m_i, name)].ljust(width)
+        lines.append(row)
+    row = "mean".ljust(28)
+    for m_i, m in enumerate(metrics):
+        for name in experiment_names:
+            row += mean_cell(m_i, m, name).ljust(width)
+    lines.append(row)
+    return "\n".join(lines)

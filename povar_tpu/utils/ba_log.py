@@ -64,6 +64,10 @@ def _iteration_record(it: IterationSummary) -> dict:
         "update_cameras_time": it.update_cameras_time_in_seconds,
         "stage1_time": it.stage1_time_in_seconds,
         "stage2_time": it.stage2_time_in_seconds,
+        "perform_qr_time": it.perform_qr_time_in_seconds,
+        "compute_preconditioner_time": (
+            it.compute_preconditioner_time_in_seconds
+        ),
         "resident_memory": it.resident_memory,
         "resident_memory_peak": it.resident_memory_peak,
     }

@@ -157,3 +157,214 @@ def test_ubjson_log_load(tmp_path):
     p.write_bytes(ubjson.dumps(data))
     log = Log.load(str(p))
     assert log.final_cost() == 2.0
+
+
+def _write_run_dir(root, exp, prob, costs, total_time, n_cams=10):
+    """A minimal run directory a batch run would produce."""
+    d = os.path.join(root, exp, prob)
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, "status.log"), "w").write("Created\nCompleted\n")
+    its = [
+        {
+            "iteration": i,
+            "step_is_valid": True,
+            "step_is_successful": True,
+            "cost": c,
+            "cumulative_time": (i + 1) * total_time / len(costs),
+            "linear_solver_iterations": 3,
+            "stage1_time": 0.1,
+            "stage2_time": 0.05,
+            "solve_reduced_system_time": 0.2,
+            "prepare_time": 0.02,
+            "back_substitution_time": 0.03,
+        }
+        for i, c in enumerate(costs)
+    ]
+    log = {
+        "problem_info": {
+            "num_cameras": n_cams,
+            "num_landmarks": 100,
+            "num_observations": 500,
+            "rcs_sparsity": 0.25,
+            "per_lm_obs": {"mean": 5.0, "min": 2, "max": 9,
+                           "stddev": 1.0},
+        },
+        "solver": {
+            "total_time_in_seconds": total_time,
+            "minimizer_time_in_seconds": total_time * 0.9,
+            "num_linear_solves": len(costs),
+            "num_residual_evaluations": len(costs),
+            "num_jacobian_evaluations": len(costs),
+            "resident_memory_peak": 2 << 30,
+        },
+        "solver1": {"minimizer_time_in_seconds": total_time * 0.4},
+        "iterations": its,
+        "iterations1": its[:2],
+    }
+    json.dump(log, open(os.path.join(d, "ba_log.json"), "w"))
+
+
+def _two_experiment_tree(root):
+    for prob, (t_a, t_b) in {
+        "ladybug-49": (4.0, 6.0),
+        "venice-89": (10.0, 9.0),
+    }.items():
+        _write_run_dir(root, "power", prob, [100.0, 10.0, 2.0, 1.0], t_a)
+        _write_run_dir(root, "pcg", prob, [100.0, 20.0, 3.0, 1.05], t_b)
+
+
+def test_metric_registry_and_relative(tmp_path):
+    """Metric accessors + relative-to-experiment baselines
+    (python/rootba/metric.py:31-190 semantics)."""
+    from povar_tpu.tools.experiments import (
+        load_experiments_config,
+        load_experiments,
+    )
+    from povar_tpu.tools.metrics import get_metric
+
+    _two_experiment_tree(tmp_path)
+    cfg_path = os.path.join(tmp_path, "exp.toml")
+    open(cfg_path, "w").write(
+        """
+[substitutions]
+base = "."
+
+[[experiments]]
+name = "power"
+pattern = "${base}/power/*"
+
+[[experiments]]
+name = "pcg"
+pattern = "${base}/pcg/*"
+"""
+    )
+    config = load_experiments_config(cfg_path)
+    exps = load_experiments(config)
+    assert set(exps) == {"power", "pcg"}
+    assert exps["power"].sequences() == ["ladybug-49", "venice-89"]
+
+    m = get_metric("cost")
+    assert m.value(exps, exps["power"], "ladybug-49") == 1.0
+    m = get_metric("solver_total_time")
+    assert m.value(exps, exps["pcg"], "venice-89") == 9.0
+    # relative-to-experiment ratio (geometric-mean display defaults)
+    m = get_metric(
+        {"name": "solver_total_time", "relative_to_experiment": "power"}
+    )
+    assert m.geometric_mean
+    np.testing.assert_allclose(
+        m.value(exps, exps["pcg"], "ladybug-49"), 6.0 / 4.0
+    )
+    # name@itN pinning
+    m = get_metric(
+        {"name": "cost", "relative_to_experiment": "power@it0"}
+    )
+    np.testing.assert_allclose(
+        m.value(exps, exps["pcg"], "venice-89"), 1.05 / 100.0
+    )
+
+
+def test_experiments_template_expansion(tmp_path):
+    """Template + substitution expansion (experiments.py:292-623
+    capability: cartesian expansion over list-valued args, ${var} and
+    <var> substitution)."""
+    from povar_tpu.tools.experiments import load_experiments_config
+
+    cfg = os.path.join(tmp_path, "exp.toml")
+    open(cfg, "w").write(
+        """
+[substitutions]
+solvers = ["power", "pcg"]
+tol = 0.01
+
+[[templates]]
+name = "per-solver-plot"
+args = ["solver"]
+class = "plot"
+x = "time"
+
+[[experiments]]
+name = "power"
+pattern = "runs/power/*"
+
+[[results]]
+template = "per-solver-plot"
+solver = "<solvers>"
+name = "conv-${solver}"
+experiments = ["${solver}"]
+
+[[results]]
+class = "performance_profile"
+name = "profile"
+tolerance = "<tol>"
+"""
+    )
+    config = load_experiments_config(cfg)
+    results = config["results"]
+    # the templated entry expands to one plot per solver, spliced
+    assert [r.get("name") for r in results] == [
+        "conv-power", "conv-pcg", "profile"
+    ]
+    assert results[0]["class"] == "plot"
+    assert results[0]["experiments"] == ["power"]
+    assert results[1]["experiments"] == ["pcg"]
+    assert results[2]["tolerance"] == 0.01
+
+
+def test_report_end_to_end(tmp_path):
+    """generate_tables.py-equivalent: config -> tables + profile +
+    plots + report.md in one command."""
+    from povar_tpu.tools import report as report_mod
+
+    _two_experiment_tree(tmp_path)
+    cfg = os.path.join(tmp_path, "exp.toml")
+    open(cfg, "w").write(
+        """
+[[experiments]]
+name = "power"
+pattern = "power/*"
+
+[[experiments]]
+name = "pcg"
+pattern = "pcg/*"
+
+[[results]]
+class = "overview_table"
+name = "overview"
+
+[[results]]
+class = "results_table"
+name = "costs"
+metrics = ["cost", "num_it_total", "solver_total_time"]
+
+[[results]]
+class = "performance_profile"
+name = "profile"
+tolerance = 0.1
+
+[[results]]
+class = "plot"
+name = "convergence"
+
+[[results]]
+class = "timing_breakdown"
+name = "timing"
+"""
+    )
+    out = os.path.join(tmp_path, "results")
+    rc = report_mod.main([cfg, "-o", out])
+    assert rc == 0
+    txt = open(os.path.join(out, "costs.txt")).read()
+    assert "ladybug-49" in txt and "venice-89" in txt
+    assert "1.000e+00" in txt  # power final cost
+    assert os.path.exists(os.path.join(out, "costs.tex"))
+    assert os.path.exists(os.path.join(out, "profile.png"))
+    assert os.path.exists(os.path.join(out, "convergence.png"))
+    assert os.path.exists(os.path.join(out, "overview.txt"))
+    assert os.path.exists(
+        os.path.join(out, "timing-ladybug-49.png")
+    )
+    md = open(os.path.join(out, "report.md")).read()
+    assert "## costs" in md and "profile.png" in md
+    ov = open(os.path.join(out, "overview.txt")).read()
+    assert "10" in ov and "25%" in ov
