@@ -1,9 +1,10 @@
 """Large-scale smoke: one full step-1 LM iteration at venice-1778 scale
-(1778 cams, 993,923 landmarks, ~5M observations) — validates HBM fit
-and reports throughput. Camera one-hot is disabled automatically at
-this N*O (falls back to bucketed gathers).
+(1778 cams, 993,923 landmarks, ~5M observations) or BAL final-13682
+scale (13,682 cams, 4.8M landmarks, ~24M observations) — validates HBM
+fit and reports throughput + peak device memory. Camera one-hot is
+disabled automatically at this N*O (falls back to bucketed gathers).
 
-Usage: python benchmarks/large_scale_smoke.py
+Usage: python benchmarks/large_scale_smoke.py [venice-1778|final-13682]
 """
 
 import os
@@ -24,9 +25,17 @@ from povar_tpu.problem.synthetic import synthetic_bal_problem_fast  # noqa: E402
 from povar_tpu.solver.stage1 import Stage1Solver  # noqa: E402
 
 
+SCALES = {
+    "venice-1778": (1778, 993_923, 5),
+    "final-13682": (13_682, 4_585_579, 5),
+}
+
+
 def main() -> None:
+    scale = sys.argv[1] if len(sys.argv) > 1 else "venice-1778"
+    n_cams, n_lms, obs_per_lm = SCALES[scale]
     t0 = time.time()
-    problem = synthetic_bal_problem_fast(1778, 993_923, 5, seed=0)
+    problem = synthetic_bal_problem_fast(n_cams, n_lms, obs_per_lm, seed=0)
     print(f"generated {problem.num_observations} obs in {time.time()-t0:.1f}s",
           flush=True)
     opts = SolverOptions()
@@ -68,6 +77,14 @@ def main() -> None:
         f"cost after 1 step: {e1:.6e} (from {e0:.6e})",
         flush=True,
     )
+    from povar_tpu.utils.profiling import device_memory_stats
+
+    for dev, stats in device_memory_stats().items():
+        print(
+            f"{dev}: peak {stats['peak_bytes_in_use']/2**30:.2f} GiB "
+            f"of {stats['bytes_limit']/2**30:.2f} GiB",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -39,37 +39,51 @@ def _add_dataclass_args(
     parser: argparse.ArgumentParser, obj: Any, prefix: str
 ) -> None:
     """Generate --<prefix>-<kebab-field> flags from a dataclass, like
-    the reference's CliArgumentsOptionsVisitor."""
+    the reference's CliArgumentsOptionsVisitor, with help text and
+    range annotations from the options metadata
+    (cli/cli_options.cpp:43-147)."""
+    from povar_tpu.options import option_meta
+
     for f in dataclasses.fields(obj):
         v = getattr(obj, f.name)
         if dataclasses.is_dataclass(v):
             _add_dataclass_args(parser, v, prefix)
             continue
         flag = f"--{prefix}-{f.name.replace('_', '-')}"
+        rng, help_text = option_meta(type(obj), f.name)
+        help_text = help_text or ""
+        if rng is not None:
+            help_text += f" (range [{rng[0]:g}, {rng[1]:g}])"
+        help_text += f" (default: {v.value if isinstance(v, enum.Enum) else v})"
         if isinstance(v, bool):
             parser.add_argument(
                 flag, dest=f"{prefix}__{f.name}", default=None,
-                action="store_true",
+                action="store_true", help=help_text,
             )
             parser.add_argument(
                 f"--no-{prefix}-{f.name.replace('_', '-')}",
                 dest=f"{prefix}__{f.name}", action="store_false",
+                help=argparse.SUPPRESS,
             )
         elif isinstance(v, enum.Enum):
             parser.add_argument(
-                flag, dest=f"{prefix}__{f.name}", default=None, type=str
+                flag, dest=f"{prefix}__{f.name}", default=None,
+                type=str, help=help_text,
             )
         elif isinstance(v, int):
             parser.add_argument(
-                flag, dest=f"{prefix}__{f.name}", default=None, type=int
+                flag, dest=f"{prefix}__{f.name}", default=None,
+                type=int, help=help_text,
             )
         elif isinstance(v, float):
             parser.add_argument(
-                flag, dest=f"{prefix}__{f.name}", default=None, type=float
+                flag, dest=f"{prefix}__{f.name}", default=None,
+                type=float, help=help_text,
             )
         else:
             parser.add_argument(
-                flag, dest=f"{prefix}__{f.name}", default=None, type=str
+                flag, dest=f"{prefix}__{f.name}", default=None,
+                type=str, help=help_text,
             )
 
 
@@ -130,6 +144,16 @@ def main(argv=None) -> int:
         opts = BalAppOptions()
     _apply_overrides(opts.solver, args, "solver")
     _apply_overrides(opts.dataset, args, "dataset")
+
+    from povar_tpu.options import validate_options
+
+    violations = validate_options(opts.solver) + validate_options(
+        opts.dataset
+    )
+    if violations:
+        for msg in violations:
+            print(f"error: option {msg}", file=sys.stderr)
+        return 1
     if args.input:
         opts.dataset.input = args.input
     if args.create_dataset:

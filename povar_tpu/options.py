@@ -199,6 +199,142 @@ _ENUM_FIELDS = {
 }
 
 
+# Per-field (range, help) metadata — the visitable-options meta the
+# reference attaches with VISITABLE_META(..., init().range().help())
+# (options/options_interface.hpp:80-120; ranges/help text from
+# solver_options.hpp:95-308, bal_residual_options.hpp:44-66,
+# bal_dataset_options.hpp:44-97). `range` is an inclusive (lo, hi) or
+# None when the reference declares no range.
+OPTION_META: Dict[type, Dict[str, tuple]] = {
+    SolverOptions: {
+        "solver_type_step_1": (None, "linear solver for step 1 (pOSE "
+                               "VarProj): POWER_VARPROJ, "
+                               "POWER_SCHUR_COMPLEMENT, PCG, CHOLESKY"),
+        "solver_type_step_2": (None, "linear solver for step 2 "
+                               "(Riemannian): RIPOBA, RIPCG"),
+        "verbosity_level": ((0, 2), "output verbosity level; 0: "
+                            "silent, 1: brief, 2: full"),
+        "num_threads": ((0, 1000), "accepted for config parity; the "
+                        "TPU analogue is the device mesh size "
+                        "(--mesh-devices)"),
+        "alpha": ((0.0, 1.0), "weight in front of the affine part of "
+                  "the pOSE cost"),
+        "optimized_cost": (None, "which cost the LM accept/reject and "
+                           "termination decisions use"),
+        "max_num_iterations_step_1": ((0, 10000), "maximum LM "
+                                      "iterations for pOSE step"),
+        "max_num_iterations_step_2": ((0, 10000), "maximum LM "
+                                      "iterations for joint "
+                                      "homogeneous step"),
+        "min_relative_decrease": (None, "lower bound on the relative "
+                                  "decrease before a step is rejected"),
+        "initial_trust_region_radius": ((1e-10, 1e16), "determines the "
+                                        "initial damping"),
+        "min_trust_region_radius": ((1e-32, 1e16), "terminate when the "
+                                    "trust region radius falls below "
+                                    "this"),
+        "max_trust_region_radius": ((1e-16, 1e16), "defines the "
+                                    "minimum damping always added"),
+        "min_lm_diagonal": ((1e-32, 1.0), "ceres-path LM diagonal "
+                            "clamp (kept for parity)"),
+        "max_lm_diagonal": ((1.0, 1e32), "ceres-path LM diagonal "
+                            "clamp (kept for parity)"),
+        "min_linear_solver_iterations": ((0, 100000), "minimum inner "
+                                         "solver iterations"),
+        "max_linear_solver_iterations": ((0, 100000), "maximum inner "
+                                         "solver iterations"),
+        "eta": (None, "forcing-sequence parameter: per-solve relative "
+                "decrease of the q model (power series / CG)"),
+        "r_tolerance": (None, "residual tolerance for the inner solve "
+                        "(negative disables)"),
+        "jacobi_scaling": (None, "scale Jacobian columns by "
+                           "1/(eps + column norm)"),
+        "jacobi_scaling_epsilon": ((0.0, 1.0), "epsilon for Jacobi "
+                                   "scaling; 0 means sqrt(float eps)"),
+        "preconditioner_type": (None, "preconditioner for PCG: "
+                                "IDENTITY, JACOBI, SCHUR_JACOBI"),
+        "power_order": (None, "only used in explicit power Schur "
+                        "(kept for parity)"),
+        "function_tolerance": ((0.0, 1.0), "terminate when "
+                               "|new_cost - old_cost| < "
+                               "function_tolerance * old_cost"),
+        "gradient_tolerance": (None, "only for the ceres path (kept "
+                               "for parity)"),
+        "parameter_tolerance": (None, "only for the ceres path (kept "
+                                "for parity)"),
+        "power_sc_iterations": ((0, 1000), "number of power-series "
+                                "terms (inner iterations) of the "
+                                "power Schur complement"),
+        "initial_vee": ((1.0, 100.0), "initial decrease factor for "
+                        "trust-region backtracking"),
+        "vee_factor": ((1.0, 100.0), "growth of the decrease factor "
+                       "during backtracking"),
+        "residual_reset_period": ((1, 10000), "recompute the true CG "
+                                  "residual every this many "
+                                  "iterations"),
+        "mixed_precision_solves": (None, "run inner matvecs in f32 "
+                                   "under the f64 LM loop (TPU has no "
+                                   "native f64)"),
+        "pallas_kernels": (None, "fused Pallas kernels: auto, on, off"),
+        "detailed_timing": (None, "staged execution with per-stage "
+                            "wall times in the iteration log"),
+    },
+    BalResidualOptions: {
+        "robust_norm": (None, "robust norm: NONE, HUBER, CAUCHY"),
+        "huber_parameter": ((0.0, 10.0), "huber parameter for robust "
+                            "norm, in pixels"),
+    },
+    BalDatasetOptions: {
+        "input": (None, "path to the input BAL problem"),
+        "input_type": (None, "input format: AUTO, BAL, ECCV"),
+        "save_output": (None, "save the optimized problem"),
+        "output_optimized_path": (None, "path for the optimized "
+                                  "problem (npz)"),
+        "normalize": (None, "median+MAD normalize the map"),
+        "normalization_scale": ((1e-6, 1e6), "target scale of the "
+                                "normalized map"),
+        "rotation_sigma": ((0.0, 1e3), "stddev of camera rotation "
+                           "perturbation"),
+        "translation_sigma": ((0.0, 1e3), "stddev of camera "
+                              "translation perturbation"),
+        "point_sigma": ((0.0, 1e3), "stddev of landmark perturbation"),
+        "random_seed": (None, "seed for dataset randomization"),
+        "init_depth_threshold": ((0.0, 1e6), "drop observations with "
+                                 "initial depth below this"),
+        "quiet": (None, "suppress dataset loading output"),
+        "create_dataset": (None, "randomize cameras, write "
+                           "data_custom/<name>, and exit"),
+    },
+}
+
+
+def option_meta(cls: type, name: str):
+    """(range, help) for a field, or (None, None)."""
+    return OPTION_META.get(cls, {}).get(name, (None, None))
+
+
+def validate_options(obj: Any, prefix: str = "") -> list:
+    """Range-check every field against OPTION_META (the reference
+    enforces these via pprint_value range asserts in its options
+    visitors). Returns a list of violation messages."""
+    errors = []
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        label = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(v):
+            errors += validate_options(v, prefix=label + ".")
+            continue
+        rng, _help = option_meta(type(obj), f.name)
+        if rng is not None and isinstance(v, (int, float)):
+            lo, hi = rng
+            if not (lo <= v <= hi):
+                errors.append(
+                    f"{label} = {v!r} outside valid range "
+                    f"[{lo}, {hi}]"
+                )
+    return errors
+
+
 def _apply_dict(obj: Any, data: Dict[str, Any]) -> None:
     for key, value in data.items():
         if not hasattr(obj, key):

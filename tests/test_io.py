@@ -217,3 +217,26 @@ ignored_key = true
     assert opts.solver.max_num_iterations_step_1 == 7
     assert opts.solver.residual.robust_norm == RobustNorm.HUBER
     assert opts.solver.residual.huber_parameter == 2.0
+
+
+def test_cli_option_range_validation(tmp_path, capsys):
+    """Out-of-range option values are rejected with a clear error
+    (the reference's VISITABLE_META range() enforcement)."""
+    from povar_tpu.cli import main
+
+    rc = main(["--input", "nonexistent.txt", "--solver-alpha", "3.0"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "alpha" in err and "range" in err
+
+
+def test_option_validate_ranges():
+    from povar_tpu.options import SolverOptions, validate_options
+
+    opts = SolverOptions()
+    assert validate_options(opts) == []
+    opts.alpha = -0.5
+    opts.power_sc_iterations = -3
+    errs = validate_options(opts)
+    assert len(errs) == 2
+    assert any("alpha" in e for e in errs)
