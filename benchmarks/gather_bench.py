@@ -65,6 +65,41 @@ def main():
             flush=True,
         )
 
+    # table gather: y[:, o] = X[:, cam[o]] — the camera-state gather
+    # every power-series term needs at N beyond the one-hot limit
+    for n_cams, rows in [(1778, 12), (13682, 12), (13682, 3)]:
+        table = jnp.asarray(
+            rng.standard_normal((rows, n_cams)), jnp.float32
+        )
+        cam = jnp.asarray(rng.integers(0, n_cams, o), jnp.int32)
+
+        @jax.jit
+        def table_gather(tbl, c):
+            return jnp.take(tbl, c, axis=1)
+
+        dt, _ = timeit(table_gather, table, cam)
+        out_bytes = rows * o * 4
+        print(
+            f"table gather [{rows},{n_cams}] -> [{rows},O]: "
+            f"{dt*1e3:.2f} ms  {out_bytes/dt/2**30:.1f} GiB/s out  "
+            f"({o/dt/1e6:.0f} Mobs/s)",
+            flush=True,
+        )
+
+        @jax.jit
+        def table_scatter(vals, c):
+            return jax.ops.segment_sum(
+                vals.T, c, num_segments=n_cams
+            ).T
+
+        vals = jnp.asarray(rng.standard_normal((rows, o)), jnp.float32)
+        dt, _ = timeit(table_scatter, vals, cam)
+        print(
+            f"segment_sum [{rows},O] -> [{rows},{n_cams}]: "
+            f"{dt*1e3:.2f} ms ({o/dt/1e6:.0f} Mobs/s)",
+            flush=True,
+        )
+
     # sort-based permutation: apply a fixed permutation as a key-sort
     # (TPU sorts are O(n log n) but avoid random access)
     inv = jnp.asarray(np.argsort(np.asarray(perm)), jnp.int32)
