@@ -25,17 +25,24 @@ from povar_tpu.problem.synthetic import synthetic_bal_problem_fast  # noqa: E402
 from povar_tpu.solver.stage1 import Stage1Solver  # noqa: E402
 
 
+# (cams, lms, obs/lm, camera locality): real BAL sequences are
+# temporally coherent — landmarks are seen by nearby frames — which the
+# camera-window layout exploits (segments.build_window_plan)
 SCALES = {
-    "venice-1778": (1778, 993_923, 5),
-    "final-13682": (13_682, 4_585_579, 5),
+    "venice-1778": (1778, 993_923, 5, 64),
+    "final-13682": (13_682, 4_585_579, 5, 64),
+    # uniform camera draws (no locality): exercises the XLA fallback
+    "venice-1778-uniform": (1778, 993_923, 5, 0),
 }
 
 
 def main() -> None:
     scale = sys.argv[1] if len(sys.argv) > 1 else "venice-1778"
-    n_cams, n_lms, obs_per_lm = SCALES[scale]
+    n_cams, n_lms, obs_per_lm, locality = SCALES[scale]
     t0 = time.time()
-    problem = synthetic_bal_problem_fast(n_cams, n_lms, obs_per_lm, seed=0)
+    problem = synthetic_bal_problem_fast(
+        n_cams, n_lms, obs_per_lm, seed=0, locality=locality
+    )
     print(f"generated {problem.num_observations} obs in {time.time()-t0:.1f}s",
           flush=True)
     opts = SolverOptions()
@@ -45,6 +52,8 @@ def main() -> None:
         problem.obs_cam, problem.obs_lm, problem.obs_uv,
         problem.num_cameras, problem.num_landmarks, opts,
     )
+    print(f"path: {'windowed pallas (n_win=%d)' % s.n_win if s.n_win else ('pallas' if s.use_pallas else 'xla')}",
+          flush=True)
     cams = jnp.asarray(problem.cam_space)
     t0 = time.time()
     lms = s.initialize_varproj(cams)

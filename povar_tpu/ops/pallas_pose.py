@@ -54,15 +54,104 @@ from povar_tpu.ops.pallas_cam import (
 # robust norm codes (ops/pose_math.py)
 _NONE, _HUBER, _CAUCHY = 0, 1, 2
 
+# Windowed mode (large N): the slot plan packs landmarks into camera
+# windows of width W (segments.build_window_plan) and pads each
+# window's observation lanes to PART_ALIGN, so every aligned obs block
+# touches exactly ONE window. Kernels then receive:
+#   - cam ids LOCAL to the window (in [0, W)),
+#   - camera tables EXPANDED to [rows, n_win * W] (columns = window
+#     slices of the canonical [rows, N] table; the caller expands with
+#     a tiny XLA gather and combines per-camera outputs back with a
+#     tiny segment-sum),
+#   - a per-tile window index kmap (scalar-prefetched; block index maps
+#     select the window slice of tables/accumulators).
+# The in-kernel one-hot is then [W, T] regardless of N — the gather/
+# scatter cost per observation is O(W), not O(N).
+#
+# `win` below = (kmap [n_blocks] i32 at PART_ALIGN granularity,
+# n_win, W); None = the single-window small-N mode (tables [rows,
+# n_pad], kmap absent — exactly the historical behavior).
 
-def _obs_spec(rows: int, t: int):
-    return pl.BlockSpec((rows, t), lambda i: (_I0, i),
+PART_ALIGN = 4096
+
+
+def _obs_spec(rows: int, t: int, win=None):
+    if win is None:
+        return pl.BlockSpec((rows, t), lambda i: (_I0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((rows, t), lambda i, km: (_I0, i),
                         memory_space=pltpu.VMEM)
 
 
-def _fixed_spec(rows: int, cols: int):
-    return pl.BlockSpec((rows, cols), lambda i: (_I0, _I0),
+def _fixed_spec(rows: int, cols: int, win=None):
+    if win is None:
+        return pl.BlockSpec((rows, cols), lambda i: (_I0, _I0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((rows, cols), lambda i, km: (_I0, _I0),
                         memory_space=pltpu.VMEM)
+
+
+def _cam_spec(rows: int, width: int, win=None):
+    """Camera-table / per-camera-accumulator blocks: the whole padded
+    table (plain) or the tile's window slice (windowed)."""
+    if win is None:
+        return pl.BlockSpec((rows, width), lambda i: (_I0, _I0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((rows, width), lambda i, km: (_I0, km[i]),
+                        memory_space=pltpu.VMEM)
+
+
+def _first_visit(km_ref):
+    """Accumulator zero-init condition: first tile overall (plain), or
+    first tile of each window (windowed — the output block is revisited
+    in one consecutive run per window; kmap is non-decreasing)."""
+    i = pl.program_id(0)
+    if km_ref is None:
+        return i == 0
+    return (i == 0) | (km_ref[i] != km_ref[jnp.maximum(i - 1, 0)])
+
+
+def _cam_cols(n_pad: int, win) -> int:
+    """Column count of camera tables/accumulators at the call level."""
+    return win[1] * win[2] if win is not None else n_pad
+
+
+def _cam_block(n_pad: int, win) -> int:
+    """Column count of the per-tile camera block inside the kernel."""
+    return win[2] if win is not None else n_pad
+
+
+def _win_tile(t: int, win) -> int:
+    """Windowed kernels double-buffer the km-indexed table and
+    accumulator blocks on top of the obs blocks; cap the tile so the
+    whole VMEM frame (one-hot [W, T] included) stays under the scoped
+    limit."""
+    return min(t, 1024) if win is not None else t
+
+
+def _pose_call(kern, out_shape, in_specs, out_specs, args, *, o, t, win):
+    """pallas_call wrapper: plain grid, or scalar-prefetch grid with the
+    per-tile window map as the prefetched operand."""
+    if win is None:
+        return pl.pallas_call(
+            kern, out_shape=out_shape, grid=(o // t,),
+            in_specs=in_specs, out_specs=out_specs,
+            interpret=_interpret(),
+        )(*args)
+    kmap = win[0]
+    km_t = jnp.repeat(kmap, PART_ALIGN // t)
+
+    def wrapped(km_ref, *refs):
+        return kern(*refs, km_ref=km_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(o // t,),
+        in_specs=in_specs, out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        wrapped, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(km_t, *args)
 
 
 def _gather_table(table_ref, oh):
@@ -129,9 +218,9 @@ def _robust_w(res_sq, robust: int, huber: float):
 def _prepare_kernel(
     cam_ref, x_ref, uv_ref, m_ref, ct_ref,
     rw_ref, sw_ref, ata_ref, atr_ref, jpsq_ref,
-    *, alpha, robust, huber, weighted,
+    *, alpha, robust, huber, weighted, km_ref=None,
 ):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(_first_visit(km_ref))
     def _():
         jpsq_ref[:] = jnp.zeros_like(jpsq_ref)
 
@@ -185,29 +274,36 @@ def _prepare_kernel(
 
 
 def prepare(
-    cam, cam_table, x, uv, mask, *, alpha, robust, huber, weighted=True
+    cam, cam_table, x, uv, mask, *, alpha, robust, huber, weighted=True,
+    win=None,
 ):
-    """Linearization-point pass. Inputs: cam [O] i32, cam_table
-    [12, N] (row-major vec(P) per camera), x [3, O] (landmarks expanded
+    """Linearization-point pass. Inputs: cam [O] i32 (window-local ids
+    under `win`), cam_table [12, N] (row-major vec(P) per camera;
+    [12, n_win*W] expanded under `win`), x [3, O] (landmarks expanded
     to observations), uv [2, O], mask [1, O] (>0 = live row). Returns
-    (r_w [4,O], sw [1,O], ata [9,O], atr [3,O], jpsq [12,N]).
+    (r_w [4,O], sw [1,O], ata [9,O], atr [3,O], jpsq [12,N] — expanded
+    width under `win`, caller combines).
 
     `weighted=False` skips the robust weight (the fresh-Jacobian pass of
     the VarProj back-substitution is unweighted,
     helper.cpp update_landmark_jacobian_pOSE:382-454)."""
     o = cam.shape[0]
     n = cam_table.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
     # the A~ / residual / outer temporaries bound the tile below the
     # one-hot VMEM budget
-    t = min(_tile(o, n), 4096)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
     kern = functools.partial(
         _prepare_kernel, alpha=float(alpha), robust=int(robust),
         huber=float(huber), weighted=bool(weighted),
     )
-    rw, sw, ata, atr, jpsq = pl.pallas_call(
+    rw, sw, ata, atr, jpsq = _pose_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((4, o), jnp.float32),
@@ -216,24 +312,24 @@ def prepare(
             jax.ShapeDtypeStruct((3, o), jnp.float32),
             jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
         ),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _cam_spec(12, nb, win),
         ],
         out_specs=(
-            _obs_spec(4, t),
-            _obs_spec(1, t),
-            _obs_spec(9, t),
-            _obs_spec(3, t),
-            _fixed_spec(12, n_pad),
+            _obs_spec(4, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(9, t, win),
+            _obs_spec(3, t, win),
+            _cam_spec(12, nb, win),
         ),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), x, uv, mask, cam_table)
-    return rw, sw, ata, atr, jpsq[:, :n]
+        args=(cam.reshape(1, o), x, uv, mask, cam_table),
+        o=o, t=t, win=win,
+    )
+    return rw, sw, ata, atr, (jpsq if win is not None else jpsq[:, :n])
 
 
 # --------------------------------------------------------------- K2
@@ -248,7 +344,7 @@ def prepare(
 
 
 def _h_kernel(cam_ref, uv_ref, w_ref, jls_ref, lh_ref, ct_ref, h_ref,
-              *, alpha):
+              *, alpha, km_ref=None):
     sp2 = np.float32(1.0 - alpha)
     oh = _onehot(cam_ref[:], ct_ref.shape[-1])
     P = _gather_table(ct_ref, oh)
@@ -270,31 +366,35 @@ def _h_kernel(cam_ref, uv_ref, w_ref, jls_ref, lh_ref, ct_ref, h_ref,
             h_ref[c * 3 + a, :] = w * acc
 
 
-def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha):
+def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha, win=None):
     """h [9, O] (layout c*3+a). Inputs: w [1,O] robust weight (not
     sqrt), jls [3,O] landmark scale expanded to obs, lh [9,O] chol of
     Hll^-1 expanded to obs (row-major i*3+c)."""
     o = cam.shape[0]
     n = cam_table.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
-    t = min(_tile(o, n), 4096)
-    return pl.pallas_call(
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    return _pose_call(
         functools.partial(_h_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((9, o), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(9, t),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(9, t, win),
+            _cam_spec(12, nb, win),
         ],
-        out_specs=_obs_spec(9, t),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), uv, w, jls, lh, cam_table)
+        out_specs=_obs_spec(9, t, win),
+        args=(cam.reshape(1, o), uv, w, jls, lh, cam_table),
+        o=o, t=t, win=win,
+    )
 
 
 # --------------------------------------------------------------- K3
@@ -308,9 +408,9 @@ def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha):
 
 def _hpp_b_kernel(
     cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, hib_ref, ct_ref,
-    hpp_ref, b_ref, *, alpha,
+    hpp_ref, b_ref, *, alpha, km_ref=None,
 ):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(_first_visit(km_ref))
     def _():
         hpp_ref[:] = jnp.zeros_like(hpp_ref)
         b_ref[:] = jnp.zeros_like(b_ref)
@@ -365,39 +465,50 @@ def _hpp_b_kernel(
 
 
 def hpp_b_structured(
-    cam, cam_table, x, uv, sw, r_w, jls, hib, n_cams, *, alpha
+    cam, cam_table, x, uv, sw, r_w, jls, hib, n_cams, *, alpha, win=None
 ):
     """(hpp_raw [144, N], b_raw [12, N]) per-camera sums BEFORE the
-    pose-scale outer products (row layout (4a+i)*12 + (4b+j))."""
+    pose-scale outer products (row layout (4a+i)*12 + (4b+j)).
+    Under `win`, N is the expanded n_win*W axis (caller combines)."""
     o = cam.shape[0]
-    n_pad = _n_pad(n_cams)
-    nt = cam_table.shape[-1]
-    if _n_pad(nt) != nt:
-        cam_table = jnp.pad(cam_table, ((0, 0), (0, _n_pad(nt) - nt)))
-    t = min(_tile(o, n_cams), 2048)
-    hpp, b = pl.pallas_call(
+    if win is None:
+        n_pad = _n_pad(n_cams)
+        nt = cam_table.shape[-1]
+        if _n_pad(nt) != nt:
+            cam_table = jnp.pad(
+                cam_table, ((0, 0), (0, _n_pad(nt) - nt))
+            )
+        tbl_cols = _n_pad(nt)
+    else:
+        n_pad = cam_table.shape[-1]
+        tbl_cols = n_pad
+    nb = _cam_block(tbl_cols, win)
+    t = _win_tile(min(_tile(o, nb), 2048), win)
+    hpp, b = _pose_call(
         functools.partial(_hpp_b_kernel, alpha=float(alpha)),
         out_shape=(
             jax.ShapeDtypeStruct((144, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
         ),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _obs_spec(4, t),
-            _obs_spec(3, t),
-            _obs_spec(3, t),
-            _fixed_spec(12, _n_pad(nt)),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(3, t, win),
+            _cam_spec(12, nb, win),
         ],
         out_specs=(
-            _fixed_spec(144, n_pad),
-            _fixed_spec(12, n_pad),
+            _cam_spec(144, nb, win),
+            _cam_spec(12, nb, win),
         ),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), x, uv, sw, r_w, jls, hib, cam_table)
+        args=(cam.reshape(1, o), x, uv, sw, r_w, jls, hib, cam_table),
+        o=o, t=t, win=win,
+    )
+    if win is not None:
+        return hpp, b
     return hpp[:, :n_cams], b[:, :n_cams]
 
 
@@ -409,7 +520,7 @@ def hpp_b_structured(
 # on the way out — never touching per-observation arrays.
 
 
-def _e0_u_kernel(cam_ref, x_ref, h_ref, zt_ref, u_ref):
+def _e0_u_kernel(cam_ref, x_ref, h_ref, zt_ref, u_ref, *, km_ref=None):
     oh = _onehot(cam_ref[:], zt_ref.shape[-1])
     zc = _gather_table(zt_ref, oh)  # [12, T]
     xh = [x_ref[0], x_ref[1], x_ref[2]]
@@ -425,31 +536,36 @@ def _e0_u_kernel(cam_ref, x_ref, h_ref, zt_ref, u_ref):
                        + h_ref[c * 3 + 2, :] * y[2])
 
 
-def e0_u_structured(cam, x, h, z_table):
+def e0_u_structured(cam, x, h, z_table, win=None):
     """u [3, O] = W_o . z[:, cam(o)] with z_table = ps . xvec [12, N]."""
     o = cam.shape[0]
     n = z_table.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
-    t = min(_tile(o, n), 4096)
-    return pl.pallas_call(
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    return _pose_call(
         _e0_u_kernel,
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(9, t),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(9, t, win),
+            _cam_spec(12, nb, win),
         ],
-        out_specs=_obs_spec(3, t),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), x, h, z_table)
+        out_specs=_obs_spec(3, t, win),
+        args=(cam.reshape(1, o), x, h, z_table),
+        o=o, t=t, win=win,
+    )
 
 
-def _e0_scatter_kernel(cam_ref, x_ref, h_ref, sb_ref, out_ref):
-    @pl.when(pl.program_id(0) == 0)
+def _e0_scatter_kernel(cam_ref, x_ref, h_ref, sb_ref, out_ref, *,
+                       km_ref=None):
+    @pl.when(_first_visit(km_ref))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -471,26 +587,27 @@ def _e0_scatter_kernel(cam_ref, x_ref, h_ref, sb_ref, out_ref):
     )
 
 
-def e0_scatter_structured(cam, x, h, sb, n_cams):
+def e0_scatter_structured(cam, x, h, sb, n_cams, win=None):
     """out_raw [12, N] = seg_cam( (h^T sb) (x) xh ); caller multiplies
-    by the pose scale."""
+    by the pose scale. Under `win`, N is the expanded axis."""
     o = cam.shape[0]
-    n_pad = _n_pad(n_cams)
-    t = _tile(o, n_cams)
-    out = pl.pallas_call(
+    n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    out = _pose_call(
         _e0_scatter_kernel,
         out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(9, t),
-            _obs_spec(3, t),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(9, t, win),
+            _obs_spec(3, t, win),
         ],
-        out_specs=_fixed_spec(12, n_pad),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), x, h, sb)
-    return out[:, :n_cams]
+        out_specs=_cam_spec(12, nb, win),
+        args=(cam.reshape(1, o), x, h, sb),
+        o=o, t=t, win=win,
+    )
+    return out if win is not None else out[:, :n_cams]
 
 
 # --------------------------------------------------------------- K6
@@ -504,8 +621,10 @@ def e0_scatter_structured(cam, x, h, sb, n_cams):
 
 def _ldiff_kernel(
     cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, ilm_ref,
-    ct_new_ref, ct_old_ref, it_ref, out_ref, *, alpha,
+    ct_new_ref, ct_old_ref, it_ref, out_ref, *, alpha, km_ref=None,
 ):
+    # the [1,128] accumulator block is constant across the whole grid,
+    # so init is at tile 0 regardless of windows
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -554,41 +673,45 @@ def _ldiff_kernel(
 
 def apply_ldiff(
     cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_new, cam_table_old,
-    inc_table, *, alpha
+    inc_table, *, alpha, win=None
 ):
     """-l_diff partial sums [128]; sum() for the model cost decrease.
     inc_table [12, N] is the scaled camera increment; inc_lm_obs [3, O]
     the (unscaled) landmark increment expanded to observations."""
     o = cam.shape[0]
     n = cam_table_new.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n))
-        cam_table_new = jnp.pad(cam_table_new, pad)
-        cam_table_old = jnp.pad(cam_table_old, pad)
-        inc_table = jnp.pad(inc_table, pad)
-    t = min(_tile(o, n), 4096)
-    out = pl.pallas_call(
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            pad = ((0, 0), (0, n_pad - n))
+            cam_table_new = jnp.pad(cam_table_new, pad)
+            cam_table_old = jnp.pad(cam_table_old, pad)
+            inc_table = jnp.pad(inc_table, pad)
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    out = _pose_call(
         functools.partial(_ldiff_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _obs_spec(4, t),
-            _obs_spec(3, t),
-            _obs_spec(3, t),
-            _fixed_spec(12, n_pad),
-            _fixed_spec(12, n_pad),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(3, t, win),
+            _cam_spec(12, nb, win),
+            _cam_spec(12, nb, win),
+            _cam_spec(12, nb, win),
         ],
-        out_specs=_fixed_spec(1, 128),
-        interpret=_interpret(),
-    )(
-        cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
-        cam_table_new, cam_table_old, inc_table,
+        out_specs=_fixed_spec(1, 128, win),
+        args=(
+            cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
+            cam_table_new, cam_table_old, inc_table,
+        ),
+        o=o, t=t, win=win,
     )
     return out[0]
 
@@ -602,7 +725,7 @@ def apply_ldiff(
 
 def _poba_t3_kernel(
     cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, zt_ref, ct_ref,
-    t3_ref, *, alpha,
+    t3_ref, *, alpha, km_ref=None,
 ):
     sp = np.float32(np.sqrt(1.0 - alpha))
     sa = np.float32(np.sqrt(alpha))
@@ -633,33 +756,38 @@ def _poba_t3_kernel(
         t3_ref[i, :] = acc * sw * jls_ref[i]
 
 
-def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha):
+def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha,
+            win=None):
     """t3 [3, O] = Jl_s^T (r_w + Jp_s inc); slot-sum for the poBA
     landmark system right-hand side."""
     o = cam.shape[0]
     n = cam_table.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
-        z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
-    t = min(_tile(o, n), 4096)
-    return pl.pallas_call(
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            cam_table = jnp.pad(cam_table, ((0, 0), (0, n_pad - n)))
+            z_table = jnp.pad(z_table, ((0, 0), (0, n_pad - n)))
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    return _pose_call(
         functools.partial(_poba_t3_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _obs_spec(4, t),
-            _obs_spec(3, t),
-            _fixed_spec(12, n_pad),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _cam_spec(12, nb, win),
+            _cam_spec(12, nb, win),
         ],
-        out_specs=_obs_spec(3, t),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), x, uv, sw, r_w, jls, z_table, cam_table)
+        out_specs=_obs_spec(3, t, win),
+        args=(cam.reshape(1, o), x, uv, sw, r_w, jls, z_table, cam_table),
+        o=o, t=t, win=win,
+    )
 
 
 # --------------------------------------------------------------- K8
@@ -670,8 +798,8 @@ def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha):
 # so the SCHUR_JACOBI preconditioner costs one streaming pass.
 
 
-def _schur_diag_kernel(cam_ref, x_ref, h_ref, out_ref):
-    @pl.when(pl.program_id(0) == 0)
+def _schur_diag_kernel(cam_ref, x_ref, h_ref, out_ref, *, km_ref=None):
+    @pl.when(_first_visit(km_ref))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -703,25 +831,27 @@ def _schur_diag_kernel(cam_ref, x_ref, h_ref, out_ref):
     )
 
 
-def schur_diag_structured(cam, x, h, n_cams):
+def schur_diag_structured(cam, x, h, n_cams, win=None):
     """corr_raw [144, N] = seg_cam( (h^T h) (x) xh xh^T ); the caller
-    applies the ps (x) ps outer and subtracts from the damped Hpp."""
+    applies the ps (x) ps outer and subtracts from the damped Hpp.
+    Under `win`, N is the expanded axis."""
     o = cam.shape[0]
-    n_pad = _n_pad(n_cams)
-    t = min(_tile(o, n_cams), 2048)
-    out = pl.pallas_call(
+    n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), 2048), win)
+    out = _pose_call(
         _schur_diag_kernel,
         out_shape=jax.ShapeDtypeStruct((144, n_pad), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(9, t),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(9, t, win),
         ],
-        out_specs=_fixed_spec(144, n_pad),
-        interpret=_interpret(),
-    )(cam.reshape(1, o), x, h)
-    return out[:, :n_cams]
+        out_specs=_cam_spec(144, nb, win),
+        args=(cam.reshape(1, o), x, h),
+        o=o, t=t, win=win,
+    )
+    return out if win is not None else out[:, :n_cams]
 
 
 # --------------------------------------------------------------- K9
@@ -732,7 +862,7 @@ def schur_diag_structured(cam, x, h, n_cams):
 
 def _ldiff_stored_kernel(
     cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, ilm_ref,
-    ct_old_ref, zt_ref, out_ref, *, alpha,
+    ct_old_ref, zt_ref, out_ref, *, alpha, km_ref=None,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -773,38 +903,42 @@ def _ldiff_stored_kernel(
 
 def apply_ldiff_stored(
     cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_old, z_table,
-    *, alpha
+    *, alpha, win=None
 ):
     """-l_diff partial sums [128] for the poBA apply; z_table [12, N]
     = pose_scale . inc (scaled increment through the z-table trick)."""
     o = cam.shape[0]
     n = cam_table_old.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n))
-        cam_table_old = jnp.pad(cam_table_old, pad)
-        z_table = jnp.pad(z_table, pad)
-    t = min(_tile(o, n), 4096)
-    out = pl.pallas_call(
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            pad = ((0, 0), (0, n_pad - n))
+            cam_table_old = jnp.pad(cam_table_old, pad)
+            z_table = jnp.pad(z_table, pad)
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    out = _pose_call(
         functools.partial(_ldiff_stored_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _obs_spec(4, t),
-            _obs_spec(3, t),
-            _obs_spec(3, t),
-            _fixed_spec(12, n_pad),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(3, t, win),
+            _cam_spec(12, nb, win),
+            _cam_spec(12, nb, win),
         ],
-        out_specs=_fixed_spec(1, 128),
-        interpret=_interpret(),
-    )(
-        cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
-        cam_table_old, z_table,
+        out_specs=_fixed_spec(1, 128, win),
+        args=(
+            cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
+            cam_table_old, z_table,
+        ),
+        o=o, t=t, win=win,
     )
     return out[0]
 
@@ -883,7 +1017,7 @@ def _df_neg(x):
 
 def _error_kernel(
     cam_ref, xh_ref, xl_ref, uvh_ref, uvl_ref, m_ref,
-    cth_ref, ctl_ref, out_ref, *, alpha, robust, huber,
+    cth_ref, ctl_ref, out_ref, *, alpha, robust, huber, km_ref=None,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -985,39 +1119,43 @@ def _error_kernel(
 
 def pose_error_df32(
     cam, ct_hi, ct_lo, x_hi, x_lo, uv_hi, uv_lo, mask,
-    *, alpha, robust, huber,
+    *, alpha, robust, huber, win=None,
 ):
     """[5, 128] partials: (err_hi, err_lo, rn_hi, rn_lo, nonfinite).
     Sum each row pair in f64 for the totals."""
     o = cam.shape[0]
     n = ct_hi.shape[-1]
-    n_pad = _n_pad(n)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n))
-        ct_hi = jnp.pad(ct_hi, pad)
-        ct_lo = jnp.pad(ct_lo, pad)
+    if win is None:
+        n_pad = _n_pad(n)
+        if n_pad != n:
+            pad = ((0, 0), (0, n_pad - n))
+            ct_hi = jnp.pad(ct_hi, pad)
+            ct_lo = jnp.pad(ct_lo, pad)
+    else:
+        n_pad = n
+    nb = _cam_block(n_pad, win)
     # deep double-float temporary chains bound the tile
-    t = min(_tile(o, n), 2048)
-    return pl.pallas_call(
+    t = _win_tile(min(_tile(o, nb), 2048), win)
+    return _pose_call(
         functools.partial(
             _error_kernel, alpha=float(alpha), robust=int(robust),
             huber=float(huber),
         ),
         out_shape=jax.ShapeDtypeStruct((5, 128), jnp.float32),
-        grid=(o // t,),
         in_specs=[
-            _obs_spec(1, t),
-            _obs_spec(3, t),
-            _obs_spec(3, t),
-            _obs_spec(2, t),
-            _obs_spec(2, t),
-            _obs_spec(1, t),
-            _fixed_spec(12, n_pad),
-            _fixed_spec(12, n_pad),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _cam_spec(12, nb, win),
+            _cam_spec(12, nb, win),
         ],
-        out_specs=_fixed_spec(5, 128),
-        interpret=_interpret(),
-    )(
-        cam.reshape(1, o), x_hi, x_lo, uv_hi, uv_lo, mask,
-        ct_hi, ct_lo,
+        out_specs=_fixed_spec(5, 128, win),
+        args=(
+            cam.reshape(1, o), x_hi, x_lo, uv_hi, uv_lo, mask,
+            ct_hi, ct_lo,
+        ),
+        o=o, t=t, win=win,
     )

@@ -110,7 +110,15 @@ def shard_obs(solver, mesh: Mesh) -> None:
         ),
         lm_order=jax.device_put(obs.lm_order, sh_rep),
         lm_inv=jax.device_put(obs.lm_inv, sh_rep),
+        # window fields are a single-chip Pallas feature; the sharded
+        # path runs the XLA lowering
+        cam_local=None,
+        win_kmap=None,
+        win_gather=None,
+        win_scatter=None,
     )
+    solver.n_win = 0
+    solver.win_w = 0
 
 
 def make_sharded_solver(solver_cls, problem, options, mesh: Mesh, **kw):

@@ -126,21 +126,32 @@ def synthetic_bal_problem_fast(
     obs_per_lm: int,
     seed: int = 0,
     noise: float = 0.0,
+    locality: int = 0,
 ) -> BalProblem:
     """Fully vectorized large-scale synthetic problem (fixed obs count
     per landmark) for benchmarks at venice/final scale, in the
-    initialization-free configuration (random cameras + landmarks)."""
+    initialization-free configuration (random cameras + landmarks).
+
+    `locality > 0` draws each landmark's cameras from a window of that
+    width around a random center — the temporal coherence real BAL
+    sequences have (a landmark is seen by nearby frames), which the
+    large-N camera-window solver layout exploits
+    (segments.build_window_plan). 0 = cameras uniform over [0, N)."""
     rng = np.random.default_rng(seed)
     gt_cams = _ring_cameras(n_cams, radius=10.0, rng=rng)
     pts = rng.standard_normal((n_lms, 3)) * 2.0
 
     k = min(obs_per_lm, n_cams)
     # k distinct cameras per landmark, O(M*k) memory: draw k values in
-    # [0, n_cams - k], sort rows, add arange(k) -> strictly increasing
+    # [0, span - k], sort rows, add arange(k) -> strictly increasing
     # (mildly biased toward spread-out cameras; fine for benchmarks)
-    base = rng.integers(0, n_cams - k + 1, size=(n_lms, k))
+    span = n_cams if not locality else min(max(locality, k), n_cams)
+    base = rng.integers(0, span - k + 1, size=(n_lms, k))
     base.sort(axis=1)
     cams_per_lm = base + np.arange(k)[None, :]
+    if locality and span < n_cams:
+        centers = rng.integers(0, n_cams - span + 1, size=(n_lms, 1))
+        cams_per_lm = cams_per_lm + centers
 
     obs_lm = np.repeat(np.arange(n_lms, dtype=np.int32), k)
     obs_cam = cams_per_lm.reshape(-1).astype(np.int32)

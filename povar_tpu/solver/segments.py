@@ -260,3 +260,138 @@ def slot_expand(
         )
         ofs += g
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# Camera windows: the large-N extension of the slot layout. The in-VMEM
+# one-hot that backs every camera gather/scatter in the structured
+# Pallas kernels costs O(N) per observation, which caps it at ~1k
+# cameras. BAL problems, however, are temporally coherent: a landmark
+# is observed by a narrow band of cameras. Packing landmarks greedily
+# into camera WINDOWS of fixed width W (arbitrary, unaligned starts)
+# and ordering the slot layout window-major makes every observation
+# tile touch exactly one window, so the kernels gather/scatter against
+# a [rows, W] window slice selected per tile by a prefetched scalar —
+# one-hot cost O(W) per observation, independent of N. Cameras shared
+# by several windows are duplicated on an expanded axis of size
+# n_win * W; expanding tables / combining accumulators across it are
+# O(n_win * W) XLA ops (~N, trivial). This replaces the reference's
+# global mutex scatter (sc/landmark_block.hpp:383-410) at any camera
+# count.
+# ---------------------------------------------------------------------
+
+WINDOW_W = 512
+
+
+def build_window_plan(
+    obs_cam: np.ndarray,
+    obs_lm: np.ndarray,
+    num_landmarks: int,
+    width: int = WINDOW_W,
+):
+    """Greedy window packing of landmarks by camera span.
+
+    Returns (lm_window [M] i32, win_start [n_win] i32) or None when any
+    landmark's camera span exceeds `width` (caller falls back to the
+    non-windowed paths)."""
+    obs_cam = np.asarray(obs_cam)
+    obs_lm = np.asarray(obs_lm)
+    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.full(num_landmarks, -1, dtype=np.int64)
+    np.minimum.at(lo, obs_lm, obs_cam)
+    np.maximum.at(hi, obs_lm, obs_cam)
+    seen = hi >= 0
+    lo[~seen] = 0
+    hi[~seen] = 0
+    if np.any(hi - lo >= width):
+        return None
+    order = np.argsort(lo, kind="stable")
+    lm_window = np.zeros(num_landmarks, dtype=np.int32)
+    starts = []
+    cur_start = None
+    for m in order:
+        if cur_start is None or hi[m] >= cur_start + width:
+            cur_start = int(lo[m])
+            starts.append(cur_start)
+        lm_window[m] = len(starts) - 1
+    return lm_window, np.asarray(starts, dtype=np.int64)
+
+
+def build_slot_plan_windowed(
+    obs_lm: np.ndarray,
+    num_landmarks: int,
+    lm_window: np.ndarray,
+    n_windows: int,
+    pad_to: int,
+):
+    """Window-major slot plan: like build_slot_plan, but parts are laid
+    out per (window, width-bucket) and each window's lane span is padded
+    to a multiple of `pad_to`, so every aligned `pad_to` lane block lies
+    entirely in one window. Returns
+    (perm, pad_weight, shapes, lm_order, inv_pos, block_window) where
+    block_window [n_blocks] i32 gives the window of each aligned block.
+    """
+    obs_lm = np.asarray(obs_lm)
+    order = np.argsort(obs_lm, kind="stable")
+    sorted_ids = obs_lm[order]
+    starts = np.searchsorted(sorted_ids, np.arange(num_landmarks), "left")
+    ends = np.searchsorted(sorted_ids, np.arange(num_landmarks), "right")
+    counts = ends - starts
+
+    def width(c):
+        if c <= SLOT_EXACT_MAX:
+            return int(c) if c > 0 else 1
+        return 1 << int(np.ceil(np.log2(c)))
+
+    widths = np.array([width(c) for c in counts], dtype=np.int64)
+    perm_parts = []
+    weight_parts = []
+    shapes = []
+    lm_order_parts = []
+    block_window = []
+    n_extra_rows = 0
+    for win in range(n_windows):
+        in_win = lm_window == win
+        win_lanes = 0
+        for w in np.unique(widths[in_win]):
+            lms = np.nonzero(in_win & (widths == w))[0]
+            g = len(lms)
+            blk_idx = np.zeros((g, w), dtype=np.int64)
+            blk_w = np.zeros((g, w), dtype=np.float64)
+            for row, m in enumerate(lms):
+                c = counts[m]
+                pos = order[starts[m] : ends[m]]
+                blk_idx[row, :c] = pos
+                blk_idx[row, c:] = pos[0] if c > 0 else 0
+                blk_w[row, :c] = 1.0
+            perm_parts.append(blk_idx.T.reshape(-1))
+            weight_parts.append(blk_w.T.reshape(-1))
+            shapes.append((g, int(w)))
+            lm_order_parts.append(lms)
+            win_lanes += g * int(w)
+        if win_lanes % pad_to:
+            tail = pad_to - win_lanes % pad_to
+            perm_parts.append(np.zeros(tail, np.int64))
+            weight_parts.append(np.zeros(tail))
+            shapes.append((1, int(tail)))
+            lm_order_parts.append(np.zeros(1, np.int64))
+            n_extra_rows += 1
+            win_lanes += tail
+        block_window += [win] * (win_lanes // pad_to)
+    perm = np.concatenate(perm_parts)
+    pad_weight = np.concatenate(weight_parts)
+    lm_order = np.concatenate(lm_order_parts).astype(np.int32)
+    inv_pos = np.empty(num_landmarks, dtype=np.int32)
+    # per-window pad tails add fake slot rows pointing at landmark 0;
+    # they must not claim inv_pos[0], so only real rows assign
+    pos = np.arange(len(lm_order), dtype=np.int32)
+    is_real = np.ones(len(lm_order), dtype=bool)
+    row = 0
+    for i, (g, w) in enumerate(shapes):
+        if (weight_parts[i] == 0).all():
+            is_real[row : row + g] = False
+        row += g
+    inv_pos[lm_order[is_real]] = pos[is_real]
+    return perm, pad_weight, tuple(shapes), lm_order, inv_pos, np.asarray(
+        block_window, dtype=np.int32
+    )

@@ -88,6 +88,13 @@ class Obs(NamedTuple):
     cam_onehot: Optional[jnp.ndarray]
     lm_order: jnp.ndarray
     lm_inv: jnp.ndarray
+    # camera-window fields (large-N structured path; None otherwise):
+    # window-local camera ids, per-aligned-block window index, and the
+    # expanded-axis gather/scatter index maps (segments.py windows)
+    cam_local: Optional[jnp.ndarray] = None
+    win_kmap: Optional[jnp.ndarray] = None
+    win_gather: Optional[jnp.ndarray] = None
+    win_scatter: Optional[jnp.ndarray] = None
 
 
 class Lin1(NamedTuple):
@@ -130,12 +137,23 @@ def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
 
 def make_obs(
     obs_cam, obs_lm, obs_uv, num_cameras, num_landmarks, dtype, obs_weight,
-    solve_dtype=None, build_onehot=True,
+    solve_dtype=None, build_onehot=True, window_w=0,
 ):
-    """Build the slot-ordered Obs pytree. Returns (obs, lm_slot_shapes);
-    the shapes are static Python ints kept on the solver (outside the
-    pytree)."""
+    """Build the slot-ordered Obs pytree. Returns
+    (obs, lm_slot_shapes, n_windows); the shapes and window count are
+    static Python ints kept on the solver (outside the pytree).
+
+    `window_w > 0` attempts the camera-window layout for the large-N
+    structured path (segments.build_window_plan): when every landmark's
+    camera span fits a window, the slot plan is laid out window-major
+    and the Obs carries window-local camera ids + index maps;
+    n_windows = 0 signals the plan was infeasible (plain layout)."""
     import numpy as np
+
+    from povar_tpu.solver.segments import (
+        build_slot_plan_windowed,
+        build_window_plan,
+    )
 
     obs_cam_np = np.asarray(obs_cam)
     obs_lm_np = np.asarray(obs_lm)
@@ -143,9 +161,27 @@ def make_obs(
     if obs_uv_np.ndim == 2 and obs_uv_np.shape[-1] == 2:
         obs_uv_np = obs_uv_np.T  # accept [O, 2] input, use [2, O]
 
-    perm, pad_w, shapes, lm_order, inv_pos = build_slot_plan(
-        obs_lm_np, num_landmarks, pad_to=pallas_cam.OBS_PAD
-    )
+    win_plan = None
+    if window_w:
+        win_plan = build_window_plan(
+            obs_cam_np, obs_lm_np, num_landmarks, width=window_w
+        )
+    if win_plan is not None:
+        lm_window, win_start = win_plan
+        n_win = len(win_start)
+        from povar_tpu.ops.pallas_pose import PART_ALIGN
+
+        perm, pad_w, shapes, lm_order, inv_pos, blk_win = (
+            build_slot_plan_windowed(
+                obs_lm_np, num_landmarks, lm_window, n_win,
+                pad_to=PART_ALIGN,
+            )
+        )
+    else:
+        n_win = 0
+        perm, pad_w, shapes, lm_order, inv_pos = build_slot_plan(
+            obs_lm_np, num_landmarks, pad_to=pallas_cam.OBS_PAD
+        )
     cam_slot = obs_cam_np[perm]
     lm_slot = obs_lm_np[perm]
     uv_slot = obs_uv_np[:, perm]
@@ -167,6 +203,24 @@ def make_obs(
             oh *= w[:, None].astype(np.float32)
         cam_onehot = jnp.asarray(oh)
 
+    win_fields = {}
+    if n_win:
+        # window-local camera ids per (slot-ordered) observation
+        lane_start = win_start[lm_window[lm_slot]]
+        cam_local = (cam_slot - lane_start).astype(np.int32)
+        # expanded axis: column w*W + j is camera win_start[w] + j
+        cols = (win_start[:, None] + np.arange(window_w)[None, :])
+        gather = np.clip(cols.reshape(-1), 0, num_cameras - 1)
+        scatter = cols.reshape(-1).copy()
+        scatter[(cols.reshape(-1) < 0)
+                | (cols.reshape(-1) >= num_cameras)] = num_cameras
+        win_fields = dict(
+            cam_local=jnp.asarray(cam_local),
+            win_kmap=jnp.asarray(blk_win),
+            win_gather=jnp.asarray(gather.astype(np.int32)),
+            win_scatter=jnp.asarray(scatter.astype(np.int32)),
+        )
+
     obs = Obs(
         cam=jnp.asarray(cam_slot, jnp.int32),
         lm=jnp.asarray(lm_slot, jnp.int32),
@@ -176,8 +230,9 @@ def make_obs(
         cam_onehot=cam_onehot,
         lm_order=jnp.asarray(lm_order),
         lm_inv=jnp.asarray(inv_pos),
+        **win_fields,
     )
-    return obs, shapes
+    return obs, shapes, n_win
 
 
 class Stage1Solver(StagedTiming):
@@ -217,25 +272,43 @@ class Stage1Solver(StagedTiming):
         shape_ok = pallas_cam.supported(
             pallas_cam.OBS_PAD, self.n_cams, self.solve_dtype
         )
-        if mode == "on" and not shape_ok:
+        want = mode == "on" or (
+            mode == "auto" and jax.default_backend() == "tpu"
+        )
+        self.use_pallas = shape_ok and want
+        # large-N structured path: beyond the in-VMEM one-hot camera
+        # limit, attempt the camera-window layout (O(W)-per-obs
+        # gather/scatter at any N; segments.py windows)
+        self.win_w = 0
+        self.n_win = 0
+        try_windows = (
+            want
+            and not shape_ok
+            and self.solve_dtype == jnp.float32
+            and self.n_cams > pallas_cam.MAX_CAMERAS
+        )
+        if mode == "on" and not shape_ok and not try_windows:
             raise ValueError(
                 "pallas_kernels='on' but the problem shape is unsupported "
                 f"(n_cams={self.n_cams} <= {pallas_cam.MAX_CAMERAS}, f32 "
                 "inner solves required)"
             )
-        self.use_pallas = shape_ok and (
-            mode == "on"
-            or (mode == "auto" and jax.default_backend() == "tpu")
-        )
         # the dense direct solve needs the explicit per-observation W
         # blocks; it serves small problems where the XLA path is fast
         if options.solver_type_step_1 == SolverType.CHOLESKY:
             self.use_pallas = False
-        self.obs, self.lm_shapes = make_obs(
+            try_windows = False
+        from povar_tpu.solver.segments import WINDOW_W
+
+        self.obs, self.lm_shapes, self.n_win = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
-            build_onehot=not self.use_pallas,
+            build_onehot=not (self.use_pallas or try_windows),
+            window_w=WINDOW_W if try_windows else 0,
         )
+        if self.n_win:
+            self.win_w = WINDOW_W
+            self.use_pallas = True
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
         )
@@ -528,7 +601,7 @@ class Stage1Solver(StagedTiming):
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """[..., O] -> [..., N] per-camera reduction (fused Pallas
         scatter, MXU one-hot matmul, or bucketed gather+sum)."""
-        if self.use_pallas and x.dtype == jnp.float32:
+        if self.use_pallas and not self.n_win and x.dtype == jnp.float32:
             flat = x.reshape(-1, x.shape[-1])
             out = pallas_cam.cam_scatter_add(flat, obs.cam, self.n_cams)
             return out.reshape(x.shape[:-1] + (self.n_cams,))
@@ -538,7 +611,7 @@ class Stage1Solver(StagedTiming):
 
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """x [..., N] -> per-observation [..., O]."""
-        if self.use_pallas and x.dtype == jnp.float32:
+        if self.use_pallas and not self.n_win and x.dtype == jnp.float32:
             flat = x.reshape(-1, x.shape[-1])
             out = pallas_cam.cam_gather(flat, obs.cam)
             return out.reshape(x.shape[:-1] + (out.shape[-1],))
@@ -615,9 +688,10 @@ class Stage1Solver(StagedTiming):
             ct = cam_space.astype(jnp.float32).reshape(self.n_cams, 12).T
             zeros = jnp.zeros((3, o), jnp.float32)
             _rw, _sw, ata, atr, _jpsq = pallas_pose.prepare(
-                obs.cam, ct, zeros, obs.uv.astype(jnp.float32),
+                self._kcam(obs), self._expand_tbl(obs, ct), zeros,
+                obs.uv.astype(jnp.float32),
                 self._mask1(obs), alpha=self.alpha, robust=0,
-                huber=1.0, weighted=False,
+                huber=1.0, weighted=False, win=self._winargs(obs),
             )
             gtg = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
             gtz = -self._seg_lm(obs, atr)
@@ -1153,6 +1227,36 @@ class Stage1Solver(StagedTiming):
             return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
         return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
 
+    # ------------------------------------------------- camera windows
+    # (large-N structured path; no-ops when n_win == 0)
+
+    def _winargs(self, obs: Obs):
+        if not self.n_win:
+            return None
+        return (obs.win_kmap, self.n_win, self.win_w)
+
+    def _kcam(self, obs: Obs) -> jnp.ndarray:
+        """Camera ids as the kernels expect them (window-local under
+        the windowed layout)."""
+        return obs.cam_local if self.n_win else obs.cam
+
+    def _expand_tbl(self, obs: Obs, tbl: jnp.ndarray) -> jnp.ndarray:
+        """[R, N] camera table -> [R, n_win*W] window-expanded (tiny
+        XLA gather; identity when not windowed)."""
+        if not self.n_win:
+            return tbl
+        return jnp.take(tbl, obs.win_gather, axis=1)
+
+    def _combine_cam_win(self, obs: Obs, y: jnp.ndarray) -> jnp.ndarray:
+        """[R, n_win*W] per-window-camera sums -> [R, N] (duplicated
+        cameras summed; out-of-range columns dropped)."""
+        if not self.n_win:
+            return y
+        out = jax.ops.segment_sum(
+            y.T, obs.win_scatter, num_segments=self.n_cams + 1
+        )
+        return out[: self.n_cams].T
+
     def _linearize_s(
         self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
     ) -> Lin1S:
@@ -1174,9 +1278,12 @@ class Stage1Solver(StagedTiming):
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
         x = self._gather_lm_x(obs, lm_p.astype(f32).T)  # [3, O]
         r_w, sw, ata, atr, jpsq = pallas_pose.prepare(
-            obs.cam, ct, x, obs.uv.astype(f32), self._mask1(obs),
+            self._kcam(obs), self._expand_tbl(obs, ct), x,
+            obs.uv.astype(f32), self._mask1(obs),
             alpha=self.alpha, robust=self.robust, huber=self.huber,
+            win=self._winargs(obs),
         )
+        jpsq = self._combine_cam_win(obs, jpsq)
         hll_raw = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
         bl_raw = self._seg_lm(obs, atr)
         return ct, x, r_w, sw, hll_raw, bl_raw, jpsq
@@ -1216,9 +1323,13 @@ class Stage1Solver(StagedTiming):
         """(hpp [12,12,N] undamped, b [12,N]) with pose scales applied
         as outer products after the reduction."""
         hpp_raw, b_raw = pallas_pose.hpp_b_structured(
-            obs.cam, lin.ct, lin.x, obs.uv.astype(jnp.float32), lin.sw,
+            self._kcam(obs), self._expand_tbl(obs, lin.ct), lin.x,
+            obs.uv.astype(jnp.float32), lin.sw,
             lin.r_w, jls_obs, hib_obs, self.n_cams, alpha=self.alpha,
+            win=self._winargs(obs),
         )
+        hpp_raw = self._combine_cam_win(obs, hpp_raw)
+        b_raw = self._combine_cam_win(obs, b_raw)
         ps = lin.pose_scale
         hpp = hpp_raw.reshape(12, 12, self.n_cams) * (
             ps[:, None, :] * ps[None, :, :]
@@ -1228,21 +1339,28 @@ class Stage1Solver(StagedTiming):
     def _e0_apply_s(self, obs: Obs, lin: Lin1S, h: jnp.ndarray):
         """Matrix-free structured E0 = W^T(seg_lm(W gather .)) closure."""
         ps = lin.pose_scale
+        win = self._winargs(obs)
+        kcam = self._kcam(obs)
 
         def e0(v):
-            u = pallas_pose.e0_u_structured(obs.cam, lin.x, h, ps * v)
+            u = pallas_pose.e0_u_structured(
+                kcam, lin.x, h, self._expand_tbl(obs, ps * v), win=win
+            )
             s = self._seg_lm(obs, u)
             sb = self._gather_lm_x(obs, s)
-            return ps * pallas_pose.e0_scatter_structured(
-                obs.cam, lin.x, h, sb, self.n_cams
+            out = pallas_pose.e0_scatter_structured(
+                kcam, lin.x, h, sb, self.n_cams, win=win
             )
+            return ps * self._combine_cam_win(obs, out)
 
         return e0
 
     def _h_factor_s(self, obs: Obs, lin: Lin1S, jls_obs, lh_obs):
         return pallas_pose.e0_factor(
-            obs.cam, lin.ct, obs.uv.astype(jnp.float32),
+            self._kcam(obs), self._expand_tbl(obs, lin.ct),
+            obs.uv.astype(jnp.float32),
             lin.sw * lin.sw, jls_obs, lh_obs, alpha=self.alpha,
+            win=self._winargs(obs),
         )
 
     def _solve_power_s(
@@ -1303,11 +1421,13 @@ class Stage1Solver(StagedTiming):
         if pt == PT.IDENTITY:
             return ()
         ps = lin.pose_scale
-        corr = pallas_pose.schur_diag_structured(
-            obs.cam, lin.x, h, self.n_cams
-        ).reshape(12, 12, self.n_cams) * (
-            ps[:, None, :] * ps[None, :, :]
+        corr_raw = pallas_pose.schur_diag_structured(
+            self._kcam(obs), lin.x, h, self.n_cams,
+            win=self._winargs(obs),
         )
+        corr = self._combine_cam_win(obs, corr_raw).reshape(
+            12, 12, self.n_cams
+        ) * (ps[:, None, :] * ps[None, :, :])
         diag_blocks = (
             hpp + lam32 * jnp.eye(12, dtype=hpp.dtype)[:, :, None] - corr
         )
@@ -1364,22 +1484,27 @@ class Stage1Solver(StagedTiming):
         f32 = jnp.float32
         inc_f = inc_scaled.astype(f32)
         ct_new = new_cam.astype(f32).reshape(self.n_cams, 12).T
+        win = self._winargs(obs)
+        kcam = self._kcam(obs)
         # exact VarProj back-substitution from UNWEIGHTED fresh
         # Jacobians at the updated cameras (helper.cpp:382-454)
         _rw, _sw, ata, atr, _jpsq = pallas_pose.prepare(
-            obs.cam, ct_new, lin.x, obs.uv.astype(f32),
+            kcam, self._expand_tbl(obs, ct_new), lin.x,
+            obs.uv.astype(f32),
             self._mask1(obs), alpha=self.alpha, robust=0, huber=1.0,
-            weighted=False,
+            weighted=False, win=win,
         )
         hll_new = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
         tmp = self._seg_lm(obs, atr)
         inc_lm = -linalg.solve3x3f(hll_new, tmp)  # [3, M]
 
         part = pallas_pose.apply_ldiff(
-            obs.cam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
+            kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
             self._gather_lm_x(obs, lin.jl_scale),
             self._gather_lm_x(obs, inc_lm),
-            ct_new, lin.ct, inc_f, alpha=self.alpha,
+            self._expand_tbl(obs, ct_new),
+            self._expand_tbl(obs, lin.ct),
+            self._expand_tbl(obs, inc_f), alpha=self.alpha, win=win,
         )
         l_diff = -jnp.sum(part)
         return (
@@ -1397,17 +1522,24 @@ class Stage1Solver(StagedTiming):
         hll = lin.hll_raw * (d[:, None, :] * d[None, :, :])
         hll = hll + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
         jls_obs = self._gather_lm_x(obs, d)
+        win = self._winargs(obs)
+        kcam = self._kcam(obs)
         t3 = pallas_pose.poba_t3(
-            obs.cam, lin.ct, lin.x, obs.uv.astype(f32), lin.sw,
-            lin.r_w, jls_obs, lin.pose_scale * inc_f, alpha=self.alpha,
+            kcam, self._expand_tbl(obs, lin.ct), lin.x,
+            obs.uv.astype(f32), lin.sw,
+            lin.r_w, jls_obs,
+            self._expand_tbl(obs, lin.pose_scale * inc_f),
+            alpha=self.alpha, win=win,
         )
         tmp = self._seg_lm(obs, t3)
         inc_lm_scaled = -linalg.solve3x3f(hll, tmp)  # [3, M]
 
         part = pallas_pose.apply_ldiff_stored(
-            obs.cam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
+            kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
             jls_obs, self._gather_lm_x(obs, inc_lm_scaled),
-            lin.ct, lin.pose_scale * inc_f, alpha=self.alpha,
+            self._expand_tbl(obs, lin.ct),
+            self._expand_tbl(obs, lin.pose_scale * inc_f),
+            alpha=self.alpha, win=win,
         )
         l_diff = -jnp.sum(part)
 
@@ -1434,9 +1566,11 @@ class Stage1Solver(StagedTiming):
         x_lo = self._gather_lm_x(obs, lm_lo)
         uv_hi, uv_lo = split(obs.uv)
         part = pallas_pose.pose_error_df32(
-            obs.cam, ct_hi, ct_lo, x_hi, x_lo, uv_hi, uv_lo,
+            self._kcam(obs),
+            self._expand_tbl(obs, ct_hi), self._expand_tbl(obs, ct_lo),
+            x_hi, x_lo, uv_hi, uv_lo,
             self._mask1(obs), alpha=self.alpha, robust=self.robust,
-            huber=self.huber,
+            huber=self.huber, win=self._winargs(obs),
         )
         err = jnp.sum(part[0].astype(f64)) + jnp.sum(part[1].astype(f64))
         rn = jnp.sum(part[2].astype(f64)) + jnp.sum(part[3].astype(f64))

@@ -123,7 +123,7 @@ class Stage2Solver(StagedTiming):
             pallas_cam.OBS_PAD, self.n_cams, self.solve_dtype
         )
         self.use_pallas = shape_ok and mode == "on"
-        self.obs, self.lm_shapes = make_obs(
+        self.obs, self.lm_shapes, _ = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
             build_onehot=not self.use_pallas,

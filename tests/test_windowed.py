@@ -1,0 +1,141 @@
+"""Camera-window (large-N) structured path: plan correctness and
+kernel equivalence against the plain one-hot kernels.
+
+The windowed layout (segments.build_window_plan +
+build_slot_plan_windowed + the `win=` mode of ops/pallas_pose) must
+produce exactly the same per-camera sums and solves as the global
+one-hot mode — windows only restructure WHERE the one-hot runs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from povar_tpu.options import SolverOptions
+from povar_tpu.solver.segments import (
+    WINDOW_W,
+    build_slot_plan_windowed,
+    build_window_plan,
+    slot_expand,
+    slot_segment_sum,
+)
+
+
+def _local_problem(rng, n_cams, n_lms, spread=30, k=4):
+    centers = rng.integers(0, n_cams - spread, n_lms)
+    obs_lm, obs_cam, obs_uv = [], [], []
+    for m in range(n_lms):
+        cams = np.unique(centers[m] + rng.integers(0, spread, k))
+        while len(cams) < 2:
+            cams = np.unique(centers[m] + rng.integers(0, spread, k))
+        for c in cams:
+            obs_lm.append(m)
+            obs_cam.append(c)
+            obs_uv.append(rng.standard_normal(2) * 0.3)
+    return (
+        np.array(obs_lm),
+        np.array(obs_cam),
+        np.array(obs_uv),
+    )
+
+
+def test_window_plan_covers_and_rejects():
+    rng = np.random.default_rng(0)
+    obs_lm, obs_cam, _ = _local_problem(rng, 900, 200)
+    plan = build_window_plan(obs_cam, obs_lm, 200, width=128)
+    assert plan is not None
+    lm_win, starts = plan
+    for m in range(200):
+        cams = obs_cam[obs_lm == m]
+        s = starts[lm_win[m]]
+        assert (cams >= s).all() and (cams < s + 128).all()
+    # a landmark spanning more than the width is infeasible
+    obs_lm2 = np.concatenate([obs_lm, [0, 0]])
+    obs_cam2 = np.concatenate([obs_cam, [0, 500]])
+    assert build_window_plan(obs_cam2, obs_lm2, 200, width=128) is None
+
+
+def test_windowed_slot_plan_sums_and_blocks():
+    rng = np.random.default_rng(1)
+    obs_lm, obs_cam, _ = _local_problem(rng, 900, 150)
+    lm_win, starts = build_window_plan(obs_cam, obs_lm, 150, width=128)
+    pad = 256
+    perm, pw, shapes, lm_order, inv_pos, blk = build_slot_plan_windowed(
+        obs_lm, 150, lm_win, len(starts), pad_to=pad
+    )
+    assert len(perm) % pad == 0 and len(blk) == len(perm) // pad
+    # every live lane in an aligned block belongs to the block's window
+    lane_win = lm_win[obs_lm[perm]]
+    for b in range(len(blk)):
+        sl = slice(b * pad, (b + 1) * pad)
+        live = pw[sl] > 0
+        assert (lane_win[sl][live] == blk[b]).all()
+    assert (np.diff(blk) >= 0).all()  # kmap monotone (init-once rule)
+    # slot sum and expansion agree with direct accumulation
+    x = rng.standard_normal(len(obs_lm))
+    s = slot_segment_sum(
+        jnp.asarray((x[perm] * pw)[None]), shapes, jnp.asarray(inv_pos)
+    )
+    ref = np.zeros(150)
+    np.add.at(ref, obs_lm, x)
+    np.testing.assert_allclose(np.asarray(s)[0], ref, rtol=1e-12)
+    vals = rng.standard_normal(150)
+    e = slot_expand(jnp.asarray(vals[None]), shapes, jnp.asarray(lm_order))
+    live = pw > 0
+    np.testing.assert_allclose(
+        np.asarray(e)[0][live], vals[obs_lm[perm]][live], rtol=1e-12
+    )
+
+
+@pytest.mark.slow
+def test_windowed_solver_matches_plain_kernels():
+    """Same solver, same linearization point: the windowed kernels must
+    match the global one-hot kernels bit-for-bit (modulo f32 summation
+    order) across init, linearize, power solve, apply, and error."""
+    from povar_tpu.solver.stage1 import Stage1Solver
+
+    rng = np.random.default_rng(3)
+    n_cams, n_lms = 1300, 120
+    obs_lm, obs_cam, obs_uv = _local_problem(rng, n_cams, n_lms)
+    cam_space = rng.standard_normal((n_cams, 3, 4))
+    cam_space[:, 2, :] = [0, 0, 0, 1.0]
+
+    opts = SolverOptions()
+    opts.pallas_kernels = "on"
+    opts.power_sc_iterations = 3
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    s = Stage1Solver(
+        obs_cam, obs_lm, obs_uv, n_cams, n_lms, opts
+    )
+    assert s.n_win > 0 and s.win_w == WINDOW_W
+    cams = jnp.asarray(cam_space)
+
+    def run():
+        lms = s.initialize_varproj(cams)
+        lin = s.linearize(cams, lms)
+        lam = jnp.asarray(1e-3, s.dtype)
+        inc, _ = s.solve_power(lin, lam)
+        nc, nl, ld = s.apply(cams, lms, lin, inc)
+        err = s.compute_error(nc, nl)
+        inc2, _ = s.solve_power(lin, lam, landmark_damping=True)
+        _, nl2, ld2 = s.apply_poba(cams, lms, lin, inc2, lam)
+        return dict(
+            lms=np.asarray(lms), inc=np.asarray(inc),
+            nl=np.asarray(nl), ld=float(ld),
+            err=float(err["error_all"]), inc2=np.asarray(inc2),
+            nl2=np.asarray(nl2), ld2=float(ld2),
+        )
+
+    win_out = run()
+    # same solver/data with the window machinery bypassed: global ids
+    # + full-table one-hot (n_win=0 routes every kernel to plain mode)
+    s.n_win = 0
+    plain_out = run()
+
+    for k in win_out:
+        a, b = plain_out[k], win_out[k]
+        if isinstance(a, float):
+            assert abs(a - b) <= 1e-6 * max(abs(a), 1e-12), (k, a, b)
+        else:
+            d = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+            assert d < 1e-6, (k, d)
