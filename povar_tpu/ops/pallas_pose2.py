@@ -1,0 +1,532 @@
+"""Structured homogeneous-projective kernels: the stage-2 compute core.
+
+The step-2 residual (linearize_point_projective_space_homogeneous,
+bal_bundle_adjustment_helper.cpp:315-380) shares the Kronecker
+structure the stage-1 kernels exploit (ops/pallas_pose.py):
+
+  p  = P x4,  m = (p0/p2, p1/p2),  r = m - uv
+  Jp = (1/p2) C (x) x4^T,   C = [[1, 0, -mx], [0, 1, -my]]   (2 x 12)
+  Jl = (1/p2) [P0 - mx P2; P1 - my P2]                       (2 x 4)
+
+so every per-observation quantity derives from the camera row P
+(gathered once, in `prepare2`), the homogeneous landmark x4, and the
+cached projection state mm = (mx, my, 1/p2). The Riemannian tangent
+lifts are NOT per-observation work: the camera kernel K_c [12,11]
+folds into per-camera [12,11] tables (Kps = ps . K_c) applied in XLA
+around the kernels —
+
+  E0 x11:  zt = Kps x11 [12, N]  (tiny per-camera XLA op per term)
+           per obs: q~_a = sum_c x4_c zt[4a+c, cam]
+                    jp_x = sw/p2 [q~0 - mx q~2, q~1 - my q~2]
+           landmark side through B = Jl_ns L  (6 cached values)
+           scatter: rows = sw/p2 (C^T v) (x) x4 -> [12, N] raw,
+           folded out11 = Kps^T raw per camera in XLA
+
+— mirroring right_mul_e0_joint (linearization_power_varproj.hpp:
+409-453) with the mutex scatter replaced by the windowed one-hot.
+
+Shares the window machinery and padding contract with pallas_pose
+(win = (kmap, n_win, W); see that module's header).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from povar_tpu.ops.pallas_cam import _n_pad, _onehot, _tile
+from povar_tpu.ops.pallas_pose import (
+    PART_ALIGN,
+    _cam_block,
+    _cam_spec,
+    _first_visit,
+    _fixed_spec,
+    _gather_table,
+    _obs_spec,
+    _pose_call,
+    _scatter_rows,
+    _win_tile,
+)
+
+_NONE, _HUBER, _CAUCHY = 0, 1, 2
+
+
+def _tbl_prep(tbl, win):
+    """Pad a canonical [R, N] table to the kernel width (plain mode);
+    windowed tables are already expanded."""
+    if win is not None:
+        return tbl, tbl.shape[-1]
+    n = tbl.shape[-1]
+    n_pad = _n_pad(n)
+    if n_pad != n:
+        tbl = jnp.pad(tbl, ((0, 0), (0, n_pad - n)))
+    return tbl, n_pad
+
+
+# -------------------------------------------------------------- S2-K1
+# Linearization-point pass: project, residual + robust weight, the
+# projection state cache, raw (weighted, unscaled) Jl rows and their
+# column norms, and the per-camera Jp column-norm scatter.
+
+
+def _prepare2_kernel(
+    cam_ref, x4_ref, uv_ref, m_ref, ct_ref,
+    rw_ref, sw_ref, mm_ref, jlw_ref, jlsq_ref, jpsq_ref,
+    *, use_valid, robust, huber, km_ref=None,
+):
+    @pl.when(_first_visit(km_ref))
+    def _():
+        jpsq_ref[:] = jnp.zeros_like(jpsq_ref)
+
+    t = cam_ref.shape[-1]
+    oh = _onehot(cam_ref[:], ct_ref.shape[-1])
+    P = _gather_table(ct_ref, oh)  # [12, T]
+    u, v = uv_ref[0], uv_ref[1]
+    x4 = [x4_ref[0], x4_ref[1], x4_ref[2], x4_ref[3]]
+    mask = m_ref[0] > 0
+
+    p = []
+    for r in range(3):
+        acc = P[4 * r] * x4[0]
+        for c in range(1, 4):
+            acc += P[4 * r + c] * x4[c]
+        p.append(acc)
+    eps = np.float32(np.sqrt(np.finfo(np.float32).eps))
+    valid = jnp.abs(p[2]) >= eps
+    tiny = np.float32(1e-30)
+    # f32 constants throughout: weak python floats turn the select f64
+    # under x64, which Mosaic cannot lay out
+    zinv = np.float32(1.0) / jnp.where(
+        jnp.abs(p[2]) < tiny,
+        jnp.where(p[2] < 0, -tiny, tiny), p[2]
+    )
+    mx = p[0] * zinv
+    my = p[1] * zinv
+    r0 = mx - u
+    r1 = my - v
+    live = mask if not use_valid else (mask & valid)
+    livef = live.astype(jnp.float32)
+
+    res_sq = r0 * r0 + r1 * r1
+    if robust == _HUBER:
+        w = jnp.where(
+            res_sq < huber * huber,
+            jnp.ones_like(res_sq),
+            huber / jnp.sqrt(jnp.maximum(res_sq, 1e-30)),
+        )
+    else:
+        w = jnp.ones_like(res_sq)
+    w = w * livef
+    sw = jnp.sqrt(w)
+
+    rw_ref[0, :] = r0 * sw
+    rw_ref[1, :] = r1 * sw
+    sw_ref[0, :] = sw
+    mm_ref[0, :] = mx * livef
+    mm_ref[1, :] = my * livef
+    mm_ref[2, :] = zinv * livef
+
+    # weighted raw Jl rows (2 x 4, layout r*4 + c) and column norms^2
+    for c in range(4):
+        j0 = sw * zinv * (P[c] - mx * P[8 + c])
+        j1 = sw * zinv * (P[4 + c] - my * P[8 + c])
+        jlw_ref[c, :] = j0
+        jlw_ref[4 + c, :] = j1
+        jlsq_ref[c, :] = j0 * j0 + j1 * j1
+
+    # Jp column norms^2: w (1/p2)^2 K3diag_a x4_c^2,
+    # K3diag = [1, 1, mx^2 + my^2]
+    wz2 = w * zinv * zinv
+    kd = [jnp.ones_like(mx), jnp.ones_like(mx), mx * mx + my * my]
+    rows = []
+    for a in range(3):
+        for c in range(4):
+            rows.append(wz2 * kd[a] * x4[c] * x4[c])
+    jpsq_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(12, t), oh
+    )
+
+
+def prepare2(
+    cam, cam_table, x4, uv, mask, *, use_valid, robust, huber, win=None
+):
+    """Returns (r_w [2,O], sw [1,O], mm [3,O] = (mx, my, 1/p2),
+    jlw [8,O] weighted unscaled Jl rows, jlsq [4,O] Jl column norm^2
+    contributions, jpsq [12,N] per-camera Jp column norms)."""
+    o = cam.shape[0]
+    n = cam_table.shape[-1]
+    cam_table, n_pad = _tbl_prep(cam_table, win)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    kern = functools.partial(
+        _prepare2_kernel, use_valid=bool(use_valid),
+        robust=int(robust), huber=float(huber),
+    )
+    rw, sw, mm, jlw, jlsq, jpsq = _pose_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, o), jnp.float32),
+            jax.ShapeDtypeStruct((1, o), jnp.float32),
+            jax.ShapeDtypeStruct((3, o), jnp.float32),
+            jax.ShapeDtypeStruct((8, o), jnp.float32),
+            jax.ShapeDtypeStruct((4, o), jnp.float32),
+            jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+        ),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _cam_spec(12, nb, win),
+        ],
+        out_specs=(
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(8, t, win),
+            _obs_spec(4, t, win),
+            _cam_spec(12, nb, win),
+        ),
+        args=(cam.reshape(1, o), x4, uv, mask, cam_table),
+        o=o, t=t, win=win,
+    )
+    return rw, sw, mm, jlw, jlsq, (jpsq if win is not None else jpsq[:, :n])
+
+
+# -------------------------------------------------------------- S2-K2
+# Fused tangent Hpp + b assembly in the UNPROJECTED 12-dof frame:
+#   rt       = r_w - Jl_ns (Hll_t^-1 bl_t)      (jlns [6,O] cached)
+#   b12_raw  = seg_cam( sw/p2 (C^T rt) (x) x4 )
+#   hpp12raw = seg_cam( w/p2^2 K3 (x) x4 x4^T )
+# the caller folds Kps^T . Kps / Kps^T . per camera (XLA, tiny).
+
+
+def _hppb2_kernel(
+    cam_ref, x4_ref, mm_ref, sw_ref, rw_ref, jlns_ref, hib_ref,
+    hpp_ref, b_ref, *, km_ref=None,
+):
+    @pl.when(_first_visit(km_ref))
+    def _():
+        hpp_ref[:] = jnp.zeros_like(hpp_ref)
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    t = cam_ref.shape[-1]
+    oh = _onehot(cam_ref[:], hpp_ref.shape[-1])
+    mx, my, zinv = mm_ref[0], mm_ref[1], mm_ref[2]
+    sw = sw_ref[0]
+    x4 = [x4_ref[0], x4_ref[1], x4_ref[2], x4_ref[3]]
+
+    # rt = r_w - Jl_ns hib   (Jl_ns layout r*3 + i)
+    rt = []
+    for r in range(2):
+        corr = (jlns_ref[r * 3 + 0, :] * hib_ref[0]
+                + jlns_ref[r * 3 + 1, :] * hib_ref[1]
+                + jlns_ref[r * 3 + 2, :] * hib_ref[2])
+        rt.append(rw_ref[r, :] - corr)
+
+    # b rows: sw/p2 (C^T rt) (x) x4
+    swz = sw * zinv
+    ctr = [rt[0], rt[1], -(mx * rt[0] + my * rt[1])]
+    rows = []
+    for a in range(3):
+        for c in range(4):
+            rows.append(swz * ctr[a] * x4[c])
+    b_ref[:] += _scatter_rows(jnp.stack(rows, axis=0).reshape(12, t), oh)
+
+    # hpp rows: w/p2^2 K3[a,b] x4_i x4_j
+    wz2 = swz * swz
+    K3 = [[jnp.ones_like(mx), jnp.zeros_like(mx), -mx],
+          [jnp.zeros_like(mx), jnp.ones_like(mx), -my],
+          [-mx, -my, mx * mx + my * my]]
+    rows = []
+    for a in range(3):
+        for i in range(4):
+            wk = wz2 * x4[i]
+            for bb in range(3):
+                for j in range(4):
+                    rows.append(wk * K3[a][bb] * x4[j])
+    hpp_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(144, t), oh
+    )
+
+
+def hppb2(cam, x4, mm, sw, r_w, jlns, hib, n_cams, win=None):
+    """(hpp12_raw [144, N], b12_raw [12, N]) in the unprojected frame;
+    the caller applies the per-camera Kps folds."""
+    o = cam.shape[0]
+    n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), 2048), win)
+    hpp, b = _pose_call(
+        _hppb2_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((144, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+        ),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(6, t, win),
+            _obs_spec(3, t, win),
+        ],
+        out_specs=(
+            _cam_spec(144, nb, win),
+            _cam_spec(12, nb, win),
+        ),
+        args=(cam.reshape(1, o), x4, mm, sw, r_w, jlns, hib),
+        o=o, t=t, win=win,
+    )
+    if win is not None:
+        return hpp, b
+    return hpp[:, :n_cams], b[:, :n_cams]
+
+
+# ----------------------------------------------------------- S2-K3/K4
+# Per-term E0 matvec halves through the zt-table trick.
+
+
+def _mat_dot_kernel(
+    cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, rw_ref, zt_ref, out_ref,
+    *, add_r, km_ref=None,
+):
+    """out3 = M^T (r_add + jp_x) with M [2,3] cached per obs (layout
+    r*3+i), jp_x = sw/p2 [q~0 - mx q~2, q~1 - my q~2],
+    q~a = sum_c x4_c zt[4a+c, cam]. add_r=True adds the stored r_w
+    (back-substitution RHS); False is the pure E0 'up' half."""
+    oh = _onehot(cam_ref[:], zt_ref.shape[-1])
+    zc = _gather_table(zt_ref, oh)  # [12, T]
+    mx, my, zinv = mm_ref[0], mm_ref[1], mm_ref[2]
+    sw = sw_ref[0]
+    x4 = [x4_ref[0], x4_ref[1], x4_ref[2], x4_ref[3]]
+
+    q = []
+    for a in range(3):
+        acc = zc[4 * a] * x4[0]
+        for c in range(1, 4):
+            acc += zc[4 * a + c] * x4[c]
+        q.append(acc)
+    swz = sw * zinv
+    jx0 = swz * (q[0] - mx * q[2])
+    jx1 = swz * (q[1] - my * q[2])
+    if add_r:
+        jx0 = jx0 + rw_ref[0, :]
+        jx1 = jx1 + rw_ref[1, :]
+    for i in range(3):
+        out_ref[i, :] = (mat_ref[i, :] * jx0 + mat_ref[3 + i, :] * jx1)
+
+
+def mat_dot2(cam, x4, mm, sw, mat6, r_w, zt, *, add_r, win=None):
+    """[3, O] = M^T (jp_x (+ r_w)); see _mat_dot_kernel."""
+    o = cam.shape[0]
+    zt, n_pad = _tbl_prep(zt, win)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    return _pose_call(
+        functools.partial(_mat_dot_kernel, add_r=bool(add_r)),
+        out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(6, t, win),
+            _obs_spec(2, t, win),
+            _cam_spec(12, nb, win),
+        ],
+        out_specs=_obs_spec(3, t, win),
+        args=(cam.reshape(1, o), x4, mm, sw, mat6, r_w, zt),
+        o=o, t=t, win=win,
+    )
+
+
+def _scatter2_kernel(
+    cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, sb_ref, out_ref,
+    *, km_ref=None,
+):
+    """out12_raw = seg_cam( sw/p2 (C^T (M sb)) (x) x4 )."""
+    @pl.when(_first_visit(km_ref))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = cam_ref.shape[-1]
+    mx, my, zinv = mm_ref[0], mm_ref[1], mm_ref[2]
+    sw = sw_ref[0]
+    x4 = [x4_ref[0], x4_ref[1], x4_ref[2], x4_ref[3]]
+    v0 = (mat_ref[0, :] * sb_ref[0, :] + mat_ref[1, :] * sb_ref[1, :]
+          + mat_ref[2, :] * sb_ref[2, :])
+    v1 = (mat_ref[3, :] * sb_ref[0, :] + mat_ref[4, :] * sb_ref[1, :]
+          + mat_ref[5, :] * sb_ref[2, :])
+    swz = sw * zinv
+    ctv = [swz * v0, swz * v1, -swz * (mx * v0 + my * v1)]
+    rows = []
+    for a in range(3):
+        for c in range(4):
+            rows.append(ctv[a] * x4[c])
+    oh = _onehot(cam_ref[:], out_ref.shape[-1])
+    out_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(12, t), oh
+    )
+
+
+def scatter2(cam, x4, mm, sw, mat6, sb, n_cams, win=None):
+    """[12, N] raw scatter; caller folds Kps^T per camera."""
+    o = cam.shape[0]
+    n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    out = _pose_call(
+        _scatter2_kernel,
+        out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(6, t, win),
+            _obs_spec(3, t, win),
+        ],
+        out_specs=_cam_spec(12, nb, win),
+        args=(cam.reshape(1, o), x4, mm, sw, mat6, sb),
+        o=o, t=t, win=win,
+    )
+    return out if win is not None else out[:, :n_cams]
+
+
+# -------------------------------------------------------------- S2-K5
+# Structured tangent Schur-Jacobi diagonal correction (one obs couples
+# a camera only with itself):
+#   corr12_raw = seg_cam( w/p2^2 (B B^T-weighted C-structure) ),
+# concretely rows = sw/p2 C^T (B B^T) C (x) x4 x4^T with BB^T [2,2].
+
+
+def _schur2_kernel(cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, out_ref,
+                   *, km_ref=None):
+    @pl.when(_first_visit(km_ref))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = cam_ref.shape[-1]
+    mx, my, zinv = mm_ref[0], mm_ref[1], mm_ref[2]
+    sw = sw_ref[0]
+    x4 = [x4_ref[0], x4_ref[1], x4_ref[2], x4_ref[3]]
+    # G = B B^T [2,2] from the cached 6-value B
+    g00 = (mat_ref[0, :] ** 2 + mat_ref[1, :] ** 2 + mat_ref[2, :] ** 2)
+    g11 = (mat_ref[3, :] ** 2 + mat_ref[4, :] ** 2 + mat_ref[5, :] ** 2)
+    g01 = (mat_ref[0, :] * mat_ref[3, :] + mat_ref[1, :] * mat_ref[4, :]
+           + mat_ref[2, :] * mat_ref[5, :])
+    wz2 = (sw * zinv) * (sw * zinv)
+    # H = C^T G C [3,3]; C columns: e0, e1, [-mx, -my]
+    cg = [[g00, g01], [g01, g11],
+          [-(mx * g00 + my * g01), -(mx * g01 + my * g11)]]
+    H = [[None] * 3 for _ in range(3)]
+    cc = [[jnp.ones_like(mx), jnp.zeros_like(mx)],
+          [jnp.zeros_like(mx), jnp.ones_like(mx)],
+          [-mx, -my]]
+    for a in range(3):
+        for b in range(3):
+            H[a][b] = wz2 * (cg[a][0] * cc[b][0] + cg[a][1] * cc[b][1])
+    rows = []
+    for a in range(3):
+        for i in range(4):
+            for b in range(3):
+                for j in range(4):
+                    rows.append(H[a][b] * x4[i] * x4[j])
+    oh = _onehot(cam_ref[:], out_ref.shape[-1])
+    out_ref[:] += _scatter_rows(
+        jnp.stack(rows, axis=0).reshape(144, t), oh
+    )
+
+
+def schur_diag2(cam, x4, mm, sw, mat6, n_cams, win=None):
+    """corr12_raw [144, N]; caller folds Kps^T . Kps and subtracts."""
+    o = cam.shape[0]
+    n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), 2048), win)
+    out = _pose_call(
+        _schur2_kernel,
+        out_shape=jax.ShapeDtypeStruct((144, n_pad), jnp.float32),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(6, t, win),
+        ],
+        out_specs=_cam_spec(144, nb, win),
+        args=(cam.reshape(1, o), x4, mm, sw, mat6),
+        o=o, t=t, win=win,
+    )
+    return out if win is not None else out[:, :n_cams]
+
+
+# -------------------------------------------------------------- S2-K6
+# Model-cost decrease for the joint apply (back_substitute_joint,
+# landmark_block.hpp:574-623): j_inc = Jp_ns inc + Jl_s inc_proj,
+# l_diff partials = -sum j_inc (0.5 j_inc + r_w).
+
+
+def _ldiff2_kernel(
+    cam_ref, x4_ref, mm_ref, sw_ref, rw_ref, jls_ref, ilm_ref, zt_ref,
+    out_ref, *, km_ref=None,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    oh = _onehot(cam_ref[:], zt_ref.shape[-1])
+    zc = _gather_table(zt_ref, oh)
+    mx, my, zinv = mm_ref[0], mm_ref[1], mm_ref[2]
+    sw = sw_ref[0]
+    x4 = [x4_ref[0], x4_ref[1], x4_ref[2], x4_ref[3]]
+    q = []
+    for a in range(3):
+        acc = zc[4 * a] * x4[0]
+        for c in range(1, 4):
+            acc += zc[4 * a + c] * x4[c]
+        q.append(acc)
+    swz = sw * zinv
+    jp = [swz * (q[0] - mx * q[2]), swz * (q[1] - my * q[2])]
+    ld = jnp.zeros_like(mx)
+    for r in range(2):
+        jl_inc = (jls_ref[r * 4 + 0, :] * ilm_ref[0]
+                  + jls_ref[r * 4 + 1, :] * ilm_ref[1]
+                  + jls_ref[r * 4 + 2, :] * ilm_ref[2]
+                  + jls_ref[r * 4 + 3, :] * ilm_ref[3])
+        j_inc = jp[r] + jl_inc
+        ld += j_inc * (0.5 * j_inc + rw_ref[r, :])
+    t = ld.shape[-1]
+    out_ref[0, :] += jnp.sum(ld.reshape(t // 128, 128), axis=0)
+
+
+def ldiff2(cam, x4, mm, sw, r_w, jls8, ilm4, zt, win=None):
+    """-l_diff partial sums [128]; zt = Kps @ inc11 per camera."""
+    o = cam.shape[0]
+    zt, n_pad = _tbl_prep(zt, win)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    out = _pose_call(
+        _ldiff2_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(3, t, win),
+            _obs_spec(1, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(8, t, win),
+            _obs_spec(4, t, win),
+            _cam_spec(12, nb, win),
+        ],
+        out_specs=_fixed_spec(1, 128, win),
+        args=(cam.reshape(1, o), x4, mm, sw, r_w, jls8, ilm4, zt),
+        o=o, t=t, win=win,
+    )
+    return out[0]

@@ -235,7 +235,40 @@ def make_obs(
     return obs, shapes, n_win
 
 
-class Stage1Solver(StagedTiming):
+class CamWindows:
+    """Camera-window helpers shared by the stage solvers (large-N
+    structured path; every method is a no-op when n_win == 0).
+    Requires attributes: n_win, win_w, n_cams."""
+
+    def _winargs(self, obs: Obs):
+        if not self.n_win:
+            return None
+        return (obs.win_kmap, self.n_win, self.win_w)
+
+    def _kcam(self, obs: Obs) -> jnp.ndarray:
+        """Camera ids as the kernels expect them (window-local under
+        the windowed layout)."""
+        return obs.cam_local if self.n_win else obs.cam
+
+    def _expand_tbl(self, obs: Obs, tbl: jnp.ndarray) -> jnp.ndarray:
+        """[R, N] camera table -> [R, n_win*W] window-expanded (tiny
+        XLA gather; identity when not windowed)."""
+        if not self.n_win:
+            return tbl
+        return jnp.take(tbl, obs.win_gather, axis=1)
+
+    def _combine_cam_win(self, obs: Obs, y: jnp.ndarray) -> jnp.ndarray:
+        """[R, n_win*W] per-window-camera sums -> [R, N] (duplicated
+        cameras summed; out-of-range columns dropped)."""
+        if not self.n_win:
+            return y
+        out = jax.ops.segment_sum(
+            y.T, obs.win_scatter, num_segments=self.n_cams + 1
+        )
+        return out[: self.n_cams].T
+
+
+class Stage1Solver(StagedTiming, CamWindows):
     def __init__(
         self,
         obs_cam: jnp.ndarray,
@@ -1226,36 +1259,6 @@ class Stage1Solver(StagedTiming):
         if obs.weight is None:
             return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
         return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
-
-    # ------------------------------------------------- camera windows
-    # (large-N structured path; no-ops when n_win == 0)
-
-    def _winargs(self, obs: Obs):
-        if not self.n_win:
-            return None
-        return (obs.win_kmap, self.n_win, self.win_w)
-
-    def _kcam(self, obs: Obs) -> jnp.ndarray:
-        """Camera ids as the kernels expect them (window-local under
-        the windowed layout)."""
-        return obs.cam_local if self.n_win else obs.cam
-
-    def _expand_tbl(self, obs: Obs, tbl: jnp.ndarray) -> jnp.ndarray:
-        """[R, N] camera table -> [R, n_win*W] window-expanded (tiny
-        XLA gather; identity when not windowed)."""
-        if not self.n_win:
-            return tbl
-        return jnp.take(tbl, obs.win_gather, axis=1)
-
-    def _combine_cam_win(self, obs: Obs, y: jnp.ndarray) -> jnp.ndarray:
-        """[R, n_win*W] per-window-camera sums -> [R, N] (duplicated
-        cameras summed; out-of-range columns dropped)."""
-        if not self.n_win:
-            return y
-        out = jax.ops.segment_sum(
-            y.T, obs.win_scatter, num_segments=self.n_cams + 1
-        )
-        return out[: self.n_cams].T
 
     def _linearize_s(
         self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from povar_tpu.ops.small_einsum import small_einsum
 
-from povar_tpu.ops import linalg, pallas_cam, pose_math
+from povar_tpu.ops import linalg, pallas_cam, pallas_pose2, pose_math
 from povar_tpu.options import RobustNorm, SolverOptions, SolverTypeRiemannian
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import StagedTiming, accumulate_residual_info
@@ -47,7 +47,7 @@ from povar_tpu.solver.segments import (
     slot_expand,
     slot_segment_sum,
 )
-from povar_tpu.solver.stage1 import Obs, _mask_rows, make_obs
+from povar_tpu.solver.stage1 import CamWindows, Obs, _mask_rows, make_obs
 
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
@@ -74,6 +74,29 @@ class Lin2(NamedTuple):
     jl_scale: jnp.ndarray  # [4, M]
 
 
+class Lin2S(NamedTuple):
+    """Structured step-2 linearization point (Pallas path): compact
+    per-observation projection state instead of the Jp/Jl/Jp_ns/Jl_ns
+    storage (ops/pallas_pose2.py — the Jacobians re-derive in registers
+    from (mm, x4) and the tangent lifts fold per-camera into kps).
+    Everything f32."""
+
+    ct: jnp.ndarray  # [12, N] normalized camera table
+    x4: jnp.ndarray  # [4, O] homogeneous landmarks expanded
+    mm: jnp.ndarray  # [3, O] (mx, my, 1/p2) projection cache
+    sw: jnp.ndarray  # [1, O] sqrt robust weight (0 on dead rows)
+    r_w: jnp.ndarray  # [2, O] sqrt-weighted residuals
+    jls8: jnp.ndarray  # [8, O] weighted SCALED Jl rows (r*4+c)
+    jlns: jnp.ndarray  # [6, O] tangent-projected Jl_ns rows (r*3+i)
+    hll_raw: jnp.ndarray  # [3, 3, M] undamped tangent Hll slot sums
+    bl_raw: jnp.ndarray  # [3, M] tangent gradient slot sums
+    jl_scale: jnp.ndarray  # [4, M]
+    pose_scale: jnp.ndarray  # [12, N]
+    kernel_cam: jnp.ndarray  # [12, 11, N]
+    kernel_lm: jnp.ndarray  # [4, 3, M]
+    kps: jnp.ndarray  # [12, 11, N] = pose_scale . kernel_cam
+
+
 def create_homogeneous(
     cam_space: jnp.ndarray, lm_p: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -86,7 +109,7 @@ def create_homogeneous(
     return linalg.frobenius_normalize(cam_space), lm_p_h
 
 
-class Stage2Solver(StagedTiming):
+class Stage2Solver(StagedTiming, CamWindows):
     def __init__(
         self,
         obs_cam: jnp.ndarray,
@@ -111,23 +134,36 @@ class Stage2Solver(StagedTiming):
             if options.mixed_precision_solves and dtype == jnp.float64
             else dtype
         )
-        # Generic Pallas camera kernels measured SLOWER inside stage-2's
-        # einsum chains (pallas_call boundaries break XLA fusion and
-        # force bad layouts on the [2,12,O] temporaries — the same
-        # pathology stage 1 had before its structured rewrite). Until
-        # stage 2 gets the structured treatment, only explicit
-        # pallas_kernels='on' (tests) enables them; 'auto' keeps the
-        # one-hot/XLA lowering.
+        # Structured Pallas kernels (ops/pallas_pose2.py): gating
+        # mirrors Stage1Solver, including the camera-window layout
+        # beyond the in-VMEM one-hot camera limit.
         mode = options.pallas_kernels
         shape_ok = pallas_cam.supported(
             pallas_cam.OBS_PAD, self.n_cams, self.solve_dtype
         )
-        self.use_pallas = shape_ok and mode == "on"
-        self.obs, self.lm_shapes, _ = make_obs(
+        want = mode == "on" or (
+            mode == "auto" and jax.default_backend() == "tpu"
+        )
+        self.use_pallas = shape_ok and want
+        self.win_w = 0
+        self.n_win = 0
+        try_windows = (
+            want
+            and not shape_ok
+            and self.solve_dtype == jnp.float32
+            and self.n_cams > pallas_cam.MAX_CAMERAS
+        )
+        from povar_tpu.solver.segments import WINDOW_W
+
+        self.obs, self.lm_shapes, self.n_win = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
-            build_onehot=not self.use_pallas,
+            build_onehot=not (self.use_pallas or try_windows),
+            window_w=WINDOW_W if try_windows else 0,
         )
+        if self.n_win:
+            self.win_w = WINDOW_W
+            self.use_pallas = True
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
         )
@@ -228,13 +264,12 @@ class Stage2Solver(StagedTiming):
             self._jit_cached("prep_hll", self._prep_hll),
             self.obs, lin, lam,
         )
-        hll_inv, hll_inv_bl = pieces
         # the joint Hll damping (Proj^T lam Proj) is inside the span
         t["landmark_damping"] = t["stage2"]
         if st == SolverTypeRiemannian.RIPOBA:
             prep, t["prepare"] = self._timed(
                 self._jit_cached("power_prep", self._power_prep),
-                self.obs, lin, lam, hll_inv, hll_inv_bl,
+                self.obs, lin, lam, pieces,
             )
             (inc, n_iter), t["solve_reduced_system"] = self._timed(
                 self._jit_cached("power_iterate", self._power_iterate),
@@ -244,11 +279,11 @@ class Stage2Solver(StagedTiming):
         if st == SolverTypeRiemannian.RIPCG:
             (b, hpp, W), t["prepare"] = self._timed(
                 self._jit_cached("pcg_prep", self._pcg_prep),
-                self.obs, lin, hll_inv, hll_inv_bl,
+                self.obs, lin, pieces,
             )
             pmats, t["compute_preconditioner"] = self._timed(
                 self._jit_cached("pcg_precond", self._pcg_precond),
-                self.obs, lin, hll_inv, hpp, lam,
+                self.obs, lin, pieces, hpp, lam,
             )
             (inc, n_iter), t["solve_reduced_system"] = self._timed(
                 self._jit_cached("pcg_iterate", self._pcg_iterate),
@@ -366,6 +401,8 @@ class Stage2Solver(StagedTiming):
 
         Mixed mode stores everything in the solve dtype (see
         stage1._linearize for the precision argument)."""
+        if self.use_pallas:
+            return self._linearize_s(obs, cam_space, lm_p_h)
         r, Jp, Jl = self._lin_core(obs, cam_space, lm_p_h)
         Jl, jl_scale = self._lin_scale_jl(obs, Jl)
         Jp, pose_scale = self._lin_scale_jp(obs, Jp)
@@ -454,9 +491,12 @@ class Stage2Solver(StagedTiming):
         b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         return b, hpp, hll_inv
 
-    def _prep_hll(self, obs: Obs, lin: Lin2, lam: jnp.ndarray):
+    def _prep_hll(self, obs: Obs, lin, lam: jnp.ndarray):
         """Tangent Hll assembly + Proj^T lam Proj damping + inversion
-        (the staged stage2/landmark-damping span)."""
+        (the staged stage2/landmark-damping span). Returns a
+        lin-type-dependent pieces tuple."""
+        if isinstance(lin, Lin2S):
+            return self._prep_hll_s(obs, lin, lam)
         lam = lam.astype(lin.Jl_ns.dtype)
         eye3 = jnp.eye(3, dtype=lin.Jl_ns.dtype)[:, :, None]
         hll = self._seg_lm(
@@ -533,11 +573,14 @@ class Stage2Solver(StagedTiming):
         """RIPOBA: power series on the 11-dof tangent system
         (solve_joint, hpp:240-287). Returns (inc [11, N], num_terms).
         Mixed precision: see stage1._solve_power."""
-        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam)
-        prep = self._power_prep(obs, lin, lam, hll_inv, hll_inv_bl)
+        pieces = self._prep_hll(obs, lin, lam)
+        prep = self._power_prep(obs, lin, lam, pieces)
         return self._power_iterate(obs, lin, prep)
 
-    def _power_prep(self, obs: Obs, lin: Lin2, lam, hll_inv, hll_inv_bl):
+    def _power_prep(self, obs: Obs, lin, lam, pieces):
+        if isinstance(lin, Lin2S):
+            return self._power_prep_s(obs, lin, lam, pieces)
+        hll_inv, hll_inv_bl = pieces
         b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         hpp_d = hpp + lam.astype(hpp.dtype) * jnp.eye(
             11, dtype=hpp.dtype
@@ -547,14 +590,17 @@ class Stage2Solver(StagedTiming):
         W = self._e0_factor(obs, lin, hll_inv, sd)
         return (-b).astype(sd), b_inv.astype(sd), W
 
-    def _power_iterate(self, obs: Obs, lin: Lin2, prep):
+    def _power_iterate(self, obs: Obs, lin, prep):
         nb, b_inv_s, W = prep
 
         def b_inv_apply(v):
             return small_einsum("ijn,jn->in", b_inv_s, v)
 
-        def e0_apply(v):
-            return self._e0_w_matvec(v, obs, W)
+        if isinstance(lin, Lin2S):
+            e0_apply = self._e0_apply_s(obs, lin, W)
+        else:
+            def e0_apply(v):
+                return self._e0_w_matvec(v, obs, W)
 
         inc, n_iter = pcg_mod.power_series(
             b_inv_apply,
@@ -574,7 +620,7 @@ class Stage2Solver(StagedTiming):
         eye = jnp.eye(11, dtype=hpp.dtype)[:, :, None]
         return hpp + lam.astype(hpp.dtype) * eye - corr
 
-    def _pcg_precond(self, obs, lin, hll_inv, hpp, lam):
+    def _pcg_precond(self, obs, lin, pieces, hpp, lam):
         """CG preconditioner materials (a tuple of arrays; the type is
         static per options.preconditioner_type)."""
         from povar_tpu.options import PreconditionerType as PT
@@ -583,6 +629,24 @@ class Stage2Solver(StagedTiming):
         pt = self.opts.preconditioner_type
         if pt == PT.IDENTITY:
             return ()
+        if isinstance(lin, Lin2S):
+            B6 = pieces[2]
+            corr12 = self._combine_cam_win(obs, pallas_pose2.schur_diag2(
+                self._kcam(obs), lin.x4, lin.mm, lin.sw, B6,
+                self.n_cams, win=self._winargs(obs),
+            ))
+            corr11, _ = self._fold_kps(lin, corr12, None)
+            diag_blocks = (
+                hpp
+                + lam.astype(hpp.dtype)
+                * jnp.eye(11, dtype=hpp.dtype)[:, :, None]
+                - corr11
+            )
+            if pt == PT.JACOBI:
+                d = diag_blocks[jnp.arange(11), jnp.arange(11)]
+                return (jnp.where(d != 0, 1.0 / d, 1.0),)
+            return (linalg.cholesky_smallf(diag_blocks),)
+        hll_inv = pieces[0]
         diag_blocks = self._schur_diag(obs, lin, hll_inv, hpp, lam)
         if pt == PT.JACOBI:
             n = diag_blocks.shape[0]
@@ -608,28 +672,40 @@ class Stage2Solver(StagedTiming):
         return precond
 
     def _solve_pcg(
-        self, obs: Obs, lin: Lin2, lam: jnp.ndarray
+        self, obs: Obs, lin, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """RIPCG (linearizor_sc.cpp:245-325): implicit tangent RCS +
         preconditioned CG; inc = -x of S x = b."""
-        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam)
-        b, hpp, W = self._pcg_prep(obs, lin, hll_inv, hll_inv_bl)
-        pmats = self._pcg_precond(obs, lin, hll_inv, hpp, lam)
+        pieces = self._prep_hll(obs, lin, lam)
+        b, hpp, W = self._pcg_prep(obs, lin, pieces)
+        pmats = self._pcg_precond(obs, lin, pieces, hpp, lam)
         return self._pcg_iterate(obs, lin, lam, b, hpp, W, pmats)
 
-    def _pcg_prep(self, obs: Obs, lin: Lin2, hll_inv, hll_inv_bl):
+    def _pcg_prep(self, obs: Obs, lin, pieces):
+        if isinstance(lin, Lin2S):
+            return self._pcg_prep_s(obs, lin, pieces)
+        hll_inv, hll_inv_bl = pieces
         b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
         W = self._e0_factor(obs, lin, hll_inv, self.solve_dtype)
         return b, hpp, W
 
-    def _pcg_iterate(self, obs: Obs, lin: Lin2, lam, b, hpp, W, pmats):
+    def _pcg_iterate(self, obs: Obs, lin, lam, b, hpp, W, pmats):
         sd = self.solve_dtype
         hpp_s = hpp.astype(sd)
         lam_s = lam.astype(sd)
 
-        def matvec(x):
-            bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
-            return bx - self._e0_w_matvec(x, obs, W)
+        if isinstance(lin, Lin2S):
+            e0 = self._e0_apply_s(obs, lin, W)
+
+            def matvec(x):
+                return (
+                    small_einsum("ijn,jn->in", hpp_s, x)
+                    + lam_s * x - e0(x)
+                )
+        else:
+            def matvec(x):
+                bx = small_einsum("ijn,jn->in", hpp_s, x) + lam_s * x
+                return bx - self._e0_w_matvec(x, obs, W)
 
         res = pcg_mod.conjugate_gradients(
             matvec,
@@ -672,10 +748,12 @@ class Stage2Solver(StagedTiming):
         new_cam = self._update_cams(cam_space, lin, inc)
         return new_cam, new_lm_h, l_diff
 
-    def _back_sub(self, obs: Obs, lm_p_h, lin: Lin2, inc, lam):
+    def _back_sub(self, obs: Obs, lm_p_h, lin, inc, lam):
         """Damped tangent landmark back-substitution, COD lift 3 -> 4,
         model cost decrease, landmark update + dehomogenize retraction.
         Returns (new_lm_p_h, l_diff)."""
+        if isinstance(lin, Lin2S):
+            return self._back_sub_s(obs, lm_p_h, lin, inc, lam)
         sd = self.solve_dtype
         inc_s = inc.astype(sd)
         lam_s = lam.astype(sd)
@@ -713,3 +791,189 @@ class Stage2Solver(StagedTiming):
         inc12 = (inc12 * lin.pose_scale).astype(self.dtype)
         new_cam = cam_space + inc12.T.reshape(self.n_cams, 3, 4)
         return linalg.frobenius_normalize(new_cam)
+
+    def _mask1(self, obs: Obs) -> jnp.ndarray:
+        if obs.weight is None:
+            return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
+        return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
+
+    # ------------------------------------------------ structured path
+    # (Pallas; ops/pallas_pose2.py). Same math as the methods above
+    # through the projective Kronecker factorization — the solver never
+    # materializes Jp [2,12,O], Jl [2,4,O] or the nullspace-projected
+    # blocks; tangent lifts fold per-camera (kps) / per-landmark in
+    # tiny XLA ops around the kernels.
+
+    def _linearize_s(self, obs: Obs, cam_space, lm_p_h) -> Lin2S:
+        f32 = jnp.float32
+        ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
+        x4 = self._gather_lm_x(obs, lm_p_h.astype(f32).T)  # [4, O]
+        rw, sw, mm, jlw, jlsq, jpsq = pallas_pose2.prepare2(
+            self._kcam(obs), self._expand_tbl(obs, ct), x4,
+            obs.uv.astype(f32), self._mask1(obs),
+            use_valid=self.use_valid_only, robust=self.robust,
+            huber=self.huber, win=self._winargs(obs),
+        )
+        jpsq = self._combine_cam_win(obs, jpsq)
+        jl_sq = self._seg_lm(obs, jlsq)  # [4, M]
+        jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
+        pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
+        kernel_cam = linalg.nullspace_of_rowf(ct)  # [12, 11, N]
+        kernel_lm = linalg.nullspace_of_rowf(lm_p_h.astype(f32).T)
+
+        jls_e = self._gather_lm_x(obs, jl_scale)  # [4, O]
+        jls8 = jlw * jnp.concatenate([jls_e, jls_e], axis=0)
+        klm_e = self._gather_lm_x(
+            obs, kernel_lm.reshape(12, self.n_lms)
+        )  # [12, O], rows c*3+i
+        jlns = jnp.stack(
+            [
+                sum(
+                    jls8[r * 4 + c] * klm_e[c * 3 + i]
+                    for c in range(4)
+                )
+                for r in range(2)
+                for i in range(3)
+            ],
+            axis=0,
+        )  # [6, O], rows r*3+i
+
+        # tangent Hll / gradient slot sums
+        prods = jnp.stack(
+            [
+                jlns[i] * jlns[j] + jlns[3 + i] * jlns[3 + j]
+                for i in range(3)
+                for j in range(3)
+            ],
+            axis=0,
+        )
+        hll_raw = self._seg_lm(obs, prods).reshape(3, 3, self.n_lms)
+        blp = jnp.stack(
+            [jlns[i] * rw[0] + jlns[3 + i] * rw[1] for i in range(3)],
+            axis=0,
+        )
+        bl_raw = self._seg_lm(obs, blp)
+        kps = pose_scale[:, None, :] * kernel_cam
+        return Lin2S(
+            ct=ct, x4=x4, mm=mm, sw=sw, r_w=rw, jls8=jls8, jlns=jlns,
+            hll_raw=hll_raw, bl_raw=bl_raw, jl_scale=jl_scale,
+            pose_scale=pose_scale, kernel_cam=kernel_cam,
+            kernel_lm=kernel_lm, kps=kps,
+        )
+
+    def _prep_hll_s(self, obs: Obs, lin: Lin2S, lam):
+        """(hll_inv [3,3,M], hib_obs [3,O], B6 [6,O] = Jl_ns L rows)."""
+        lam32 = lam.astype(jnp.float32)
+        hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=jnp.float32)[
+            :, :, None
+        ]
+        hll_inv = linalg.inv3x3f(hll)
+        hib = small_einsum("ijm,jm->im", hll_inv, lin.bl_raw)
+        lchol = linalg.cholesky_smallf(hll_inv)  # [3, 3, M]
+        hib_obs = self._gather_lm_x(obs, hib)
+        l_obs = self._gather_lm_x(
+            obs, lchol.reshape(9, self.n_lms)
+        )  # rows i*3+c
+        b6 = jnp.stack(
+            [
+                sum(
+                    lin.jlns[r * 3 + i] * l_obs[i * 3 + c]
+                    for i in range(3)
+                )
+                for r in range(2)
+                for c in range(3)
+            ],
+            axis=0,
+        )
+        return hll_inv, hib_obs, b6
+
+    def _fold_kps(self, lin: Lin2S, m12, b12):
+        """Per-camera tangent folds: [144,N] -> Kps^T . Kps [11,11,N],
+        [12,N] -> Kps^T . [11,N]."""
+        h11 = None
+        if m12 is not None:
+            hpp = m12.reshape(12, 12, self.n_cams)
+            tmp = small_einsum("abn,acn->cbn", hpp, lin.kps)
+            h11 = small_einsum("cbn,bdn->cdn", tmp, lin.kps)
+        b11 = None
+        if b12 is not None:
+            b11 = small_einsum("abn,an->bn", lin.kps, b12)
+        return h11, b11
+
+    def _power_prep_s(self, obs: Obs, lin: Lin2S, lam, pieces):
+        _hll_inv, hib_obs, b6 = pieces
+        hpp12, b12 = pallas_pose2.hppb2(
+            self._kcam(obs), lin.x4, lin.mm, lin.sw, lin.r_w, lin.jlns,
+            hib_obs, self.n_cams, win=self._winargs(obs),
+        )
+        hpp12 = self._combine_cam_win(obs, hpp12)
+        b12 = self._combine_cam_win(obs, b12)
+        hpp11, b11 = self._fold_kps(lin, hpp12, b12)
+        lam32 = lam.astype(jnp.float32)
+        hpp_d = hpp11 + lam32 * jnp.eye(11, dtype=jnp.float32)[
+            :, :, None
+        ]
+        b_inv = linalg.inv_psd_smallf(hpp_d)
+        return -b11, b_inv, b6
+
+    def _pcg_prep_s(self, obs: Obs, lin: Lin2S, pieces):
+        _hll_inv, hib_obs, b6 = pieces
+        hpp12, b12 = pallas_pose2.hppb2(
+            self._kcam(obs), lin.x4, lin.mm, lin.sw, lin.r_w, lin.jlns,
+            hib_obs, self.n_cams, win=self._winargs(obs),
+        )
+        hpp12 = self._combine_cam_win(obs, hpp12)
+        b12 = self._combine_cam_win(obs, b12)
+        hpp11, b11 = self._fold_kps(lin, hpp12, b12)
+        return b11, hpp11, b6
+
+    def _e0_apply_s(self, obs: Obs, lin: Lin2S, b6):
+        """Matrix-free tangent E0 closure through the zt-table trick."""
+        win = self._winargs(obs)
+        kcam = self._kcam(obs)
+
+        def e0(v11):
+            zt = small_einsum("abn,bn->an", lin.kps, v11)  # [12, N]
+            u3 = pallas_pose2.mat_dot2(
+                kcam, lin.x4, lin.mm, lin.sw, b6, lin.r_w,
+                self._expand_tbl(obs, zt), add_r=False, win=win,
+            )
+            s = self._seg_lm(obs, u3)
+            sb = self._gather_lm_x(obs, s)
+            out12 = self._combine_cam_win(obs, pallas_pose2.scatter2(
+                kcam, lin.x4, lin.mm, lin.sw, b6, sb, self.n_cams,
+                win=win,
+            ))
+            _, out11 = self._fold_kps(lin, None, out12)
+            return out11
+
+        return e0
+
+    def _back_sub_s(self, obs: Obs, lm_p_h, lin: Lin2S, inc, lam):
+        f32 = jnp.float32
+        lam32 = lam.astype(f32)
+        inc_s = inc.astype(f32)
+        win = self._winargs(obs)
+        kcam = self._kcam(obs)
+        zt = small_einsum("abn,bn->an", lin.kps, inc_s)  # [12, N]
+        zt_e = self._expand_tbl(obs, zt)
+        t3_obs = pallas_pose2.mat_dot2(
+            kcam, lin.x4, lin.mm, lin.sw, lin.jlns, lin.r_w, zt_e,
+            add_r=True, win=win,
+        )
+        t3 = self._seg_lm(obs, t3_obs)
+        hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
+        inc3 = -linalg.solve3x3f(hll, t3)  # [3, M]
+        inc_proj = small_einsum(
+            "ijm,jm->im", lin.kernel_lm, inc3
+        )  # [4, M]
+        part = pallas_pose2.ldiff2(
+            kcam, lin.x4, lin.mm, lin.sw, lin.r_w, lin.jls8,
+            self._gather_lm_x(obs, inc_proj), zt_e, win=win,
+        )
+        l_diff = -jnp.sum(part)
+        new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).astype(
+            self.dtype
+        ).T
+        new_lm_h = new_lm_h / new_lm_h[:, 3:4]
+        return new_lm_h, l_diff.astype(self.dtype)
