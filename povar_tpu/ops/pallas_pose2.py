@@ -530,3 +530,161 @@ def ldiff2(cam, x4, mm, sw, r_w, jls8, ilm4, zt, win=None):
         o=o, t=t, win=win,
     )
     return out[0]
+
+
+# -------------------------------------------------------------- S2-K7
+# Double-float (two-f32) homogeneous cost evaluation, mirroring the
+# stage-1 K10 kernel (pallas_pose.pose_error_df32): the XLA emulated-
+# f64 error sweep dominates the stage-2 LM loop once the solve runs
+# through the structured kernels. Adds a double-float DIVISION
+# (Karp-Markstein style refinement of the f32 quotient) for the
+# projective normalization, ~2 ulp of the ~47-bit format. Matches
+# compute_error_projective_space_homogeneous (helper.cpp:156-196),
+# including the all/valid buckets (validity |p2| >= sqrt(eps) matters
+# here, unlike the pOSE cost).
+
+from povar_tpu.ops.pallas_pose import (  # noqa: E402
+    _HUBER as _R_HUBER,
+    _CAUCHY as _R_CAUCHY,
+    _df_add,
+    _df_mul,
+    _df_neg,
+    _df_scale,
+    _two_prod,
+    _two_sum,
+)
+
+
+def _df_div(num, den):
+    """Double-float division num/den (~2 ulp): refine the f32 quotient
+    with one exact-residual correction."""
+    q1 = num[0] / den[0]
+    p, e = _two_prod(q1, den[0])
+    r_hi, r_lo = _two_sum(num[0], -p)
+    r_lo = r_lo + num[1] - e - q1 * den[1]
+    q2 = (r_hi + r_lo) / den[0]
+    hi, lo = _two_sum(q1, q2)
+    return (hi, lo)
+
+
+def _error2_kernel(
+    cam_ref, xh_ref, xl_ref, uvh_ref, uvl_ref, m_ref,
+    cth_ref, ctl_ref, out_ref, *, robust, huber, km_ref=None,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = cam_ref.shape[-1]
+    oh = _onehot(cam_ref[:], cth_ref.shape[-1])
+    Ph = _gather_table(cth_ref, oh)
+    Pl = _gather_table(ctl_ref, oh)
+    mask = m_ref[0] > 0
+    x4 = [
+        (xh_ref[0], xl_ref[0]),
+        (xh_ref[1], xl_ref[1]),
+        (xh_ref[2], xl_ref[2]),
+        (xh_ref[3], xl_ref[3]),
+    ]
+    # p_r = sum_c P[r,c] x4[c] in double-float
+    p = []
+    for r in range(3):
+        acc = None
+        for c in range(4):
+            term = _df_mul((Ph[4 * r + c], Pl[4 * r + c]), x4[c])
+            acc = term if acc is None else _df_add(acc, term)
+        p.append(acc)
+    eps_sqrt = np.float32(np.sqrt(np.finfo(np.float64).eps))
+    valid = (jnp.abs(p[2][0]) >= eps_sqrt) & mask
+
+    r0 = _df_add(_df_div(p[0], p[2]),
+                 _df_neg((uvh_ref[0], uvl_ref[0])))
+    r1 = _df_add(_df_div(p[1], p[2]),
+                 _df_neg((uvh_ref[1], uvl_ref[1])))
+
+    finite = jnp.ones_like(mask)
+    res_sq = None
+    for rk in (r0, r1):
+        rm = (jnp.where(mask, rk[0], 0.0), jnp.where(mask, rk[1], 0.0))
+        finite = finite & jnp.isfinite(rm[0])
+        sq = _df_mul(rm, rm)
+        res_sq = sq if res_sq is None else _df_add(res_sq, sq)
+
+    if robust == _R_HUBER:
+        h2 = np.float32(huber * huber)
+        w = jnp.where(
+            res_sq[0] < h2,
+            jnp.ones_like(res_sq[0]),
+            np.float32(huber) / jnp.sqrt(jnp.maximum(res_sq[0], 1e-30)),
+        )
+        err = _df_scale(
+            ((2.0 - w) * w * res_sq[0], (2.0 - w) * w * res_sq[1]), 0.5
+        )
+    elif robust == _R_CAUCHY:
+        err = (jnp.log1p(res_sq[0]), jnp.zeros_like(res_sq[0]))
+    else:
+        err = _df_scale(res_sq, 0.5)
+    rn = jnp.sqrt(jnp.maximum(res_sq[0], 0.0))
+    validf = valid.astype(jnp.float32)
+
+    def lane_fold(hi, lo):
+        acc = (jnp.zeros((128,), jnp.float32),
+               jnp.zeros((128,), jnp.float32))
+        h2d = hi.reshape(t // 128, 128)
+        l2d = lo.reshape(t // 128, 128)
+        for i in range(t // 128):
+            acc = _df_add(acc, (h2d[i], l2d[i]))
+        return acc
+
+    rows = [
+        lane_fold(err[0], err[1]),
+        lane_fold(rn, jnp.zeros_like(rn)),
+        lane_fold(err[0] * validf, err[1] * validf),
+        lane_fold(rn * validf, jnp.zeros_like(rn)),
+    ]
+    for i, acc in enumerate(rows):
+        cur = _df_add((out_ref[2 * i, :], out_ref[2 * i + 1, :]), acc)
+        out_ref[2 * i, :] = cur[0]
+        out_ref[2 * i + 1, :] = cur[1]
+    out_ref[8, :] += jnp.sum(
+        validf.reshape(t // 128, 128), axis=0
+    )
+    out_ref[9, :] += jnp.sum(
+        (~finite).astype(jnp.float32).reshape(t // 128, 128), axis=0
+    )
+
+
+def error2_df32(
+    cam, ct_hi, ct_lo, x_hi, x_lo, uv_hi, uv_lo, mask,
+    *, robust, huber, win=None,
+):
+    """[10, 128] partials: rows (0,1) err all hi/lo, (2,3) res-norm all
+    hi/lo, (4,5) err valid hi/lo, (6,7) res-norm valid hi/lo,
+    (8) valid count, (9) nonfinite count. Sum pairs in f64."""
+    o = cam.shape[0]
+    ct_hi, n_pad = _tbl_prep(ct_hi, win)
+    ct_lo, _ = _tbl_prep(ct_lo, win)
+    nb = _cam_block(n_pad, win)
+    t = _win_tile(min(_tile(o, nb), 2048), win)
+    return _pose_call(
+        functools.partial(
+            _error2_kernel, robust=int(robust), huber=float(huber)
+        ),
+        out_shape=jax.ShapeDtypeStruct((10, 128), jnp.float32),
+        in_specs=[
+            _obs_spec(1, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(4, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(2, t, win),
+            _obs_spec(1, t, win),
+            _cam_spec(12, nb, win),
+            _cam_spec(12, nb, win),
+        ],
+        out_specs=_fixed_spec(10, 128, win),
+        args=(
+            cam.reshape(1, o), x_hi, x_lo, uv_hi, uv_lo, mask,
+            ct_hi, ct_lo,
+        ),
+        o=o, t=t, win=win,
+    )

@@ -364,7 +364,13 @@ class Stage2Solver(StagedTiming, CamWindows):
         self, obs: Obs, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
     ) -> Dict[str, jnp.ndarray]:
         """compute_error_projective_space_homogeneous
-        (helper.cpp:156-196)."""
+        (helper.cpp:156-196).
+
+        Structured path: double-float (two-f32) evaluation including a
+        refined double-float division for the projective normalization
+        (pallas_pose2.error2_df32) — replaces the emulated-f64 sweep."""
+        if self.use_pallas and self.dtype == jnp.float64:
+            return self._compute_error_df32(obs, cam_space, lm_p_h)
         P = self._gather_cams(obs, cam_space)
         xh = self._gather_lm_x(obs, lm_p_h.T)  # [4, O]
         r, valid = pose_math.homogeneous_residual_t(P, xh, obs.uv)
@@ -796,6 +802,47 @@ class Stage2Solver(StagedTiming, CamWindows):
         if obs.weight is None:
             return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
         return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
+
+    def _compute_error_df32(
+        self, obs: Obs, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """Double-float homogeneous cost: split the f64 state into
+        (hi, lo) f32 pairs, evaluate residuals (incl. the projective
+        division) with error-free transforms in one Pallas pass, and
+        assemble totals in f64 on 128 lanes."""
+        f32, f64 = jnp.float32, jnp.float64
+
+        def split(a):
+            hi = a.astype(f32)
+            return hi, (a - hi.astype(f64)).astype(f32)
+
+        ct = cam_space.reshape(self.n_cams, 12).T  # [12, N] f64
+        ct_hi, ct_lo = split(ct)
+        lm_hi, lm_lo = split(lm_p_h.T)  # [4, M]
+        x_hi = self._gather_lm_x(obs, lm_hi)
+        x_lo = self._gather_lm_x(obs, lm_lo)
+        uv_hi, uv_lo = split(obs.uv)
+        part = pallas_pose2.error2_df32(
+            self._kcam(obs),
+            self._expand_tbl(obs, ct_hi), self._expand_tbl(obs, ct_lo),
+            x_hi, x_lo, uv_hi, uv_lo, self._mask1(obs),
+            robust=self.robust, huber=self.huber,
+            win=self._winargs(obs),
+        )
+
+        def pair(i):
+            return (jnp.sum(part[2 * i].astype(f64))
+                    + jnp.sum(part[2 * i + 1].astype(f64)))
+
+        return {
+            "num_obs_all": jnp.asarray(self.n_obs_live, jnp.int64),
+            "error_all": pair(0),
+            "residual_sum_all": pair(1),
+            "num_obs_valid": jnp.sum(part[8]).astype(jnp.int64),
+            "error_valid": pair(2),
+            "residual_sum_valid": pair(3),
+            "is_numerically_valid": jnp.sum(part[9]) == 0,
+        }
 
     # ------------------------------------------------ structured path
     # (Pallas; ops/pallas_pose2.py). Same math as the methods above

@@ -147,3 +147,29 @@ def test_stage2_structured_pipeline_converges_equivalently():
         finals[mode] = s2.final_cost.all.error
     ratio = finals["on"] / finals["off"]
     assert 0.5 < ratio < 2.0, finals
+
+
+@pytest.mark.slow
+def test_error2_df32_matches_f64():
+    """The double-float homogeneous cost (incl. df division) must agree
+    with the f64 path to ~f64 precision; the valid bucket and counts
+    must match exactly."""
+    vals = {}
+    for mode in ["off", "on"]:
+        s, cams_h, lms_h = _stage2_solver(mode)
+        e = s.compute_error(cams_h, lms_h)
+        vals[mode] = {k: np.asarray(v) for k, v in e.items()}
+    a, b = vals["off"], vals["on"]
+    np.testing.assert_allclose(
+        float(b["error_all"]), float(a["error_all"]), rtol=1e-13
+    )
+    np.testing.assert_allclose(
+        float(b["error_valid"]), float(a["error_valid"]), rtol=1e-13
+    )
+    np.testing.assert_allclose(
+        float(b["residual_sum_all"]), float(a["residual_sum_all"]),
+        rtol=1e-7,
+    )
+    assert int(b["num_obs_valid"]) == int(a["num_obs_valid"])
+    assert int(b["num_obs_all"]) == int(a["num_obs_all"])
+    assert bool(b["is_numerically_valid"])
