@@ -98,6 +98,21 @@ def render_results(config: dict, exps, out_dir: str) -> List[str]:
             open(os.path.join(out_dir, f"{name}.tex"), "w").write(tex)
             artifacts += [path, os.path.join(out_dir, f"{name}.tex")]
             report.append("```\n" + txt + "\n```\n")
+        elif cls == "summarize_sequences_table":
+            metrics = spec.get(
+                "metrics", ["cost", "num_it_total", "solver_total_time"]
+            )
+            txt = tables_mod.summarize_table(
+                exps, exp_names, metrics, filter_regex=fr
+            )
+            tex = tables_mod.summarize_table(
+                exps, exp_names, metrics, filter_regex=fr, latex=True
+            )
+            path = os.path.join(out_dir, f"{name}.txt")
+            open(path, "w").write(txt + "\n")
+            open(os.path.join(out_dir, f"{name}.tex"), "w").write(tex)
+            artifacts += [path, os.path.join(out_dir, f"{name}.tex")]
+            report.append("```\n" + txt + "\n```\n")
         elif cls == "performance_profile":
             tol = spec.get("tolerance", 0.01)
             runs = _runs_by_problem(exps, exp_names, fr)

@@ -275,3 +275,102 @@ def metric_results_table(
             row += mean_cell(m_i, m, name).ljust(width)
     lines.append(row)
     return "\n".join(lines)
+
+
+def summarize_table(
+    exps: Dict,
+    experiment_names: Sequence[str],
+    metric_specs: Sequence,
+    filter_regex=None,
+    it: int = -1,
+    latex: bool = False,
+) -> str:
+    """Sequence-aggregated comparison: rows = metrics, columns =
+    experiments, cells = (geometric) mean over all sequences, best
+    value bolded / second italicized (latex) or marked * / '
+    (text) — latex/summarize_sequences_table.py:22-88 equivalent."""
+    from povar_tpu.tools.metrics import metrics_from_spec
+
+    metrics = metrics_from_spec(list(metric_specs))
+    seqs = sorted(
+        {
+            s
+            for name in experiment_names
+            for s in exps[name].sequences(filter_regex)
+        }
+    )
+    means: Dict[tuple, float] = {}
+    for m_i, m in enumerate(metrics):
+        for name in experiment_names:
+            vals = []
+            for seq in seqs:
+                run = exps[name].runs.get(seq)
+                if run is None or run.log is None or run.is_failed:
+                    continue
+                try:
+                    vals.append(m.value(exps, exps[name], seq, it))
+                except Exception:
+                    continue
+            vals = [v for v in vals if np.isfinite(v)]
+            if not vals:
+                means[(m_i, name)] = float("nan")
+            elif m.geometric_mean:
+                means[(m_i, name)] = float(
+                    np.exp(np.mean(np.log(np.maximum(vals, 1e-30))))
+                )
+            else:
+                means[(m_i, name)] = float(np.mean(vals))
+
+    def top_two(m_i, m):
+        vals = sorted(
+            {
+                v
+                for name in experiment_names
+                if np.isfinite(v := means[(m_i, name)])
+            },
+            reverse=m.larger_is_better,
+        )
+        best = vals[0] if vals else None
+        second = vals[1] if len(vals) > 1 else None
+        return best, second
+
+    if latex:
+        out = (
+            "\\begin{tabular}{l" + "c" * len(experiment_names)
+            + "}\n\\toprule\n & "
+            + " & ".join(experiment_names)
+            + " \\\\\n\\midrule\n"
+        )
+        for m_i, m in enumerate(metrics):
+            best, second = top_two(m_i, m)
+            out += m.display_name
+            for name in experiment_names:
+                v = means[(m_i, name)]
+                cell = m.format(v)
+                if v == best:
+                    cell = "\\textbf{" + cell + "}"
+                elif v == second:
+                    cell = "\\textit{" + cell + "}"
+                out += " & " + cell
+            out += " \\\\\n"
+        return out + "\\bottomrule\n\\end{tabular}\n"
+
+    width = 16
+    lines = [
+        "".ljust(24)
+        + "".join(n[: width - 1].ljust(width) for n in experiment_names)
+    ]
+    lines.append("-" * (24 + width * len(experiment_names)))
+    for m_i, m in enumerate(metrics):
+        best, second = top_two(m_i, m)
+        row = m.display_name[:23].ljust(24)
+        for name in experiment_names:
+            v = means[(m_i, name)]
+            cell = m.format(v)
+            if v == best:
+                cell += " *"
+            elif v == second:
+                cell += " '"
+            row += cell.ljust(width)
+        lines.append(row)
+    return "\n".join(lines)

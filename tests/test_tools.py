@@ -368,3 +368,38 @@ name = "timing"
     assert "## costs" in md and "profile.png" in md
     ov = open(os.path.join(out, "overview.txt")).read()
     assert "10" in ov and "25%" in ov
+
+
+def test_summarize_table(tmp_path):
+    """Sequence-aggregated metric comparison with best/second marks
+    (latex/summarize_sequences_table.py equivalent)."""
+    from povar_tpu.tools.experiments import (
+        load_experiments_config,
+        load_experiments,
+    )
+    from povar_tpu.tools.tables import summarize_table
+
+    _two_experiment_tree(tmp_path)
+    cfg = os.path.join(tmp_path, "exp.toml")
+    open(cfg, "w").write(
+        """
+[[experiments]]
+name = "power"
+pattern = "power/*"
+
+[[experiments]]
+name = "pcg"
+pattern = "pcg/*"
+"""
+    )
+    exps = load_experiments(load_experiments_config(cfg))
+    txt = summarize_table(
+        exps, ["power", "pcg"], ["cost", "solver_total_time"]
+    )
+    # power has lower final cost on both problems -> best mark
+    line = [l for l in txt.splitlines() if l.startswith("cost")][0]
+    assert "*" in line.split()[1] + line.split()[2]
+    tex = summarize_table(
+        exps, ["power", "pcg"], ["cost"], latex=True
+    )
+    assert "\\textbf" in tex
