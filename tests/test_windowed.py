@@ -139,3 +139,46 @@ def test_windowed_solver_matches_plain_kernels():
         else:
             d = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
             assert d < 1e-6, (k, d)
+
+
+@pytest.mark.slow
+def test_windowed_lm_trajectory_matches_plain():
+    """The LM loop driven through the windowed kernels must make the
+    same accept/reject decisions as the plain kernels on the same
+    solver (window machinery bypassed via n_win=0)."""
+    from povar_tpu.solver.lm import optimize_step1
+    from povar_tpu.utils.summary import SolverSummary
+    from povar_tpu.utils.timer import Timer
+    from povar_tpu.solver.stage1 import Stage1Solver
+
+    rng = np.random.default_rng(7)
+    n_cams, n_lms = 1300, 100
+    obs_lm, obs_cam, obs_uv = _local_problem(rng, n_cams, n_lms)
+    cam_space = rng.standard_normal((n_cams, 3, 4))
+    cam_space[:, 2, :] = [0, 0, 0, 1.0]
+
+    opts = SolverOptions()
+    opts.pallas_kernels = "on"
+    opts.max_num_iterations_step_1 = 5
+    s = Stage1Solver(obs_cam, obs_lm, obs_uv, n_cams, n_lms, opts)
+    assert s.n_win > 0
+
+    def run():
+        summary = SolverSummary()
+        cams = jnp.asarray(cam_space)
+        lms = s.initialize_varproj(cams)
+        optimize_step1(
+            s, cams, lms, opts, summary, Timer(), log=lambda _: None
+        )
+        return [
+            (it.step_is_successful, it.cost.all.error)
+            for it in summary.iterations
+        ]
+
+    traj_win = run()
+    s.n_win = 0
+    traj_plain = run()
+    assert len(traj_win) == len(traj_plain)
+    for (ok_a, c_a), (ok_b, c_b) in zip(traj_plain, traj_win):
+        assert ok_a == ok_b
+        np.testing.assert_allclose(c_b, c_a, rtol=1e-6)
