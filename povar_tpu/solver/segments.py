@@ -280,7 +280,29 @@ def slot_expand(
 # count.
 # ---------------------------------------------------------------------
 
-WINDOW_W = 512
+WINDOW_W = 512  # largest supported window (VMEM bound on the one-hot)
+WINDOW_CHOICES = (128, 256, 512)
+
+
+def choose_window_width(
+    obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
+):
+    """Smallest supported window width covering every landmark's camera
+    span (the one-hot gather/scatter cost per observation is O(W), so
+    tighter camera locality directly buys kernel speed), or None when
+    even the largest window cannot."""
+    obs_cam = np.asarray(obs_cam)
+    obs_lm = np.asarray(obs_lm)
+    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.full(num_landmarks, -1, dtype=np.int64)
+    np.minimum.at(lo, obs_lm, obs_cam)
+    np.maximum.at(hi, obs_lm, obs_cam)
+    seen = hi >= 0
+    max_span = int((hi[seen] - lo[seen]).max()) + 1 if seen.any() else 1
+    for w in WINDOW_CHOICES:
+        if max_span <= w:
+            return w
+    return None
 
 
 def build_window_plan(

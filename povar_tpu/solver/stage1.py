@@ -143,11 +143,13 @@ def make_obs(
     (obs, lm_slot_shapes, n_windows); the shapes and window count are
     static Python ints kept on the solver (outside the pytree).
 
-    `window_w > 0` attempts the camera-window layout for the large-N
-    structured path (segments.build_window_plan): when every landmark's
-    camera span fits a window, the slot plan is laid out window-major
-    and the Obs carries window-local camera ids + index maps;
-    n_windows = 0 signals the plan was infeasible (plain layout)."""
+    `window_w != 0` attempts the camera-window layout for the large-N
+    structured path (segments.build_window_plan); -1 picks the
+    tightest supported width for the data (choose_window_width). When
+    every landmark's camera span fits a window, the slot plan is laid
+    out window-major and the Obs carries window-local camera ids +
+    index maps; n_windows = 0 signals the plan was infeasible (plain
+    layout). Returns (obs, shapes, n_windows, window_w)."""
     import numpy as np
 
     from povar_tpu.solver.segments import (
@@ -163,9 +165,16 @@ def make_obs(
 
     win_plan = None
     if window_w:
-        win_plan = build_window_plan(
-            obs_cam_np, obs_lm_np, num_landmarks, width=window_w
-        )
+        if window_w < 0:  # auto: tightest supported width
+            from povar_tpu.solver.segments import choose_window_width
+
+            window_w = choose_window_width(
+                obs_cam_np, obs_lm_np, num_landmarks
+            ) or 0
+        if window_w:
+            win_plan = build_window_plan(
+                obs_cam_np, obs_lm_np, num_landmarks, width=window_w
+            )
     if win_plan is not None:
         lm_window, win_start = win_plan
         n_win = len(win_start)
@@ -232,7 +241,7 @@ def make_obs(
         lm_inv=jnp.asarray(inv_pos),
         **win_fields,
     )
-    return obs, shapes, n_win
+    return obs, shapes, n_win, window_w
 
 
 class CamWindows:
@@ -331,16 +340,14 @@ class Stage1Solver(StagedTiming, CamWindows):
         if options.solver_type_step_1 == SolverType.CHOLESKY:
             self.use_pallas = False
             try_windows = False
-        from povar_tpu.solver.segments import WINDOW_W
-
-        self.obs, self.lm_shapes, self.n_win = make_obs(
+        self.obs, self.lm_shapes, self.n_win, chosen_w = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
             build_onehot=not (self.use_pallas or try_windows),
-            window_w=WINDOW_W if try_windows else 0,
+            window_w=-1 if try_windows else 0,
         )
         if self.n_win:
-            self.win_w = WINDOW_W
+            self.win_w = chosen_w
             self.use_pallas = True
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype

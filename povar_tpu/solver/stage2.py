@@ -153,16 +153,14 @@ class Stage2Solver(StagedTiming, CamWindows):
             and self.solve_dtype == jnp.float32
             and self.n_cams > pallas_cam.MAX_CAMERAS
         )
-        from povar_tpu.solver.segments import WINDOW_W
-
-        self.obs, self.lm_shapes, self.n_win = make_obs(
+        self.obs, self.lm_shapes, self.n_win, chosen_w = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
             build_onehot=not (self.use_pallas or try_windows),
-            window_w=WINDOW_W if try_windows else 0,
+            window_w=-1 if try_windows else 0,
         )
         if self.n_win:
-            self.win_w = WINDOW_W
+            self.win_w = chosen_w
             self.use_pallas = True
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype

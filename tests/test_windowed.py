@@ -107,7 +107,7 @@ def test_windowed_solver_matches_plain_kernels():
     s = Stage1Solver(
         obs_cam, obs_lm, obs_uv, n_cams, n_lms, opts
     )
-    assert s.n_win > 0 and s.win_w == WINDOW_W
+    assert s.n_win > 0 and s.win_w in (128, 256, 512)
     cams = jnp.asarray(cam_space)
 
     def run():
