@@ -61,6 +61,9 @@ def main() -> int:
     ap.add_argument("folder")
     ap.add_argument("--rerun-failed", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run only this config file (used by the SLURM "
+                    "fan-out, scripts/slurm-run-all.sh)")
     args = ap.parse_args()
 
     configs = sorted(
@@ -68,6 +71,9 @@ def main() -> int:
                   recursive=True)
         + glob.glob(os.path.join(args.folder, "rootba_config.toml"))
     )
+    if args.only:
+        only = os.path.abspath(args.only)
+        configs = [c for c in configs if os.path.abspath(c) == only]
     if not configs:
         print(f"no rootba_config_*.toml under {args.folder}")
         return 1
