@@ -52,7 +52,8 @@ def main() -> None:
 
     reps = 10
     stages = [
-        ("linearize", lambda: s.linearize(cams, lms), lambda r: r.r),
+        ("linearize", lambda: s.linearize(cams, lms),
+         lambda r: r.r if hasattr(r, "r") else r.r_w),
         (
             "solve_power(m=10)",
             lambda: s.solve_power(lin, lam)[0],

@@ -371,7 +371,7 @@ def build_slot_plan_windowed(
     shapes = []
     lm_order_parts = []
     block_window = []
-    n_extra_rows = 0
+    pad_parts = set()
     for win in range(n_windows):
         in_win = lm_window == win
         win_lanes = 0
@@ -395,9 +395,9 @@ def build_slot_plan_windowed(
             tail = pad_to - win_lanes % pad_to
             perm_parts.append(np.zeros(tail, np.int64))
             weight_parts.append(np.zeros(tail))
+            pad_parts.add(len(shapes))
             shapes.append((1, int(tail)))
             lm_order_parts.append(np.zeros(1, np.int64))
-            n_extra_rows += 1
             win_lanes += tail
         block_window += [win] * (win_lanes // pad_to)
     perm = np.concatenate(perm_parts)
@@ -410,7 +410,7 @@ def build_slot_plan_windowed(
     is_real = np.ones(len(lm_order), dtype=bool)
     row = 0
     for i, (g, w) in enumerate(shapes):
-        if (weight_parts[i] == 0).all():
+        if i in pad_parts:
             is_real[row : row + g] = False
         row += g
     inv_pos[lm_order[is_real]] = pos[is_real]

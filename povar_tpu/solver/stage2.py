@@ -484,20 +484,11 @@ class Stage2Solver(StagedTiming, CamWindows):
 
     # ------------------------------------------------------ Schur pieces
 
-    def _prepare_hb(
-        self, obs: Obs, lin: Lin2, lam: jnp.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """prepare_Hb_joint (linearization_power_varproj.hpp:74-122):
-        tangent-space Hll^-1 [3,3,M] (with Proj^T lam Proj = lam I
-        damping), gradient b [11,N], undamped per-camera block diagonal
-        Jp_ns^T Jp_ns [11,11,N]."""
-        hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam)
-        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
-        return b, hpp, hll_inv
-
     def _prep_hll(self, obs: Obs, lin, lam: jnp.ndarray):
         """Tangent Hll assembly + Proj^T lam Proj damping + inversion
-        (the staged stage2/landmark-damping span). Returns a
+        (the landmark half of prepare_Hb_joint,
+        linearization_power_varproj.hpp:74-122; the staged
+        stage2/landmark-damping span). Returns a
         lin-type-dependent pieces tuple."""
         if isinstance(lin, Lin2S):
             return self._prep_hll_s(obs, lin, lam)

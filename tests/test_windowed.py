@@ -12,7 +12,6 @@ import pytest
 
 from povar_tpu.options import SolverOptions
 from povar_tpu.solver.segments import (
-    WINDOW_W,
     build_slot_plan_windowed,
     build_window_plan,
     slot_expand,
