@@ -293,13 +293,19 @@ def hppb2(cam, x4, mm, sw, r_w, jlns, hib, n_cams, win=None):
 
 
 def _mat_dot_kernel(
-    cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, rw_ref, zt_ref, out_ref,
-    *, add_r, km_ref=None,
+    cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, *rest,
+    add_r, km_ref=None,
 ):
     """out3 = M^T (r_add + jp_x) with M [2,3] cached per obs (layout
     r*3+i), jp_x = sw/p2 [q~0 - mx q~2, q~1 - my q~2],
     q~a = sum_c x4_c zt[4a+c, cam]. add_r=True adds the stored r_w
-    (back-substitution RHS); False is the pure E0 'up' half."""
+    (back-substitution RHS); False is the pure E0 'up' half, which
+    does not take (or read) the residual operand at all — it would
+    otherwise cost a full [2, O] sweep per power-series term."""
+    if add_r:
+        rw_ref, zt_ref, out_ref = rest
+    else:
+        zt_ref, out_ref = rest
     oh = _onehot(cam_ref[:], zt_ref.shape[-1])
     zc = _gather_table(zt_ref, oh)  # [12, T]
     mx, my, zinv = mm_ref[0], mm_ref[1], mm_ref[2]
@@ -323,25 +329,31 @@ def _mat_dot_kernel(
 
 
 def mat_dot2(cam, x4, mm, sw, mat6, r_w, zt, *, add_r, win=None):
-    """[3, O] = M^T (jp_x (+ r_w)); see _mat_dot_kernel."""
+    """[3, O] = M^T (jp_x (+ r_w)); see _mat_dot_kernel. r_w is only
+    an operand when add_r (pass None otherwise)."""
     o = cam.shape[0]
     zt, n_pad = _tbl_prep(zt, win)
     nb = _cam_block(n_pad, win)
     t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    specs = [
+        _obs_spec(1, t, win),
+        _obs_spec(4, t, win),
+        _obs_spec(3, t, win),
+        _obs_spec(1, t, win),
+        _obs_spec(6, t, win),
+    ]
+    args = [cam.reshape(1, o), x4, mm, sw, mat6]
+    if add_r:
+        specs.append(_obs_spec(2, t, win))
+        args.append(r_w)
+    specs.append(_cam_spec(12, nb, win))
+    args.append(zt)
     return _pose_call(
         functools.partial(_mat_dot_kernel, add_r=bool(add_r)),
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
-        in_specs=[
-            _obs_spec(1, t, win),
-            _obs_spec(4, t, win),
-            _obs_spec(3, t, win),
-            _obs_spec(1, t, win),
-            _obs_spec(6, t, win),
-            _obs_spec(2, t, win),
-            _cam_spec(12, nb, win),
-        ],
+        in_specs=specs,
         out_specs=_obs_spec(3, t, win),
-        args=(cam.reshape(1, o), x4, mm, sw, mat6, r_w, zt),
+        args=tuple(args),
         o=o, t=t, win=win,
     )
 

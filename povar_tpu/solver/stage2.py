@@ -971,7 +971,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         def e0(v11):
             zt = small_einsum("abn,bn->an", lin.kps, v11)  # [12, N]
             u3 = pallas_pose2.mat_dot2(
-                kcam, lin.x4, lin.mm, lin.sw, b6, lin.r_w,
+                kcam, lin.x4, lin.mm, lin.sw, b6, None,
                 self._expand_tbl(obs, zt), add_r=False, win=win,
             )
             s = self._seg_lm(obs, u3)
