@@ -181,3 +181,50 @@ def test_windowed_lm_trajectory_matches_plain():
     for (ok_a, c_a), (ok_b, c_b) in zip(traj_plain, traj_win):
         assert ok_a == ok_b
         np.testing.assert_allclose(c_b, c_a, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_windowed_stage2_matches_plain_kernels():
+    """Stage-2 structured kernels under the camera-window layout match
+    the same solver's global one-hot mode."""
+    from povar_tpu.solver.stage2 import Stage2Solver
+
+    rng = np.random.default_rng(5)
+    n_cams, n_lms = 1300, 100
+    obs_lm, obs_cam, obs_uv = _local_problem(rng, n_cams, n_lms)
+    cam_space = rng.standard_normal((n_cams, 3, 4))
+    lm_h = np.concatenate(
+        [rng.standard_normal((n_lms, 3)), np.ones((n_lms, 1))], axis=1
+    )
+
+    opts = SolverOptions()
+    opts.pallas_kernels = "on"
+    opts.power_sc_iterations = 3
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    s = Stage2Solver(obs_cam, obs_lm, obs_uv, n_cams, n_lms, opts)
+    assert s.n_win > 0
+    cams = jnp.asarray(cam_space)
+    lms_h = jnp.asarray(lm_h)
+
+    def run():
+        lin = s.linearize(cams, lms_h)
+        lam = jnp.asarray(1e-3, s.dtype)
+        inc, _ = s.solve_power(lin, lam)
+        nc, nl, ld = s.apply(cams, lms_h, lin, inc, lam)
+        err = s.compute_error(cams, lms_h)
+        return dict(
+            inc=np.asarray(inc), nl=np.asarray(nl), nc=np.asarray(nc),
+            ld=float(ld), err=float(err["error_all"]),
+        )
+
+    win_out = run()
+    s.n_win = 0
+    plain_out = run()
+    for k in win_out:
+        a, b = plain_out[k], win_out[k]
+        if isinstance(a, float):
+            assert abs(a - b) <= 1e-6 * max(abs(a), 1e-12), (k, a, b)
+        else:
+            d = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+            assert d < 1e-5, (k, d)
