@@ -84,6 +84,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _check_supported(o: int, n_cams: int) -> None:
+    """Fail fast with an actionable message instead of reaching Mosaic
+    with an oversized in-VMEM one-hot or a misaligned obs axis (callers
+    gate on supported(); this catches gating bugs like a missing
+    windowed-mode guard)."""
+    if not supported(o, n_cams, jnp.float32):
+        raise ValueError(
+            f"pallas_cam kernel misuse: n_obs={o} (must be a multiple "
+            f"of 512), n_cams={n_cams} (must be <= {MAX_CAMERAS}); "
+            "large-N problems must go through the camera-window layout "
+            "(solver/segments.py), not these global-id kernels"
+        )
+
+
 def _onehot(cam_tile: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     """[Npad, T] f32 incidence for one tile's camera indices [1, T]."""
     rows = jax.lax.broadcasted_iota(
@@ -117,6 +131,7 @@ def cam_gather(table: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
     """table [R, N] f32, cam [O] i32 -> [R, O] (table[:, cam[o]])."""
     r, n = table.shape
     o = cam.shape[0]
+    _check_supported(o, n)
     n_pad = _n_pad(n)
     if n_pad != n:
         table = jnp.pad(table, ((0, 0), (0, n_pad - n)))
@@ -151,6 +166,7 @@ def cam_scatter_add(
 ) -> jnp.ndarray:
     """v [R, O] f32, cam [O] i32 -> [R, N] per-camera sums."""
     r, o = v.shape
+    _check_supported(o, n_cams)
     n_pad = _n_pad(n_cams)
     t = _tile(o, n_cams)
     out = pl.pallas_call(
@@ -188,6 +204,7 @@ def e0_u(W: jnp.ndarray, cam: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     flat, dl the landmark tangent dim, dc the camera dim), x [dc, N]."""
     o = W.shape[-1]
     dc, n = x.shape
+    _check_supported(o, n)
     dl = W.shape[0] // dc
     n_pad = _n_pad(n)
     if n_pad != n:
@@ -227,6 +244,7 @@ def e0_scatter(
     """out [dc, N] = sum_o onehot(cam(o)) (W_o^T sb_o) with sb [dl, O]
     (the per-landmark value already expanded to observations)."""
     o = W.shape[-1]
+    _check_supported(o, n_cams)
     dl = sb.shape[0]
     dc = W.shape[0] // dl
     n_pad = _n_pad(n_cams)
@@ -288,6 +306,7 @@ def hpp_b(
     r_tilde [k, O] -> (hpp [d*d, N], b [d, N]): per-camera sums of
     Jp^T Jp and Jp^T r~."""
     o = Jp.shape[-1]
+    _check_supported(o, n_cams)
     k = r_tilde.shape[0]
     d = Jp.shape[0] // k
     n_pad = _n_pad(n_cams)

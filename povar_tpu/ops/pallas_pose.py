@@ -621,7 +621,7 @@ def e0_scatter_structured(cam, x, h, sb, n_cams, win=None):
 
 def _ldiff_kernel(
     cam_ref, x_ref, uv_ref, sw_ref, rw_ref, jls_ref, ilm_ref,
-    ct_new_ref, ct_old_ref, it_ref, out_ref, *, alpha, km_ref=None,
+    ct_old_ref, it_ref, out_ref, *, alpha, km_ref=None,
 ):
     # the [1,128] accumulator block is constant across the whole grid,
     # so init is at tile 0 regardless of windows
@@ -631,9 +631,8 @@ def _ldiff_kernel(
 
     sp = np.float32(np.sqrt(1.0 - alpha))
     sa = np.float32(np.sqrt(alpha))
-    oh = _onehot(cam_ref[:], ct_new_ref.shape[-1])
+    oh = _onehot(cam_ref[:], ct_old_ref.shape[-1])
     q = _gather_table(it_ref, oh)  # inc (scaled coords) per obs [12, T]
-    Pn = _gather_table(ct_new_ref, oh)
     Po = _gather_table(ct_old_ref, oh)
     u, v = uv_ref[0], uv_ref[1]
     sw = sw_ref[0]
@@ -657,9 +656,10 @@ def _ldiff_kernel(
         sa * qt[1],
     ]
 
-    # Jl_stored inc_lm: Jl_s[k,i] = A_old[k][i] sw jls_i
+    # Jl_stored inc_lm: Jl_s[k,i] = A_old[k][i] sw jls_i. (The fresh Jp
+    # at the NEW cameras uses only the structure (xh, u, v), never P
+    # itself, so no new-camera table flows into this kernel.)
     Ao = _a_tilde(Po, u, v, sp, sa)
-    del Pn  # fresh Jp uses only the structure (xh, u, v), not P itself
     ld = jnp.zeros_like(u)
     for k in range(4):
         jl_inc = (Ao[k][0] * jls_ref[0] * ilm_ref[0]
@@ -672,19 +672,20 @@ def _ldiff_kernel(
 
 
 def apply_ldiff(
-    cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_new, cam_table_old,
+    cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_old,
     inc_table, *, alpha, win=None
 ):
     """-l_diff partial sums [128]; sum() for the model cost decrease.
     inc_table [12, N] is the scaled camera increment; inc_lm_obs [3, O]
-    the (unscaled) landmark increment expanded to observations."""
+    the (unscaled) landmark increment expanded to observations. The
+    fresh Jp at the updated cameras depends only on (xh, u, v), so no
+    new-camera table operand is needed."""
     o = cam.shape[0]
-    n = cam_table_new.shape[-1]
+    n = cam_table_old.shape[-1]
     if win is None:
         n_pad = _n_pad(n)
         if n_pad != n:
             pad = ((0, 0), (0, n_pad - n))
-            cam_table_new = jnp.pad(cam_table_new, pad)
             cam_table_old = jnp.pad(cam_table_old, pad)
             inc_table = jnp.pad(inc_table, pad)
     else:
@@ -704,12 +705,11 @@ def apply_ldiff(
             _obs_spec(3, t, win),
             _cam_spec(12, nb, win),
             _cam_spec(12, nb, win),
-            _cam_spec(12, nb, win),
         ],
         out_specs=_fixed_spec(1, 128, win),
         args=(
             cam.reshape(1, o), x, uv, sw, r_w, jls, inc_lm_obs,
-            cam_table_new, cam_table_old, inc_table,
+            cam_table_old, inc_table,
         ),
         o=o, t=t, win=win,
     )

@@ -284,6 +284,25 @@ WINDOW_W = 512  # largest supported window (VMEM bound on the one-hot)
 WINDOW_CHOICES = (128, 256, 512)
 
 
+def camera_span_stats(
+    obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
+):
+    """Per-landmark camera-index span statistics (span = hi - lo + 1).
+    Returns (max_span, num_over_largest_window) — the inputs to both
+    the window-width choice and the fallback diagnostics."""
+    obs_cam = np.asarray(obs_cam)
+    obs_lm = np.asarray(obs_lm)
+    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.full(num_landmarks, -1, dtype=np.int64)
+    np.minimum.at(lo, obs_lm, obs_cam)
+    np.maximum.at(hi, obs_lm, obs_cam)
+    seen = hi >= 0
+    if not seen.any():
+        return 1, 0
+    spans = hi[seen] - lo[seen] + 1
+    return int(spans.max()), int(np.sum(spans > WINDOW_W))
+
+
 def choose_window_width(
     obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
 ):

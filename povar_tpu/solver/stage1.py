@@ -64,6 +64,31 @@ _ROBUST_CODE = {
 }
 
 
+def _window_fallback(mode, obs_cam, obs_lm, n_lms, n_cams):
+    """The camera-window plan was infeasible: fail loudly under
+    pallas_kernels='on', and warn (never silently degrade — the XLA
+    lowering is ~20x slower per observation) under 'auto'."""
+    import logging
+
+    from povar_tpu.solver.segments import WINDOW_W, camera_span_stats
+
+    max_span, n_over = camera_span_stats(obs_cam, obs_lm, n_lms)
+    msg = (
+        f"camera-window plan infeasible even after RCM reordering: "
+        f"{n_over} landmark(s) span up to {max_span} cameras, above "
+        f"the largest window ({WINDOW_W}) at n_cams={n_cams}; "
+        "falling back to the XLA lowering (~20x slower per "
+        "observation)"
+    )
+    if mode == "on":
+        raise ValueError(
+            "pallas_kernels='on' but the " + msg.replace(
+                "falling back to", "which would fall back to"
+            )
+        )
+    logging.getLogger("povar_tpu").warning(msg)
+
+
 class Obs(NamedTuple):
     """Static problem structure as a pytree (slot-ordered observations).
 
@@ -349,6 +374,10 @@ class Stage1Solver(StagedTiming, CamWindows):
         if self.n_win:
             self.win_w = chosen_w
             self.use_pallas = True
+        elif try_windows:
+            _window_fallback(
+                mode, obs_cam, obs_lm, self.n_lms, self.n_cams
+            )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
         )
@@ -670,9 +699,15 @@ class Stage1Solver(StagedTiming, CamWindows):
         return slot_expand(s, self.lm_shapes, obs.lm_order)
 
     def _gather_cams(self, obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
-        """cam_space [N,3,4] -> per-obs P [3,4,O]."""
+        """cam_space [N,3,4] -> per-obs P [3,4,O]. In windowed mode the
+        global-id one-hot kernel would need a [N_pad, T] on-chip
+        incidence (N > MAX_CAMERAS by construction), so fall back to the
+        XLA gather there."""
         t = jnp.transpose(cam_space, (1, 2, 0))  # [3, 4, N]
-        if self.use_pallas and cam_space.dtype == jnp.float32:
+        if (
+            self.use_pallas and not self.n_win
+            and cam_space.dtype == jnp.float32
+        ):
             o = pallas_cam.cam_gather(t.reshape(12, -1), obs.cam)
             return o.reshape(3, 4, -1)
         return t[:, :, obs.cam]
@@ -1512,7 +1547,6 @@ class Stage1Solver(StagedTiming, CamWindows):
             kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
             self._gather_lm_x(obs, lin.jl_scale),
             self._gather_lm_x(obs, inc_lm),
-            self._expand_tbl(obs, ct_new),
             self._expand_tbl(obs, lin.ct),
             self._expand_tbl(obs, inc_f), alpha=self.alpha, win=win,
         )

@@ -153,6 +153,12 @@ class Stage2Solver(StagedTiming, CamWindows):
             and self.solve_dtype == jnp.float32
             and self.n_cams > pallas_cam.MAX_CAMERAS
         )
+        if mode == "on" and not shape_ok and not try_windows:
+            raise ValueError(
+                "pallas_kernels='on' but the problem shape is "
+                f"unsupported (n_cams={self.n_cams} <= "
+                f"{pallas_cam.MAX_CAMERAS}, f32 inner solves required)"
+            )
         self.obs, self.lm_shapes, self.n_win, chosen_w = make_obs(
             obs_cam, obs_lm, obs_uv, self.n_cams, self.n_lms, dtype,
             obs_weight, solve_dtype=self.solve_dtype,
@@ -162,6 +168,12 @@ class Stage2Solver(StagedTiming, CamWindows):
         if self.n_win:
             self.win_w = chosen_w
             self.use_pallas = True
+        elif try_windows:
+            from povar_tpu.solver.stage1 import _window_fallback
+
+            _window_fallback(
+                mode, obs_cam, obs_lm, self.n_lms, self.n_cams
+            )
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
         )
@@ -307,7 +319,9 @@ class Stage2Solver(StagedTiming, CamWindows):
     # -------------------------------------------------------------- utils
 
     def _seg_cam(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        if self.use_pallas and x.dtype == jnp.float32:
+        # windowed mode (n_cams > MAX_CAMERAS): the global-id one-hot
+        # kernels cannot apply — use the XLA lowering (stage1._seg_cam)
+        if self.use_pallas and not self.n_win and x.dtype == jnp.float32:
             flat = x.reshape(-1, x.shape[-1])
             out = pallas_cam.cam_scatter_add(flat, obs.cam, self.n_cams)
             return out.reshape(x.shape[:-1] + (self.n_cams,))
@@ -335,7 +349,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         return jnp.stack(rows, axis=0)
 
     def _gather_cam_x(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        if self.use_pallas and x.dtype == jnp.float32:
+        if self.use_pallas and not self.n_win and x.dtype == jnp.float32:
             flat = x.reshape(-1, x.shape[-1])
             out = pallas_cam.cam_gather(flat, obs.cam)
             return out.reshape(x.shape[:-1] + (out.shape[-1],))
@@ -351,7 +365,10 @@ class Stage2Solver(StagedTiming, CamWindows):
 
     def _gather_cams(self, obs: Obs, cam_space: jnp.ndarray) -> jnp.ndarray:
         t = jnp.transpose(cam_space, (1, 2, 0))  # [3, 4, N]
-        if self.use_pallas and cam_space.dtype == jnp.float32:
+        if (
+            self.use_pallas and not self.n_win
+            and cam_space.dtype == jnp.float32
+        ):
             o = pallas_cam.cam_gather(t.reshape(12, -1), obs.cam)
             return o.reshape(3, 4, -1)
         return t[:, :, obs.cam]

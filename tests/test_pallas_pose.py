@@ -245,13 +245,12 @@ def test_apply_ldiff_matches_dense(prob):
     )
     ld_ref = -np.sum(j_inc * (0.5 * j_inc + r_w))
 
-    ct_new = jnp.asarray(new_cams.reshape(N, 12).T)
     ct_old = jnp.asarray(cams.reshape(N, 12).T)
     part = pp.apply_ldiff(
         jnp.asarray(cam), jnp.asarray(x), jnp.asarray(uv),
         jnp.asarray(sw).reshape(1, O), jnp.asarray(r_w),
         jnp.asarray(jls[:, lm]), jnp.asarray(inc_lm[:, lm]),
-        ct_new, ct_old, jnp.asarray(inc), alpha=ALPHA,
+        ct_old, jnp.asarray(inc), alpha=ALPHA,
     )
     ld = -float(np.asarray(part).sum())
     np.testing.assert_allclose(ld, ld_ref, rtol=5e-4)
