@@ -1,8 +1,9 @@
 """Benchmark: pOSE Power-VarProj LM iteration at venice-89 scale.
 
-Times the framework's hot path — one fused step-1 LM iteration
+Times the framework's hot path — one FULL step-1 LM iteration
 (linearize + prepare_Hb + 10-term power-series solve + camera update +
-VarProj back-substitution) — on a synthetic problem matching the BAL
+VarProj back-substitution + the f64 cost evaluation that gates LM
+accept/reject) — on a synthetic problem matching the BAL
 venice problem-89-110973 scale used by the reference README
 (89 cameras, 110,973 landmarks, ~5 observations per landmark).
 
@@ -58,7 +59,11 @@ def flops_per_iteration(n_obs: int, n_lms: int, n_cams: int, m: int) -> float:
     b = n_obs * 2 * 4 * (12 + 3) * 2
     per_term = n_obs * 2 * 4 * (12 + 3) * 2 + n_lms * 18 + n_cams * 2 * 144
     bsub = n_obs * (2 * 4 * 3 * 2 + 2 * 4 * 12) + n_lms * 60
-    return float(jac + hll + hpp + b + m * per_term + bsub)
+    # per-iteration cost evaluation (compute_error_pOSE, the accept/
+    # reject gate the LM loop pays every iteration): residual eval +
+    # robust error + squared-norm reduce
+    cost = n_obs * (2 * 4 * 4 + 12)
+    return float(jac + hll + hpp + b + m * per_term + bsub + cost)
 
 
 def main() -> None:
@@ -79,10 +84,15 @@ def main() -> None:
     )
 
     def step(cams, lms, lam):
-        # the same three device calls the LM driver makes per iteration
+        # the same four device calls the LM driver makes per iteration,
+        # INCLUDING the f64 cost evaluation that gates accept/reject
+        # (solver/lm.py compute_error per trial,
+        # bal_bundle_adjustment.cpp:406)
         lin = solver.linearize(cams, lms)
         inc, _ = solver.solve_power(lin, lam, landmark_damping=False)
-        return solver.apply(cams, lms, lin, inc)
+        new_cams, new_lms, l_diff = solver.apply(cams, lms, lin, inc)
+        err = solver.compute_error(new_cams, new_lms)
+        return new_cams, new_lms, err["error_all"]
 
     cams = jnp.asarray(problem.cam_space)
     lms = solver.initialize_varproj(cams)
@@ -103,11 +113,11 @@ def main() -> None:
     t0 = time.perf_counter()
     c, l = cams, lms
     for _ in range(reps):
-        c, l, ld = step(c, l, lam)
-    # force full execution: pull the model-cost scalar to the host
+        c, l, err = step(c, l, lam)
+    # force full execution: pull the cost scalar to the host
     # (block_until_ready alone can return before remote execution
     # completes on tunneled TPU backends)
-    _ = float(np.asarray(ld))
+    _ = float(np.asarray(err))
     t = (time.perf_counter() - t0) / reps
 
     n_obs = problem.num_observations
@@ -118,9 +128,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "pOSE POWER_VARPROJ LM-iteration wall time, "
-                    "venice-89 scale (89 cams, 110973 lms, "
-                    f"{n_obs} obs, m={POWER_M}, f64)"
+                    "pOSE POWER_VARPROJ full LM-iteration wall time "
+                    "incl. f64 cost evaluation, venice-89 scale "
+                    f"(89 cams, 110973 lms, {n_obs} obs, m={POWER_M}, "
+                    "f64)"
                 ),
                 "value": t,
                 "unit": "s/iteration",

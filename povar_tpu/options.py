@@ -145,10 +145,14 @@ class SolverOptions:
     # fused device programs at the reference's timing boundaries
     # (jacobian eval / scaling / Hll / prepare / solve / back-sub /
     # camera update, solver_summary.hpp:186-212) and sync between
-    # stages so the iteration log carries real stage wall times. Costs
-    # a few extra dispatches per iteration; disable for maximum
-    # throughput (timings then cover the fused calls only).
-    detailed_timing: bool = True
+    # stages so the iteration log carries real stage wall times. Unlike
+    # the reference's nanosecond timing macros (linearizor_base.cpp:
+    # 42-44), staging costs real dispatches + a device sync per stage
+    # (~10 extra syncs/iteration — larger than a whole venice-89
+    # iteration on tunneled backends), so the default is the fused
+    # maximum-throughput path; experiments that want the per-stage
+    # schema opt in (tools/experiments sets it, or --detailed-timing).
+    detailed_timing: bool = False
 
     def use_projection_validity_check(self) -> bool:
         """solver_options.cpp:41-52: false iff optimized_cost == ERROR."""

@@ -82,14 +82,15 @@ def test_summaries_have_iteration_records():
 
 
 def test_staged_timing_fields_populated():
-    """With detailed_timing (default), every per-iteration stage timing
-    the reference fills (solver_summary.hpp:186-212) must be non-zero
-    in the summaries — no reference-shaped-but-empty fields
+    """With detailed_timing, every per-iteration stage timing the
+    reference fills (solver_summary.hpp:186-212) must be non-zero in
+    the summaries — no reference-shaped-but-empty fields
     (VERDICT r1 weak #6)."""
     problem, _ = synthetic_bal_problem(
         n_cams=6, n_lms=40, obs_per_lm=4, seed=25
     )
     opts = SolverOptions()
+    opts.detailed_timing = True
     opts.max_num_iterations_step_1 = 4
     opts.max_num_iterations_step_2 = 4
     _, s1, s2 = bundle_adjust(problem, opts, log=lambda s: None)
