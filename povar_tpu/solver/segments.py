@@ -27,7 +27,7 @@ Sums are exact per-segment reductions (no prefix-difference roundoff).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -227,20 +227,26 @@ def build_slot_plan(obs_lm: np.ndarray, num_landmarks: int, pad_to: int = 1):
     return perm, pad_weight, tuple(shapes), lm_order, inv_pos
 
 
-def slot_segment_sum(
-    x: jnp.ndarray, shapes, inv_pos: jnp.ndarray
-) -> jnp.ndarray:
-    """Per-landmark sum for slot-ordered x [..., O_pad] -> [..., M]
-    (canonical landmark order). Buckets are slot-element-major, so the
-    sum keeps the big landmark axis on the vector lanes."""
+def slot_part_sums(x: jnp.ndarray, shapes) -> jnp.ndarray:
+    """Per-slot-row sums for slot-ordered x [..., O_pad] ->
+    [..., n_slot_rows]. Buckets are slot-element-major, so the sum
+    keeps the big row axis on the vector lanes."""
     parts = []
     ofs = 0
     for g, w in shapes:
         blk = x[..., ofs : ofs + g * w]
         parts.append(blk.reshape(x.shape[:-1] + (w, g)).sum(axis=-2))
         ofs += g * w
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-    return jnp.take(out, inv_pos, axis=-1)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def slot_segment_sum(
+    x: jnp.ndarray, shapes, inv_pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-landmark sum for slot-ordered x [..., O_pad] -> [..., M]
+    (canonical landmark order; requires rows unique per landmark —
+    duplicated overflow rows go through the combine reduce instead)."""
+    return jnp.take(slot_part_sums(x, shapes), inv_pos, axis=-1)
 
 
 def slot_expand(
@@ -282,6 +288,23 @@ def slot_expand(
 
 WINDOW_W = 512  # largest supported window (VMEM bound on the one-hot)
 WINDOW_CHOICES = (128, 256, 512)
+# auto width: the smallest window is chosen whose span-overflow
+# landmarks cover at most this fraction of the observations (overflow
+# costs extra slot rows + combine gathers, the window width costs
+# one-hot FLOPs per observation)
+OVERFLOW_OBS_BUDGET = 0.02
+
+
+def _lm_spans(obs_cam, obs_lm, num_landmarks):
+    """Per-landmark (lo, hi) camera index range; unobserved -> (0, 0)."""
+    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.full(num_landmarks, -1, dtype=np.int64)
+    np.minimum.at(lo, obs_lm, obs_cam)
+    np.maximum.at(hi, obs_lm, obs_cam)
+    seen = hi >= 0
+    lo[~seen] = 0
+    hi[~seen] = 0
+    return lo, hi
 
 
 def camera_span_stats(
@@ -290,38 +313,120 @@ def camera_span_stats(
     """Per-landmark camera-index span statistics (span = hi - lo + 1).
     Returns (max_span, num_over_largest_window) — the inputs to both
     the window-width choice and the fallback diagnostics."""
+    lo, hi = _lm_spans(
+        np.asarray(obs_cam), np.asarray(obs_lm), num_landmarks
+    )
+    spans = hi - lo + 1
+    return int(spans.max()), int(np.sum(spans > WINDOW_W))
+
+
+def rcm_camera_order(
+    obs_cam: np.ndarray,
+    obs_lm: np.ndarray,
+    num_cameras: int,
+    lm_skip: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Bandwidth-minimizing camera ordering by reverse Cuthill-McKee
+    over the camera co-observation graph, the TPU-planning analogue of
+    the reference's camera-camera adjacency (bal_problem.cpp:268-303).
+
+    Returns pos [N]: pos[c] = rank of camera c in the new order. The
+    graph uses chain+star edges per landmark (first camera to every
+    other, plus consecutive pairs) — O(sum obs) edges that bound each
+    landmark's span by ~2x the graph bandwidth, vs O(sum obs^2) for
+    the full clique. `lm_skip` [M] bool excludes landmarks from the
+    graph (incompressible loop closures, which would otherwise drag
+    every local span wider)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    obs_cam = np.asarray(obs_cam, dtype=np.int64)
+    obs_lm = np.asarray(obs_lm)
+    if lm_skip is not None:
+        keep = ~lm_skip[obs_lm]
+        obs_cam = obs_cam[keep]
+        obs_lm = obs_lm[keep]
+    order = np.argsort(obs_lm, kind="stable")
+    cam_s = obs_cam[order]
+    lm_s = obs_lm[order]
+    same = lm_s[1:] == lm_s[:-1]
+    # chain edges: consecutive cameras of the same landmark
+    rows = cam_s[:-1][same]
+    cols = cam_s[1:][same]
+    # star edges: landmark's first camera to each later one
+    first_pos = np.searchsorted(lm_s, lm_s)  # first index of each lm
+    rows2 = cam_s[first_pos]
+    rows = np.concatenate([rows, rows2])
+    cols = np.concatenate([cols, cam_s])
+    data = np.ones(len(rows), dtype=np.int8)
+    g = coo_matrix(
+        (data, (rows, cols)), shape=(num_cameras, num_cameras)
+    ).tocsr()
+    perm = reverse_cuthill_mckee(g + g.T, symmetric_mode=True)
+    pos = np.empty(num_cameras, dtype=np.int64)
+    pos[perm] = np.arange(num_cameras, dtype=np.int64)
+    return pos
+
+
+def plan_camera_order(
+    obs_cam: np.ndarray, obs_lm: np.ndarray, num_cameras: int,
+    num_landmarks: int,
+) -> Optional[np.ndarray]:
+    """Choose the camera ordering the window planner works in: the
+    best of {identity, RCM, RCM without heavy outlier landmarks} by
+    (window width, span-overflow observation count) — the two terms of
+    the windowed kernels' cost model (one-hot FLOPs per obs are O(W);
+    overflow rows cost extra lanes + the combine reduce). Returns pos
+    [N] or None for identity.
+
+    Heavy landmarks (obs count >> median) act like loop closures:
+    including their star edges drags every local span wider, so a
+    candidate ordering excludes them and lets them ride the overflow
+    partition instead."""
     obs_cam = np.asarray(obs_cam)
     obs_lm = np.asarray(obs_lm)
-    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
-    hi = np.full(num_landmarks, -1, dtype=np.int64)
-    np.minimum.at(lo, obs_lm, obs_cam)
-    np.maximum.at(hi, obs_lm, obs_cam)
-    seen = hi >= 0
-    if not seen.any():
-        return 1, 0
-    spans = hi[seen] - lo[seen] + 1
-    return int(spans.max()), int(np.sum(spans > WINDOW_W))
+
+    def score(cam):
+        w = choose_window_width(cam, obs_lm, num_landmarks)
+        lo, hi = _lm_spans(cam, obs_lm, num_landmarks)
+        ovf = int(np.sum((hi - lo + 1)[obs_lm] > w))
+        return (w, ovf)
+
+    cands = [(score(obs_cam), None)]
+    pos1 = rcm_camera_order(obs_cam, obs_lm, num_cameras)
+    cands.append((score(pos1[obs_cam]), pos1))
+    counts = np.bincount(obs_lm, minlength=num_landmarks)
+    med = max(float(np.median(counts[counts > 0])), 1.0)
+    heavy = counts > max(4.0 * med, 16.0)
+    if heavy.any() and not heavy.all():
+        pos2 = rcm_camera_order(
+            obs_cam, obs_lm, num_cameras, lm_skip=heavy
+        )
+        cands.append((score(pos2[obs_cam]), pos2))
+    return min(cands, key=lambda c: c[0])[1]
 
 
 def choose_window_width(
     obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
-):
-    """Smallest supported window width covering every landmark's camera
-    span (the one-hot gather/scatter cost per observation is O(W), so
-    tighter camera locality directly buys kernel speed), or None when
-    even the largest window cannot."""
+) -> int:
+    """Smallest supported window width whose span-overflow landmarks
+    (routed through grid-window sub-rows, see build_window_plan) cover
+    at most OVERFLOW_OBS_BUDGET of the observations. The one-hot
+    gather/scatter cost per observation is O(W), so tighter camera
+    locality directly buys kernel speed; a handful of wide-span
+    loop-closure landmarks no longer force the widest window."""
     obs_cam = np.asarray(obs_cam)
     obs_lm = np.asarray(obs_lm)
-    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
-    hi = np.full(num_landmarks, -1, dtype=np.int64)
-    np.minimum.at(lo, obs_lm, obs_cam)
-    np.maximum.at(hi, obs_lm, obs_cam)
-    seen = hi >= 0
-    max_span = int((hi[seen] - lo[seen]).max()) + 1 if seen.any() else 1
+    lo, hi = _lm_spans(obs_cam, obs_lm, num_landmarks)
+    span_per_obs = (hi - lo + 1)[obs_lm]
+    o = max(len(obs_cam), 1)
+    # landmarks that overflow even the widest window overflow at ANY
+    # width — they must not drive the choice for everyone else
+    base = span_per_obs > WINDOW_CHOICES[-1]
     for w in WINDOW_CHOICES:
-        if max_span <= w:
+        if np.sum((span_per_obs > w) & ~base) <= OVERFLOW_OBS_BUDGET * o:
             return w
-    return None
+    return WINDOW_CHOICES[-1]
 
 
 def build_window_plan(
@@ -330,53 +435,116 @@ def build_window_plan(
     num_landmarks: int,
     width: int = WINDOW_W,
 ):
-    """Greedy window packing of landmarks by camera span.
+    """Window packing of landmark slot ROWS by camera span.
 
-    Returns (lm_window [M] i32, win_start [n_win] i32) or None when any
-    landmark's camera span exceeds `width` (caller falls back to the
-    non-windowed paths)."""
-    obs_cam = np.asarray(obs_cam)
-    obs_lm = np.asarray(obs_lm)
-    lo = np.full(num_landmarks, np.iinfo(np.int64).max, dtype=np.int64)
-    hi = np.full(num_landmarks, -1, dtype=np.int64)
-    np.minimum.at(lo, obs_lm, obs_cam)
-    np.maximum.at(hi, obs_lm, obs_cam)
-    seen = hi >= 0
-    lo[~seen] = 0
-    hi[~seen] = 0
-    if np.any(hi - lo >= width):
-        return None
+    Landmarks whose camera span fits `width` pack greedily (sorted by
+    their lowest camera) into windows with arbitrary starts, one row
+    per landmark — the round-2 scheme. Landmarks whose span exceeds
+    `width` (loop closures etc.) no longer make the plan infeasible:
+    their observations are partitioned by camera into a fixed GRID of
+    width-`width` cells, producing one sub-landmark row per occupied
+    (landmark, cell); the per-landmark sums are then re-combined across
+    rows by the caller (slot plan `combine`), mirroring how duplicated
+    cameras across windows are combined on the camera side. This
+    replaces the reference's arbitrary-incidence landmark blocks
+    (sc/landmark_block.hpp:58-133) with no feasibility cliff.
+
+    Returns (obs_row [O] i64 slot-row id per observation,
+    row_window [R] i32, row_lm [R] i64 canonical landmark per row,
+    win_start [n_win] i64)."""
+    obs_cam = np.asarray(obs_cam, dtype=np.int64)
+    obs_lm = np.asarray(obs_lm, dtype=np.int64)
+    lo, hi = _lm_spans(obs_cam, obs_lm, num_landmarks)
+    normal = (hi - lo) < width
+
+    # greedy packing of normal landmarks (one row per landmark)
     order = np.argsort(lo, kind="stable")
-    lm_window = np.zeros(num_landmarks, dtype=np.int32)
+    order = order[normal[order]]
+    row_of_lm = np.full(num_landmarks, -1, dtype=np.int64)
+    row_window = []
+    row_lm = []
     starts = []
     cur_start = None
     for m in order:
         if cur_start is None or hi[m] >= cur_start + width:
             cur_start = int(lo[m])
             starts.append(cur_start)
-        lm_window[m] = len(starts) - 1
-    return lm_window, np.asarray(starts, dtype=np.int64)
+        row_of_lm[m] = len(row_lm)
+        row_window.append(len(starts) - 1)
+        row_lm.append(m)
+
+    obs_row = row_of_lm[obs_lm]
+    if not normal.all():
+        # overflow rows: grid cells of stride `width`
+        ovf = ~normal[obs_lm]
+        cell = obs_cam[ovf] // width
+        key = obs_lm[ovf] * (int(obs_cam.max()) // width + 2) + cell
+        uniq, inv = np.unique(key, return_inverse=True)
+        base = len(row_lm)
+        obs_row[np.nonzero(ovf)[0]] = base + inv
+        # window per occupied cell (dedup grid starts)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.nonzero(ovf)[0][::-1]  # first obs per row
+        cell_of_row = obs_cam[first] // width
+        grid_cells, grid_inv = np.unique(cell_of_row, return_inverse=True)
+        gbase = len(starts)
+        starts.extend((grid_cells * width).tolist())
+        row_window.extend((gbase + grid_inv).tolist())
+        row_lm.extend(obs_lm[first].tolist())
+
+    return (
+        obs_row,
+        np.asarray(row_window, dtype=np.int32),
+        np.asarray(row_lm, dtype=np.int64),
+        np.asarray(starts, dtype=np.int64),
+    )
+
+
+class WindowedSlotPlan(NamedTuple):
+    """Static host-side output of build_slot_plan_windowed.
+
+    perm [O_pad]: original obs position per lane (pads repeat one);
+    pad_weight [O_pad] 0/1; shapes: (rows, width) per part;
+    lm_order [n_slot_rows]: canonical landmark id per slot row (pads
+    point at landmark 0 but carry zero weight); lm_inv [M]: slot-row
+    position of each landmark's PRIMARY row (valid only when rows are
+    unique per landmark); block_window [n_blocks]: window of each
+    aligned `pad_to` lane block; row_lm_ext [n_slot_rows]: landmark id
+    with pads mapped to M (feeds the duplicate-row combine reduce);
+    has_duplicates: whether any landmark owns several rows (overflow
+    sub-landmarks), requiring the combine path in _seg_lm."""
+
+    perm: np.ndarray
+    pad_weight: np.ndarray
+    shapes: tuple
+    lm_order: np.ndarray
+    lm_inv: np.ndarray
+    block_window: np.ndarray
+    row_lm_ext: np.ndarray
+    has_duplicates: bool
 
 
 def build_slot_plan_windowed(
-    obs_lm: np.ndarray,
+    obs_row: np.ndarray,
+    row_window: np.ndarray,
+    row_lm: np.ndarray,
     num_landmarks: int,
-    lm_window: np.ndarray,
     n_windows: int,
     pad_to: int,
-):
-    """Window-major slot plan: like build_slot_plan, but parts are laid
-    out per (window, width-bucket) and each window's lane span is padded
-    to a multiple of `pad_to`, so every aligned `pad_to` lane block lies
-    entirely in one window. Returns
-    (perm, pad_weight, shapes, lm_order, inv_pos, block_window) where
-    block_window [n_blocks] i32 gives the window of each aligned block.
-    """
-    obs_lm = np.asarray(obs_lm)
-    order = np.argsort(obs_lm, kind="stable")
-    sorted_ids = obs_lm[order]
-    starts = np.searchsorted(sorted_ids, np.arange(num_landmarks), "left")
-    ends = np.searchsorted(sorted_ids, np.arange(num_landmarks), "right")
+) -> WindowedSlotPlan:
+    """Window-major slot plan over landmark ROWS (build_window_plan):
+    like build_slot_plan, but parts are laid out per (window,
+    width-bucket) and each window's lane span is padded to a multiple
+    of `pad_to`, so every aligned `pad_to` lane block lies entirely in
+    one window. A landmark may own several rows (span-overflow
+    sub-landmarks) — their per-row sums are re-combined by the caller
+    through `row_lm_ext`."""
+    obs_row = np.asarray(obs_row)
+    n_rows = len(row_lm)
+    order = np.argsort(obs_row, kind="stable")
+    sorted_ids = obs_row[order]
+    starts = np.searchsorted(sorted_ids, np.arange(n_rows), "left")
+    ends = np.searchsorted(sorted_ids, np.arange(n_rows), "right")
     counts = ends - starts
 
     def width(c):
@@ -389,50 +557,62 @@ def build_slot_plan_windowed(
     weight_parts = []
     shapes = []
     lm_order_parts = []
+    real_parts = []  # mirrors lm_order_parts: True for real rows
     block_window = []
-    pad_parts = set()
     for win in range(n_windows):
-        in_win = lm_window == win
+        in_win = row_window == win
         win_lanes = 0
         for w in np.unique(widths[in_win]):
-            lms = np.nonzero(in_win & (widths == w))[0]
-            g = len(lms)
+            rows = np.nonzero(in_win & (widths == w))[0]
+            g = len(rows)
             blk_idx = np.zeros((g, w), dtype=np.int64)
             blk_w = np.zeros((g, w), dtype=np.float64)
-            for row, m in enumerate(lms):
-                c = counts[m]
-                pos = order[starts[m] : ends[m]]
-                blk_idx[row, :c] = pos
-                blk_idx[row, c:] = pos[0] if c > 0 else 0
-                blk_w[row, :c] = 1.0
+            for i, rr in enumerate(rows):
+                c = counts[rr]
+                pos = order[starts[rr] : ends[rr]]
+                blk_idx[i, :c] = pos
+                blk_idx[i, c:] = pos[0] if c > 0 else 0
+                blk_w[i, :c] = 1.0
+            # slot-element-major: lane = k * G + g (see module comment)
             perm_parts.append(blk_idx.T.reshape(-1))
             weight_parts.append(blk_w.T.reshape(-1))
             shapes.append((g, int(w)))
-            lm_order_parts.append(lms)
+            lm_order_parts.append(row_lm[rows])
+            real_parts.append(np.ones(g, dtype=bool))
             win_lanes += g * int(w)
         if win_lanes % pad_to:
             tail = pad_to - win_lanes % pad_to
             perm_parts.append(np.zeros(tail, np.int64))
             weight_parts.append(np.zeros(tail))
-            pad_parts.add(len(shapes))
             shapes.append((1, int(tail)))
             lm_order_parts.append(np.zeros(1, np.int64))
+            real_parts.append(np.zeros(1, dtype=bool))
             win_lanes += tail
         block_window += [win] * (win_lanes // pad_to)
     perm = np.concatenate(perm_parts)
     pad_weight = np.concatenate(weight_parts)
     lm_order = np.concatenate(lm_order_parts).astype(np.int32)
-    inv_pos = np.empty(num_landmarks, dtype=np.int32)
-    # per-window pad tails add fake slot rows pointing at landmark 0;
-    # they must not claim inv_pos[0], so only real rows assign
+    is_real = np.concatenate(real_parts)
     pos = np.arange(len(lm_order), dtype=np.int32)
-    is_real = np.ones(len(lm_order), dtype=bool)
-    row = 0
-    for i, (g, w) in enumerate(shapes):
-        if i in pad_parts:
-            is_real[row : row + g] = False
-        row += g
-    inv_pos[lm_order[is_real]] = pos[is_real]
-    return perm, pad_weight, tuple(shapes), lm_order, inv_pos, np.asarray(
-        block_window, dtype=np.int32
+    # pad slot rows point at landmark 0 with zero weight; they must not
+    # claim lm_inv[0], so only real rows assign. With duplicate rows
+    # the FIRST row in slot order wins (combine path ignores lm_inv).
+    inv_pos = np.zeros(num_landmarks, dtype=np.int32)
+    real_rows = pos[is_real][::-1]
+    inv_pos[lm_order[real_rows]] = real_rows
+    row_lm_ext = np.where(
+        is_real, lm_order.astype(np.int64), num_landmarks
+    )
+    has_dup = len(lm_order[is_real]) != len(
+        np.unique(lm_order[is_real])
+    )
+    return WindowedSlotPlan(
+        perm=perm,
+        pad_weight=pad_weight,
+        shapes=tuple(shapes),
+        lm_order=lm_order,
+        lm_inv=inv_pos,
+        block_window=np.asarray(block_window, dtype=np.int32),
+        row_lm_ext=row_lm_ext,
+        has_duplicates=bool(has_dup),
     )

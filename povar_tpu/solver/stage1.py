@@ -50,6 +50,7 @@ from povar_tpu.solver.segments import (
     onehot_segment_sum,
     padded_segment_sum,
     slot_expand,
+    slot_part_sums,
     slot_segment_sum,
 )
 
@@ -109,7 +110,7 @@ class Obs(NamedTuple):
     lm: jnp.ndarray
     uv: jnp.ndarray
     weight: Optional[jnp.ndarray]
-    cam_red: PaddedReduce
+    cam_red: Optional[PaddedReduce]
     cam_onehot: Optional[jnp.ndarray]
     lm_order: jnp.ndarray
     lm_inv: jnp.ndarray
@@ -120,6 +121,10 @@ class Obs(NamedTuple):
     win_kmap: Optional[jnp.ndarray] = None
     win_gather: Optional[jnp.ndarray] = None
     win_scatter: Optional[jnp.ndarray] = None
+    # slot-row -> landmark combine reduce, present only when span-
+    # overflow sub-landmark rows exist (segments.build_window_plan):
+    # per-landmark sums are then bucketed-gather-summed across rows
+    lm_combine: Optional[PaddedReduce] = None
 
 
 class Lin1(NamedTuple):
@@ -165,21 +170,27 @@ def make_obs(
     solve_dtype=None, build_onehot=True, window_w=0,
 ):
     """Build the slot-ordered Obs pytree. Returns
-    (obs, lm_slot_shapes, n_windows); the shapes and window count are
-    static Python ints kept on the solver (outside the pytree).
+    (obs, lm_slot_shapes, n_windows, window_w); the shapes and window
+    count are static Python ints kept on the solver (outside the
+    pytree).
 
-    `window_w != 0` attempts the camera-window layout for the large-N
+    `window_w != 0` builds the camera-window layout for the large-N
     structured path (segments.build_window_plan); -1 picks the
-    tightest supported width for the data (choose_window_width). When
-    every landmark's camera span fits a window, the slot plan is laid
-    out window-major and the Obs carries window-local camera ids +
-    index maps; n_windows = 0 signals the plan was infeasible (plain
-    layout). Returns (obs, shapes, n_windows, window_w)."""
+    tightest width whose span-overflow stays within budget
+    (choose_window_width). Cameras are first reordered by reverse
+    Cuthill-McKee in PLANNING space when that tightens the spans (the
+    canonical camera axis — state, accumulators, tables — is
+    untouched; only the window maps see the permutation). Landmarks
+    whose span still exceeds the window split into per-grid-cell
+    sub-rows recombined by Obs.lm_combine, so the plan is always
+    feasible."""
     import numpy as np
 
     from povar_tpu.solver.segments import (
         build_slot_plan_windowed,
         build_window_plan,
+        choose_window_width,
+        plan_camera_order,
     )
 
     obs_cam_np = np.asarray(obs_cam)
@@ -188,31 +199,40 @@ def make_obs(
     if obs_uv_np.ndim == 2 and obs_uv_np.shape[-1] == 2:
         obs_uv_np = obs_uv_np.T  # accept [O, 2] input, use [2, O]
 
-    win_plan = None
+    n_win = 0
     if window_w:
-        if window_w < 0:  # auto: tightest supported width
-            from povar_tpu.solver.segments import choose_window_width
-
+        # RCM camera reordering for planning (bandwidth minimization
+        # over the co-observation graph, the analogue of the
+        # reference's camera adjacency at bal_problem.cpp:268-303);
+        # kept only when it beats the identity ordering on the
+        # (window width, overflow) cost model
+        pos = plan_camera_order(
+            obs_cam_np, obs_lm_np, num_cameras, num_landmarks
+        )
+        if pos is None:
+            cam_plan = obs_cam_np.astype(np.int64)
+            plan_to_orig = None  # identity
+        else:
+            cam_plan = pos[obs_cam_np]
+            plan_to_orig = np.empty(num_cameras, dtype=np.int64)
+            plan_to_orig[pos] = np.arange(num_cameras, dtype=np.int64)
+        if window_w < 0:  # auto: tightest width within overflow budget
             window_w = choose_window_width(
-                obs_cam_np, obs_lm_np, num_landmarks
-            ) or 0
-        if window_w:
-            win_plan = build_window_plan(
-                obs_cam_np, obs_lm_np, num_landmarks, width=window_w
+                cam_plan, obs_lm_np, num_landmarks
             )
-    if win_plan is not None:
-        lm_window, win_start = win_plan
+        obs_row, row_window, row_lm, win_start = build_window_plan(
+            cam_plan, obs_lm_np, num_landmarks, width=window_w
+        )
         n_win = len(win_start)
         from povar_tpu.ops.pallas_pose import PART_ALIGN
 
-        perm, pad_w, shapes, lm_order, inv_pos, blk_win = (
-            build_slot_plan_windowed(
-                obs_lm_np, num_landmarks, lm_window, n_win,
-                pad_to=PART_ALIGN,
-            )
+        sp = build_slot_plan_windowed(
+            obs_row, row_window, row_lm, num_landmarks, n_win,
+            pad_to=PART_ALIGN,
         )
+        perm, pad_w, shapes = sp.perm, sp.pad_weight, sp.shapes
+        lm_order, inv_pos = sp.lm_order, sp.lm_inv
     else:
-        n_win = 0
         perm, pad_w, shapes, lm_order, inv_pos = build_slot_plan(
             obs_lm_np, num_landmarks, pad_to=pallas_cam.OBS_PAD
         )
@@ -239,21 +259,30 @@ def make_obs(
 
     win_fields = {}
     if n_win:
-        # window-local camera ids per (slot-ordered) observation
-        lane_start = win_start[lm_window[lm_slot]]
-        cam_local = (cam_slot - lane_start).astype(np.int32)
-        # expanded axis: column w*W + j is camera win_start[w] + j
+        # window-local camera ids per (slot-ordered) observation,
+        # computed in planning space
+        lane_start = win_start[row_window[obs_row]][perm]
+        cam_local = (cam_plan[perm] - lane_start).astype(np.int32)
+        # expanded axis: column w*W + j is PLAN camera win_start[w]+j,
+        # mapped back to the canonical camera id for gather/scatter
         cols = (win_start[:, None] + np.arange(window_w)[None, :])
-        gather = np.clip(cols.reshape(-1), 0, num_cameras - 1)
-        scatter = cols.reshape(-1).copy()
-        scatter[(cols.reshape(-1) < 0)
-                | (cols.reshape(-1) >= num_cameras)] = num_cameras
+        flat = cols.reshape(-1)
+        in_range = (flat >= 0) & (flat < num_cameras)
+        safe = np.clip(flat, 0, num_cameras - 1)
+        if plan_to_orig is not None:
+            safe = plan_to_orig[safe]
+        gather = safe
+        scatter = np.where(in_range, safe, num_cameras)
         win_fields = dict(
             cam_local=jnp.asarray(cam_local),
-            win_kmap=jnp.asarray(blk_win),
+            win_kmap=jnp.asarray(sp.block_window),
             win_gather=jnp.asarray(gather.astype(np.int32)),
             win_scatter=jnp.asarray(scatter.astype(np.int32)),
         )
+        if sp.has_duplicates:
+            win_fields["lm_combine"] = _build_padded_reduce(
+                sp.row_lm_ext, num_landmarks + 1
+            )
 
     obs = Obs(
         cam=jnp.asarray(cam_slot, jnp.int32),
@@ -690,7 +719,14 @@ class Stage1Solver(StagedTiming, CamWindows):
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """[..., O] -> [..., M] per-landmark reduction: reshape+sum over
-        the fixed-width landmark slots."""
+        the fixed-width landmark slots; overflow sub-landmark rows are
+        re-combined by the bucketed lm_combine reduce (segment M is the
+        pad-row bin, dropped)."""
+        if obs.lm_combine is not None:
+            rows = slot_part_sums(x, self.lm_shapes)
+            return padded_segment_sum(rows, obs.lm_combine)[
+                ..., : self.n_lms
+            ]
         return slot_segment_sum(x, self.lm_shapes, obs.lm_inv)
 
     def _gather_lm_x(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:

@@ -45,6 +45,7 @@ from povar_tpu.solver.segments import (
     onehot_segment_sum,
     padded_segment_sum,
     slot_expand,
+    slot_part_sums,
     slot_segment_sum,
 )
 from povar_tpu.solver.stage1 import CamWindows, Obs, _mask_rows, make_obs
@@ -358,6 +359,11 @@ class Stage2Solver(StagedTiming, CamWindows):
         return x[..., obs.cam]
 
     def _seg_lm(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        if obs.lm_combine is not None:  # overflow sub-landmark rows
+            rows = slot_part_sums(x, self.lm_shapes)
+            return padded_segment_sum(rows, obs.lm_combine)[
+                ..., : self.n_lms
+            ]
         return slot_segment_sum(x, self.lm_shapes, obs.lm_inv)
 
     def _gather_lm_x(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:

@@ -10,11 +10,16 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+import jax.numpy as jnp  # noqa: F811 (explicit for helpers below)
+
 from povar_tpu.options import SolverOptions
 from povar_tpu.solver.segments import (
     build_slot_plan_windowed,
     build_window_plan,
+    padded_segment_sum,
+    _build_padded_reduce,
     slot_expand,
+    slot_part_sums,
     slot_segment_sum,
 )
 
@@ -37,48 +42,67 @@ def _local_problem(rng, n_cams, n_lms, spread=30, k=4):
     )
 
 
-def test_window_plan_covers_and_rejects():
+def test_window_plan_covers_and_splits_overflow():
     rng = np.random.default_rng(0)
     obs_lm, obs_cam, _ = _local_problem(rng, 900, 200)
-    plan = build_window_plan(obs_cam, obs_lm, 200, width=128)
-    assert plan is not None
-    lm_win, starts = plan
-    for m in range(200):
-        cams = obs_cam[obs_lm == m]
-        s = starts[lm_win[m]]
-        assert (cams >= s).all() and (cams < s + 128).all()
-    # a landmark spanning more than the width is infeasible
-    obs_lm2 = np.concatenate([obs_lm, [0, 0]])
-    obs_cam2 = np.concatenate([obs_cam, [0, 500]])
-    assert build_window_plan(obs_cam2, obs_lm2, 200, width=128) is None
+    obs_row, row_win, row_lm, starts = build_window_plan(
+        obs_cam, obs_lm, 200, width=128
+    )
+    # normal landmarks: one row each, window covers every camera
+    assert len(row_lm) == 200
+    for o in range(len(obs_lm)):
+        s = starts[row_win[obs_row[o]]]
+        assert s <= obs_cam[o] < s + 128
+        assert row_lm[obs_row[o]] == obs_lm[o]
+    # a landmark spanning more than the width splits into grid-cell
+    # sub-rows instead of making the plan infeasible
+    obs_lm2 = np.concatenate([obs_lm, [0, 0, 0]])
+    obs_cam2 = np.concatenate([obs_cam, [1, 500, 570]])
+    obs_row2, row_win2, row_lm2, starts2 = build_window_plan(
+        obs_cam2, obs_lm2, 200, width=128
+    )
+    rows_of_0 = np.unique(obs_row2[obs_lm2 == 0])
+    assert len(rows_of_0) >= 2  # split across grid cells
+    assert (row_lm2[rows_of_0] == 0).all()
+    for o in range(len(obs_lm2)):
+        s = starts2[row_win2[obs_row2[o]]]
+        assert s <= obs_cam2[o] < s + 128
 
 
 def test_windowed_slot_plan_sums_and_blocks():
     rng = np.random.default_rng(1)
     obs_lm, obs_cam, _ = _local_problem(rng, 900, 150)
-    lm_win, starts = build_window_plan(obs_cam, obs_lm, 150, width=128)
-    pad = 256
-    perm, pw, shapes, lm_order, inv_pos, blk = build_slot_plan_windowed(
-        obs_lm, 150, lm_win, len(starts), pad_to=pad
+    # inject a loop-closure landmark spanning the whole camera range
+    obs_lm = np.concatenate([obs_lm, [149, 149, 149, 149]])
+    obs_cam = np.concatenate([obs_cam, [3, 299, 601, 877]])
+    obs_row, row_win, row_lm, starts = build_window_plan(
+        obs_cam, obs_lm, 150, width=128
     )
+    pad = 256
+    sp = build_slot_plan_windowed(
+        obs_row, row_win, row_lm, 150, len(starts), pad_to=pad
+    )
+    perm, pw, shapes, blk = sp.perm, sp.pad_weight, sp.shapes, sp.block_window
+    assert sp.has_duplicates
     assert len(perm) % pad == 0 and len(blk) == len(perm) // pad
     # every live lane in an aligned block belongs to the block's window
-    lane_win = lm_win[obs_lm[perm]]
+    lane_win = row_win[obs_row[perm]]
     for b in range(len(blk)):
         sl = slice(b * pad, (b + 1) * pad)
         live = pw[sl] > 0
         assert (lane_win[sl][live] == blk[b]).all()
     assert (np.diff(blk) >= 0).all()  # kmap monotone (init-once rule)
-    # slot sum and expansion agree with direct accumulation
+    # combined slot sum agrees with direct accumulation (duplicate
+    # overflow rows re-merge through the lm_combine reduce)
     x = rng.standard_normal(len(obs_lm))
-    s = slot_segment_sum(
-        jnp.asarray((x[perm] * pw)[None]), shapes, jnp.asarray(inv_pos)
-    )
+    rows = slot_part_sums(jnp.asarray((x[perm] * pw)[None]), shapes)
+    combine = _build_padded_reduce(sp.row_lm_ext, 151)
+    s = padded_segment_sum(rows, combine)[..., :150]
     ref = np.zeros(150)
     np.add.at(ref, obs_lm, x)
     np.testing.assert_allclose(np.asarray(s)[0], ref, rtol=1e-12)
     vals = rng.standard_normal(150)
-    e = slot_expand(jnp.asarray(vals[None]), shapes, jnp.asarray(lm_order))
+    e = slot_expand(jnp.asarray(vals[None]), shapes, jnp.asarray(sp.lm_order))
     live = pw > 0
     np.testing.assert_allclose(
         np.asarray(e)[0][live], vals[obs_lm[perm]][live], rtol=1e-12
@@ -181,6 +205,78 @@ def test_windowed_lm_trajectory_matches_plain():
     for (ok_a, c_a), (ok_b, c_b) in zip(traj_plain, traj_win):
         assert ok_a == ok_b
         np.testing.assert_allclose(c_b, c_a, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_windowed_rcm_overflow_solver_matches_plain():
+    """Adversarial structure: camera ids globally SCRAMBLED (windowing
+    must recover locality via RCM reordering) and ~2% loop-closure
+    landmarks spanning the full camera range (must split into grid
+    sub-rows instead of dropping the whole problem to the XLA path).
+    The windowed kernels must still match plain-kernel results."""
+    from povar_tpu.solver.stage1 import Stage1Solver
+
+    rng = np.random.default_rng(11)
+    n_cams, n_lms = 1300, 120
+    obs_lm, obs_cam, obs_uv = _local_problem(rng, n_cams, n_lms)
+    # loop closures: landmarks observing evenly-spaced cameras across
+    # the whole trajectory — incompressible by ANY camera reordering
+    # (the 120-landmark local backbone pins the order, and ~65 cameras
+    # per loop landmark evenly cover it), so these MUST overflow
+    extra_lm, extra_cam, extra_uv = [], [], []
+    n_loop = 6
+    for m in range(n_loop):
+        cams = np.arange(m * 3, n_cams, 20)
+        for c in cams:
+            extra_lm.append(n_lms + m)
+            extra_cam.append(c)
+            extra_uv.append(rng.standard_normal(2) * 0.3)
+    obs_lm = np.concatenate([obs_lm, extra_lm])
+    obs_cam = np.concatenate([obs_cam, extra_cam])
+    obs_uv = np.concatenate([obs_uv, np.asarray(extra_uv)])
+    n_lms += n_loop
+    # scramble camera ids (destroys index locality, not structure)
+    scramble = rng.permutation(n_cams)
+    obs_cam = scramble[obs_cam]
+    cam_space = rng.standard_normal((n_cams, 3, 4))
+    cam_space[:, 2, :] = [0, 0, 0, 1.0]
+
+    opts = SolverOptions()
+    opts.pallas_kernels = "on"
+    opts.power_sc_iterations = 3
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    s = Stage1Solver(obs_cam, obs_lm, obs_uv, n_cams, n_lms, opts)
+    assert s.n_win > 0
+    # RCM must recover the hidden locality: a tight width, not 512
+    assert s.win_w in (128, 256)
+    # the loop closures must ride the overflow combine
+    assert s.obs.lm_combine is not None
+    cams = jnp.asarray(cam_space)
+
+    def run():
+        lms = s.initialize_varproj(cams)
+        lin = s.linearize(cams, lms)
+        lam = jnp.asarray(1e-3, s.dtype)
+        inc, _ = s.solve_power(lin, lam)
+        nc, nl, ld = s.apply(cams, lms, lin, inc)
+        err = s.compute_error(nc, nl)
+        return dict(
+            lms=np.asarray(lms), inc=np.asarray(inc),
+            nl=np.asarray(nl), ld=float(ld),
+            err=float(err["error_all"]),
+        )
+
+    win_out = run()
+    s.n_win = 0
+    plain_out = run()
+    for k in win_out:
+        a, b = plain_out[k], win_out[k]
+        if isinstance(a, float):
+            assert abs(a - b) <= 1e-6 * max(abs(a), 1e-12), (k, a, b)
+        else:
+            d = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+            assert d < 1e-6, (k, d)
 
 
 @pytest.mark.slow
