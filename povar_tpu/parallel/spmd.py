@@ -1,0 +1,754 @@
+"""Multi-chip windowed execution: shard_map over whole camera windows.
+
+The round-2 sharded path (parallel/mesh.py) ran the slow XLA lowering
+under GSPMD — correct, but the windowed Pallas kernels (the reason one
+chip sustains ~16 Mobs/s) could not run sharded, so n chips lost to 1.
+This module makes the windowed kernels themselves multi-chip:
+
+  * Each device owns WHOLE camera windows. Its landmarks and
+    observations are contiguous in the window-major slot order, so
+    every landmark-side reduction stays device-local; only the small
+    per-camera accumulators ([12,N] / [12,12,N]) all-reduce over ICI —
+    exactly the communication pattern of the reference's mutex-guarded
+    per-camera scatter (sc/landmark_block.hpp:383-410,
+    linearization_power_varproj.hpp:364-453) mapped to a mesh
+    (SURVEY.md §2.7/§5).
+
+  * shard_map's single-program rule requires identical shapes on every
+    device. The plan therefore UNIFORMIZES the per-device structure:
+    every window of a class carries the same width-bucket profile
+    (rows padded with zero-weight fakes), every device the same number
+    of windows per class (fake windows), the same landmark count
+    (fake landmarks, masked out of per-landmark solves), and the same
+    row->landmark combine-reduce bucket shapes. The static Python
+    structure seen by the traced program is then device-independent,
+    while all per-device content (window maps, camera ids, indices)
+    flows as sharded array data.
+
+  * Because every class-c window shares one profile, the per-landmark
+    slot reduction vectorizes across windows: one reshape+sum per
+    (class, width) part covers all windows of the class
+    (spmd_part_sums) instead of a Python loop per window.
+
+Layout of the global (host-built) arrays: device-major concatenation —
+device d's observations are lanes [d*O_dev, (d+1)*O_dev), its landmarks
+ids [d*M_dev, (d+1)*M_dev). shard_map in_specs P('obs') then hand each
+device exactly its chunk. The canonical<->padded landmark permutation
+is exposed for the LM driver boundary.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from povar_tpu.solver.segments import (
+    SLOT_EXACT_MAX,
+    build_window_plan,
+    choose_window_width,
+    plan_camera_order,
+)
+
+
+def _width(c: int) -> int:
+    if c <= SLOT_EXACT_MAX:
+        return int(c) if c > 0 else 1
+    return 1 << int(np.ceil(np.log2(c)))
+
+
+class ClassLayout(NamedTuple):
+    """Static per-device layout of one window class: n_windows windows,
+    each with `parts` = ((cap, w), ...) rows and win_lanes total lanes
+    (profile lanes + tail pad to the block alignment)."""
+
+    n_windows: int
+    parts: Tuple[Tuple[int, int], ...]
+    win_lanes: int
+
+
+class SpmdPlan(NamedTuple):
+    """Host-built sharded windowed plan (all numpy; device-major)."""
+
+    n_dev: int
+    width: int
+    layout: Tuple[ClassLayout, ...]  # static; identical per device
+    n_win_dev: int  # total windows per device (sum of class counts)
+    o_dev: int  # obs lanes per device
+    m_dev: int  # landmark slots per device
+    n_rows_dev: int  # slot rows per device
+    # per-lane arrays [D * o_dev]
+    perm: np.ndarray  # original obs index per lane (pads repeat 0)
+    pad_weight: np.ndarray  # 0/1
+    cam: np.ndarray  # original camera id per lane
+    cam_local: np.ndarray  # window-local camera id
+    lm_local: np.ndarray  # device-local landmark id per lane
+    # per-block [D * n_blocks_dev]: device-local window index
+    kmap: np.ndarray
+    # per-window-column arrays [D * n_win_dev * width]
+    win_gather: np.ndarray  # original camera id (clipped)
+    win_scatter: np.ndarray  # original camera id or N (dropped)
+    # per-slot-row arrays [D * n_rows_dev]
+    lm_order: np.ndarray  # device-local landmark id (pads -> 0)
+    row_lm_ext: np.ndarray  # device-local lm id, pads -> m_dev
+    # per-landmark-slot arrays [D * m_dev]
+    lm_mask: np.ndarray  # 1 real / 0 fake
+    # canonical landmark id -> global padded position [n_lms]
+    lm_perm: np.ndarray
+    # diagnostics
+    lane_utilization: float  # real obs lanes / total lanes
+
+
+def _assign_overflow(ovf_lms, ovf_obs_counts, n_dev):
+    """Balance overflow landmarks over devices by observation count
+    (largest first)."""
+    loads = np.zeros(n_dev)
+    assign = {}
+    order = np.argsort(-ovf_obs_counts)
+    for i in order:
+        d = int(np.argmin(loads))
+        assign[int(ovf_lms[i])] = d
+        loads[d] += ovf_obs_counts[i]
+    return assign
+
+
+def build_spmd_plan(
+    obs_cam: np.ndarray,
+    obs_lm: np.ndarray,
+    num_cameras: int,
+    num_landmarks: int,
+    n_dev: int,
+    block_align: int,
+) -> SpmdPlan:
+    """Build the uniformized sharded windowed plan.
+
+    Steps: choose the planning camera order and window width exactly
+    like the single-chip path; build the row-based window plan; assign
+    whole normal windows to devices contiguously and overflow
+    landmarks by load; then uniformize (pad) every static dimension so
+    shard_map sees one program."""
+    obs_cam = np.asarray(obs_cam, dtype=np.int64)
+    obs_lm = np.asarray(obs_lm, dtype=np.int64)
+    o_real = len(obs_cam)
+
+    pos = plan_camera_order(obs_cam, obs_lm, num_cameras, num_landmarks)
+    if pos is None:
+        cam_plan = obs_cam
+        plan_to_orig = None
+    else:
+        cam_plan = pos[obs_cam]
+        plan_to_orig = np.empty(num_cameras, dtype=np.int64)
+        plan_to_orig[pos] = np.arange(num_cameras, dtype=np.int64)
+    width = choose_window_width(cam_plan, obs_lm, num_landmarks)
+    obs_row, row_window, row_lm, win_start = build_window_plan(
+        cam_plan, obs_lm, num_landmarks, width=width
+    )
+    n_rows = len(row_lm)
+    row_counts = np.bincount(obs_row, minlength=n_rows)
+    row_width = np.array([_width(c) for c in row_counts], dtype=np.int64)
+
+    # overflow landmarks own >1 row (a span > width always crosses >= 2
+    # width-aligned grid cells); normal landmarks exactly 1
+    lm_nrows = np.bincount(row_lm, minlength=num_landmarks)
+    is_ovf_lm = lm_nrows > 1
+    row_is_grid = is_ovf_lm[row_lm]
+    n_norm_win = (
+        int(row_window[~row_is_grid].max()) + 1
+        if (~row_is_grid).any()
+        else 0
+    )
+
+    # ---- device assignment -------------------------------------------
+    # normal windows: contiguous ranges balanced by lane count
+    win_lanes_est = np.zeros(n_norm_win + 1, dtype=np.int64)
+    np.add.at(
+        win_lanes_est,
+        np.where(row_is_grid, n_norm_win, row_window),
+        row_width,
+    )
+    cum = np.cumsum(win_lanes_est[:n_norm_win])
+    total = int(cum[-1]) if n_norm_win else 0
+    win_dev = np.zeros(n_norm_win, dtype=np.int64)
+    if n_norm_win:
+        # split points at equal lane quantiles
+        targets = total * (np.arange(1, n_dev) + 0.0) / n_dev
+        splits = np.searchsorted(cum, targets)
+        win_dev = np.searchsorted(splits, np.arange(n_norm_win), "right")
+    lm_dev = np.full(num_landmarks, -1, dtype=np.int64)
+    norm_rows = ~row_is_grid
+    lm_dev[row_lm[norm_rows]] = win_dev[row_window[norm_rows]]
+    ovf_lms = np.nonzero(is_ovf_lm)[0]
+    if len(ovf_lms):
+        ovf_counts = np.array(
+            [np.sum(row_counts[row_lm == m]) for m in ovf_lms]
+        )
+        assign = _assign_overflow(ovf_lms, ovf_counts, n_dev)
+        for m, d in assign.items():
+            lm_dev[m] = d
+    row_dev = lm_dev[row_lm]
+
+    # ---- per-class uniform profiles ----------------------------------
+    # class 0: normal windows. cap_w = max rows of width w over all
+    # (device, window) pairs. class 1: grid windows (per-device cells
+    # of each device's overflow landmarks).
+    WIDTHS = np.unique(row_width)
+
+    def window_caps(rows_mask, win_key):
+        """dict width -> max row count over windows (win_key groups
+        rows into windows; any hashable-by-int key array)."""
+        caps = {}
+        if not rows_mask.any():
+            return caps
+        key = win_key[rows_mask] * 1024 + np.searchsorted(
+            WIDTHS, row_width[rows_mask]
+        )
+        uniq, cnt = np.unique(key, return_counts=True)
+        for k, c in zip(uniq, cnt):
+            w = int(WIDTHS[int(k % 1024)])
+            caps[w] = max(caps.get(w, 0), int(c))
+        return caps
+
+    caps0 = window_caps(norm_rows, row_window.astype(np.int64))
+
+    # grid rows: local grid window = (device, cell). cell id from the
+    # window's start (grid windows start at multiples of width)
+    grid_rows = np.nonzero(row_is_grid)[0]
+    caps1 = {}
+    n_grid_dev = 0
+    if len(grid_rows):
+        grid_cell = win_start[row_window[grid_rows]] // width
+        grid_key_all = np.full(n_rows, -1, dtype=np.int64)
+        grid_key_all[grid_rows] = (
+            row_dev[grid_rows] * (num_cameras // width + 2) + grid_cell
+        )
+        caps1 = window_caps(row_is_grid, grid_key_all)
+        # windows (cells) per device
+        per_dev_cells = [
+            len(np.unique(grid_cell[row_dev[grid_rows] == d]))
+            for d in range(n_dev)
+        ]
+        n_grid_dev = max(per_dev_cells)
+
+    n_norm_dev = (
+        int(np.bincount(win_dev, minlength=n_dev).max())
+        if n_norm_win
+        else 0
+    )
+
+    def class_layout(n_windows, caps):
+        parts = tuple(
+            (int(c), int(w)) for w, c in sorted(caps.items())
+        )
+        lanes = sum(c * w for c, w in parts)
+        pad = (-lanes) % block_align
+        return ClassLayout(
+            n_windows=int(n_windows),
+            parts=parts,
+            win_lanes=lanes + pad,
+        )
+
+    layout = []
+    if n_norm_dev:
+        layout.append(class_layout(n_norm_dev, caps0))
+    if n_grid_dev:
+        layout.append(class_layout(n_grid_dev, caps1))
+    layout = tuple(layout)
+    n_win_dev = sum(cl.n_windows for cl in layout)
+    o_dev = sum(cl.n_windows * cl.win_lanes for cl in layout)
+    n_rows_dev = sum(
+        cl.n_windows * sum(c for c, _w in cl.parts) for cl in layout
+    )
+
+    # ---- fill per-device arrays --------------------------------------
+    order = np.argsort(obs_row, kind="stable")
+    row_obs_start = np.searchsorted(obs_row[order], np.arange(n_rows))
+    row_obs_end = np.searchsorted(obs_row[order], np.arange(n_rows) + 1)
+
+    D = n_dev
+    perm = np.zeros(D * o_dev, dtype=np.int64)
+    pad_w = np.zeros(D * o_dev)
+    cam_lane = np.zeros(D * o_dev, dtype=np.int64)
+    cam_local = np.zeros(D * o_dev, dtype=np.int32)
+    lm_lane = np.zeros(D * o_dev, dtype=np.int32)
+    kmap_all = []
+    win_gather = np.zeros(D * n_win_dev * width, dtype=np.int64)
+    win_scatter = np.full(
+        D * n_win_dev * width, num_cameras, dtype=np.int64
+    )
+    lm_order = np.zeros(D * n_rows_dev, dtype=np.int32)
+    row_lm_ext_all = np.zeros(D * n_rows_dev, dtype=np.int64)
+
+    m_dev = 0
+    dev_lms: List[np.ndarray] = []
+    for d in range(D):
+        dl = np.nonzero(lm_dev == d)[0]
+        dev_lms.append(dl)
+        m_dev = max(m_dev, len(dl))
+    m_dev = max(m_dev, 1)
+    lm_mask = np.zeros(D * m_dev)
+    lm_perm = np.zeros(num_landmarks, dtype=np.int64)
+
+    real_lanes = 0
+    for d in range(D):
+        dl = dev_lms[d]
+        lm_mask[d * m_dev : d * m_dev + len(dl)] = 1.0
+        lm_perm[dl] = d * m_dev + np.arange(len(dl))
+        local_of = np.zeros(num_landmarks, dtype=np.int64)
+        local_of[dl] = np.arange(len(dl))
+
+        # device-local windows: its normal windows in order, then its
+        # grid cells in order, then fakes
+        my_norm = np.nonzero(win_dev == d)[0] if n_norm_win else []
+        my_grid_rows = grid_rows[row_dev[grid_rows] == d]
+        my_cells = np.unique(
+            win_start[row_window[my_grid_rows]] // width
+        ) if len(my_grid_rows) else np.array([], dtype=np.int64)
+        lane_base = d * o_dev
+        row_base = d * n_rows_dev
+        kmap_dev = []
+        lane_ofs = 0
+        class_row_ofs = 0  # rows before the current class
+        win_idx = 0  # device-local window index
+
+        def fill_window(cl: ClassLayout, wi_c, rows_of_win, start_plan):
+            """Fill one window's lanes + slot rows. Slot-row canonical
+            order is (class, part, window, row-in-part) so the
+            vectorized per-class reduce (spmd_part_sums) matches."""
+            nonlocal lane_ofs, real_lanes
+            cols = start_plan + np.arange(width)
+            in_rng = (cols >= 0) & (cols < num_cameras)
+            safe = np.clip(cols, 0, num_cameras - 1)
+            if plan_to_orig is not None:
+                safe = plan_to_orig[safe]
+            gofs = (d * n_win_dev + win_idx) * width
+            win_gather[gofs : gofs + width] = safe
+            win_scatter[gofs : gofs + width] = np.where(
+                in_rng, safe, num_cameras
+            )
+            p = 0  # lane offset within the window
+            part_rows = 0  # rows of earlier parts (whole class)
+            for cap, w in cl.parts:
+                rows_w = [r for r in rows_of_win if row_width[r] == w]
+                assert len(rows_w) <= cap, (len(rows_w), cap, w)
+                rbase = (
+                    row_base + class_row_ofs
+                    + part_rows * cl.n_windows + wi_c * cap
+                )
+                for i, rr in enumerate(rows_w):
+                    c = row_counts[rr]
+                    po = order[row_obs_start[rr] : row_obs_end[rr]]
+                    # slot-element-major: lane = part_ofs + k*cap + i
+                    lanes = (
+                        lane_base + lane_ofs + p
+                        + np.arange(w) * cap + i
+                    )
+                    perm[lanes[:c]] = po
+                    perm[lanes[c:]] = po[0]
+                    pad_w[lanes[:c]] = 1.0
+                    real_lanes += c
+                    cam_lane[lanes[:c]] = obs_cam[po]
+                    cam_local[lanes[:c]] = (
+                        cam_plan[po] - start_plan
+                    ).astype(np.int32)
+                    lm_lane[lanes] = local_of[row_lm[rr]]
+                    lm_order[rbase + i] = local_of[row_lm[rr]]
+                    row_lm_ext_all[rbase + i] = local_of[row_lm[rr]]
+                for i in range(len(rows_w), cap):  # fake rows
+                    row_lm_ext_all[rbase + i] = m_dev
+                p += cap * w
+                part_rows += cap
+            lane_ofs += cl.win_lanes
+            kmap_dev.extend(
+                [win_idx] * (cl.win_lanes // block_align)
+            )
+
+        # class 0: normal windows
+        if layout and n_norm_dev:
+            cl0 = layout[0]
+            rows_by_win = {}
+            for rr in np.nonzero(norm_rows & (row_dev == d))[0]:
+                rows_by_win.setdefault(
+                    int(row_window[rr]), []
+                ).append(rr)
+            for wi_c, wwin in enumerate(my_norm):
+                fill_window(
+                    cl0, wi_c,
+                    rows_by_win.get(int(wwin), []),
+                    int(win_start[wwin]),
+                )
+                win_idx += 1
+            for wi_c in range(len(my_norm), cl0.n_windows):
+                fill_window(cl0, wi_c, [], 0)  # fake window
+                win_idx += 1
+            class_row_ofs += cl0.n_windows * sum(
+                c for c, _w in cl0.parts
+            )
+        # class 1: grid windows
+        if n_grid_dev:
+            cl1 = layout[-1]
+            cell_rows = {}
+            for rr in my_grid_rows:
+                cell = int(win_start[row_window[rr]] // width)
+                cell_rows.setdefault(cell, []).append(rr)
+            for wi_c, cell in enumerate(my_cells):
+                fill_window(
+                    cl1, wi_c, cell_rows[int(cell)], int(cell) * width
+                )
+                win_idx += 1
+            for wi_c in range(len(my_cells), cl1.n_windows):
+                fill_window(cl1, wi_c, [], 0)
+                win_idx += 1
+            class_row_ofs += cl1.n_windows * sum(
+                c for c, _w in cl1.parts
+            )
+        assert lane_ofs == o_dev and class_row_ofs == n_rows_dev
+        kmap_all.extend(kmap_dev)
+
+    return SpmdPlan(
+        n_dev=D,
+        width=int(width),
+        layout=layout,
+        n_win_dev=n_win_dev,
+        o_dev=o_dev,
+        m_dev=m_dev,
+        n_rows_dev=n_rows_dev,
+        perm=perm,
+        pad_weight=pad_w,
+        cam=cam_lane,
+        cam_local=cam_local,
+        lm_local=lm_lane,
+        kmap=np.asarray(kmap_all, dtype=np.int32),
+        win_gather=win_gather,
+        win_scatter=win_scatter,
+        lm_order=lm_order,
+        row_lm_ext=row_lm_ext_all,
+        lm_mask=lm_mask,
+        lm_perm=lm_perm,
+        lane_utilization=real_lanes / max(D * o_dev, 1),
+    )
+
+
+# ---------------------------------------------------------------------
+# Per-device reduces over the uniform layout. Because every window of a
+# class shares one width profile, the per-row slot reduction vectorizes
+# across windows: one reshape+sum per (class, part) covers all windows.
+# Canonical slot-row order (shared with the plan builder): for each
+# class, for each part, for each window, row-in-part.
+# ---------------------------------------------------------------------
+
+
+def spmd_part_sums(x, layout):
+    """x [..., o_dev] -> per-slot-row sums [..., n_rows_dev]."""
+    import jax.numpy as jnp
+
+    outs = []
+    lofs = 0
+    for cl in layout:
+        n, lanes = cl.n_windows, cl.win_lanes
+        blk = x[..., lofs : lofs + n * lanes].reshape(
+            x.shape[:-1] + (n, lanes)
+        )
+        p = 0
+        for cap, w in cl.parts:
+            seg = blk[..., p : p + cap * w].reshape(
+                x.shape[:-1] + (n, w, cap)
+            )
+            outs.append(
+                seg.sum(axis=-2).reshape(x.shape[:-1] + (n * cap,))
+            )
+            p += cap * w
+        lofs += n * lanes
+    return (
+        outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    )
+
+
+def spmd_expand_rows(s_rows, layout):
+    """Per-slot-row values [..., n_rows_dev] -> per-lane [..., o_dev]
+    (window tail pad lanes get zeros)."""
+    import jax.numpy as jnp
+
+    outs = []
+    rofs = 0
+    for cl in layout:
+        n = cl.n_windows
+        win_parts = []
+        used = 0
+        for cap, w in cl.parts:
+            seg = s_rows[..., rofs : rofs + n * cap].reshape(
+                s_rows.shape[:-1] + (n, cap)
+            )
+            e = jnp.broadcast_to(
+                seg[..., :, None, :],
+                seg.shape[:-2] + (n, w, cap),
+            ).reshape(s_rows.shape[:-1] + (n, w * cap))
+            win_parts.append(e)
+            rofs += n * cap
+            used += w * cap
+        win = (
+            win_parts[0]
+            if len(win_parts) == 1
+            else jnp.concatenate(win_parts, axis=-1)
+        )
+        tail = cl.win_lanes - used
+        if tail:
+            pad = [(0, 0)] * (win.ndim - 1) + [(0, tail)]
+            win = jnp.pad(win, pad)
+        outs.append(win.reshape(s_rows.shape[:-1] + (n * cl.win_lanes,)))
+    return (
+        outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    )
+
+
+def build_uniform_combine(row_lm_ext, n_dev, n_rows_dev, m_dev):
+    """Device-stacked slot-row -> local-landmark combine reduce with
+    IDENTICAL bucket shapes on every device (shard_map's uniformity
+    rule). Returns a PaddedReduce whose arrays are device-major
+    concatenations on their first axis: idx/mask [D*G_b, L_b] per
+    bucket, inv_order [D*(m_dev+1)] — sharding each on axis 0 hands
+    every device exactly its [G_b, L_b] / [m_dev+1] slice."""
+    from povar_tpu.solver.segments import (
+        PaddedReduce,
+        _build_padded_reduce,
+    )
+    import jax.numpy as jnp
+    import numpy as _np
+
+    reds = [
+        _build_padded_reduce(
+            row_lm_ext[d * n_rows_dev : (d + 1) * n_rows_dev],
+            m_dev + 1,
+        )
+        for d in range(n_dev)
+    ]
+    # bucket set = union of lengths; G = max groups per bucket
+    lengths = sorted(
+        {int(i.shape[1]) for r in reds for i in r.idx}
+    )
+    g_max = {
+        L: max(
+            max(
+                (int(i.shape[0]) for i in r.idx if i.shape[1] == L),
+                default=0,
+            )
+            for r in reds
+        )
+        for L in lengths
+    }
+    idx_out = []
+    mask_out = []
+    inv_out = []
+    for d, r in enumerate(reds):
+        by_len = {int(i.shape[1]): k for k, i in enumerate(r.idx)}
+        # positions shift when buckets are padded: recompute the
+        # device's inv_order for the uniform bucket structure
+        seg_pos = _np.zeros(m_dev + 1, dtype=_np.int64)
+        pos0 = 0
+        dev_idx = []
+        dev_mask = []
+        for L in lengths:
+            G = g_max[L]
+            if L in by_len:
+                k = by_len[L]
+                i_np = _np.asarray(r.idx[k])
+                m_np = _np.asarray(r.mask[k])
+                g = i_np.shape[0]
+            else:
+                i_np = _np.zeros((0, L), _np.int32)
+                m_np = _np.zeros((0, L), bool)
+                g = 0
+            i_pad = _np.zeros((G, L), _np.int32)
+            m_pad = _np.zeros((G, L), bool)
+            i_pad[:g] = i_np
+            m_pad[:g] = m_np
+            dev_idx.append(i_pad)
+            dev_mask.append(m_pad)
+            # which segments live in this bucket, in group order: the
+            # original inv_order maps segment -> concatenated position
+            if g:
+                inv = _np.asarray(r.inv_order)
+                # original start position of bucket k
+                orig_start = sum(
+                    _np.asarray(r.idx[j]).shape[0] for j in range(k)
+                )
+                in_bucket = (inv >= orig_start) & (
+                    inv < orig_start + g
+                )
+                seg_pos[in_bucket] = pos0 + (
+                    inv[in_bucket] - orig_start
+                )
+            pos0 += G
+        idx_out.append(dev_idx)
+        mask_out.append(dev_mask)
+        inv_out.append(seg_pos)
+    idx = tuple(
+        jnp.asarray(
+            _np.concatenate([idx_out[d][b] for d in range(n_dev)], 0)
+        )
+        for b in range(len(lengths))
+    )
+    mask = tuple(
+        jnp.asarray(
+            _np.concatenate([mask_out[d][b] for d in range(n_dev)], 0)
+        )
+        for b in range(len(lengths))
+    )
+    inv_order = jnp.asarray(
+        _np.concatenate(inv_out).astype(_np.int32)
+    )
+    return PaddedReduce(idx=idx, mask=mask, inv_order=inv_order)
+
+
+# ---------------------------------------------------------------------
+# Sharded solvers: Stage1Solver/Stage2Solver subclasses whose jitted
+# entry points run inside shard_map over the mesh. The traced method
+# bodies are the SAME structured-kernel code paths as single-chip; the
+# only differences are (a) _seg_lm/_gather_lm_x ride the uniform
+# layout, (b) _psum/_combine_cam_win all-reduce camera accumulators
+# and scalars (hooks in the base classes), (c) fake-landmark masking.
+# ---------------------------------------------------------------------
+
+AXIS = "obs"
+
+_ERR_KEYS = (
+    "num_obs_all",
+    "error_all",
+    "residual_sum_all",
+    "num_obs_valid",
+    "error_valid",
+    "residual_sum_valid",
+    "is_numerically_valid",
+)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    import jax
+
+    try:
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older keyword
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+class _SpmdCommon:
+    """Shared construction + landmark-layout overrides for the sharded
+    stage solvers."""
+
+    spmd_axis = AXIS
+
+    def _spmd_build_obs(self, plan: SpmdPlan, obs_uv, obs_weight, mesh):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from povar_tpu.solver.stage1 import Obs
+
+        uv = np.asarray(obs_uv)
+        if uv.ndim == 2 and uv.shape[-1] == 2:
+            uv = uv.T  # [2, O]
+        uv_slot = uv[:, plan.perm]
+        w = plan.pad_weight.copy()
+        if obs_weight is not None:
+            w = w * np.asarray(obs_weight)[plan.perm]
+        self.n_obs_live = int(np.sum(w > 0))
+
+        combine = build_uniform_combine(
+            plan.row_lm_ext, plan.n_dev, plan.n_rows_dev, plan.m_dev
+        )
+        sh = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+        d = AXIS
+        put = jax.device_put
+        obs = Obs(
+            cam=put(jnp.asarray(plan.cam, jnp.int32), sh(P(d))),
+            lm=put(jnp.asarray(plan.lm_local, jnp.int32), sh(P(d))),
+            uv=put(jnp.asarray(uv_slot, self.dtype), sh(P(None, d))),
+            weight=put(jnp.asarray(w, self.dtype), sh(P(d))),
+            cam_red=None,
+            cam_onehot=None,
+            lm_order=put(jnp.asarray(plan.lm_order), sh(P(d))),
+            lm_inv=put(
+                jnp.zeros(plan.n_dev * plan.m_dev, jnp.int32),
+                sh(P(d)),
+            ),
+            cam_local=put(jnp.asarray(plan.cam_local), sh(P(d))),
+            win_kmap=put(jnp.asarray(plan.kmap), sh(P(d))),
+            win_gather=put(
+                jnp.asarray(plan.win_gather.astype(np.int32)),
+                sh(P(d)),
+            ),
+            win_scatter=put(
+                jnp.asarray(plan.win_scatter.astype(np.int32)),
+                sh(P(d)),
+            ),
+            lm_combine=jax.tree.map(
+                lambda a: put(
+                    a, sh(P(*((d,) + (None,) * (a.ndim - 1))))
+                ),
+                combine,
+            ),
+            lm_mask=put(
+                jnp.asarray(plan.lm_mask, jnp.float32), sh(P(d))
+            ),
+        )
+        return obs
+
+    def _obs_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from povar_tpu.solver.stage1 import Obs
+        from povar_tpu.solver.segments import PaddedReduce
+
+        d = AXIS
+        comb = self.obs.lm_combine
+        return Obs(
+            cam=P(d), lm=P(d), uv=P(None, d), weight=P(d),
+            cam_red=None, cam_onehot=None,
+            lm_order=P(d), lm_inv=P(d), cam_local=P(d),
+            win_kmap=P(d), win_gather=P(d), win_scatter=P(d),
+            lm_combine=PaddedReduce(
+                idx=tuple(P(d, None) for _ in comb.idx),
+                mask=tuple(P(d, None) for _ in comb.mask),
+                inv_order=P(d),
+            ),
+            lm_mask=P(d),
+        )
+
+    # landmark-axis layout overrides ----------------------------------
+    def _seg_lm(self, obs, x):
+        from povar_tpu.solver.segments import padded_segment_sum
+
+        rows = spmd_part_sums(x, self.spmd_layout)
+        # last combine segment is the fake-row bin
+        return padded_segment_sum(rows, obs.lm_combine)[..., :-1]
+
+    def _gather_lm_x(self, obs, s):
+        import jax.numpy as jnp
+
+        rows = jnp.take(s, obs.lm_order, axis=-1)
+        return spmd_expand_rows(rows, self.spmd_layout)
+
+    # state conversion ------------------------------------------------
+    def pad_landmarks(self, lm):
+        """Canonical [n_lms, k] -> sharded padded [D*m_dev, k]."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lm = np.asarray(lm)
+        out = np.zeros(
+            (self.plan.n_dev * self.plan.m_dev,) + lm.shape[1:],
+            dtype=lm.dtype,
+        )
+        out[self.plan.lm_perm] = lm
+        return jax.device_put(
+            jnp.asarray(out, self.dtype),
+            NamedSharding(self.mesh, P(AXIS)),
+        )
+
+    def unpad_landmarks(self, lm_pad):
+        """Sharded padded [D*m_dev, k] -> canonical numpy [n_lms, k]."""
+        return np.asarray(lm_pad)[self.plan.lm_perm]

@@ -125,6 +125,8 @@ class Obs(NamedTuple):
     # overflow sub-landmark rows exist (segments.build_window_plan):
     # per-landmark sums are then bucketed-gather-summed across rows
     lm_combine: Optional[PaddedReduce] = None
+    # 1/0 mask over the landmark axis (SPMD padding; parallel/spmd.py)
+    lm_mask: Optional[jnp.ndarray] = None
 
 
 class Lin1(NamedTuple):
@@ -303,6 +305,26 @@ class CamWindows:
     structured path; every method is a no-op when n_win == 0).
     Requires attributes: n_win, win_w, n_cams."""
 
+    # SPMD hooks: the sharded solvers (parallel/spmd.py) run every
+    # jitted entry inside shard_map over this mesh axis; per-camera
+    # accumulators and scalar reductions then all-reduce over it.
+    # None (default) = single-device tracing, _psum is the identity.
+    spmd_axis = None
+
+    def _psum(self, x):
+        if self.spmd_axis is None:
+            return x
+        return jax.lax.psum(x, self.spmd_axis)
+
+    def _lm_masked(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        """Zero per-landmark outputs of fake landmark slots (SPMD
+        padding; their normal equations are singular, so increments
+        come out NaN and must not touch the state). x [..., M]."""
+        if obs.lm_mask is None:
+            return x
+        m = obs.lm_mask.reshape((1,) * (x.ndim - 1) + (-1,)) > 0
+        return jnp.where(m, x, 0.0)
+
     def _winargs(self, obs: Obs):
         if not self.n_win:
             return None
@@ -322,13 +344,15 @@ class CamWindows:
 
     def _combine_cam_win(self, obs: Obs, y: jnp.ndarray) -> jnp.ndarray:
         """[R, n_win*W] per-window-camera sums -> [R, N] (duplicated
-        cameras summed; out-of-range columns dropped)."""
+        cameras summed; out-of-range columns dropped; all-reduced over
+        the mesh under SPMD — the ICI analogue of the reference's
+        mutex scatter, sc/landmark_block.hpp:383-410)."""
         if not self.n_win:
-            return y
+            return self._psum(y) if self.spmd_axis else y
         out = jax.ops.segment_sum(
             y.T, obs.win_scatter, num_segments=self.n_cams + 1
         )
-        return out[: self.n_cams].T
+        return self._psum(out[: self.n_cams].T)
 
 
 class Stage1Solver(StagedTiming, CamWindows):
@@ -804,9 +828,10 @@ class Stage1Solver(StagedTiming, CamWindows):
                 self._mask1(obs), alpha=self.alpha, robust=0,
                 huber=1.0, weighted=False, win=self._winargs(obs),
             )
-            gtg = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
+            gtg = self._seg_lm(obs, ata).reshape(3, 3, -1)
             gtz = -self._seg_lm(obs, atr)
-            return linalg.solve3x3f(gtg, gtz).T.astype(self.dtype)
+            lm0 = linalg.solve3x3f(gtg, gtz)
+            return self._lm_masked(obs, lm0).T.astype(self.dtype)
         P = self._gather_cams(obs, cam_space)
         gtg, gtz = pose_math.varproj_init_normal_eq_t(P, obs.uv, self.alpha)
         gtg_lm = self._seg_lm(obs, _mask_rows(obs, gtg))  # [3, 3, M]
@@ -1365,7 +1390,7 @@ class Stage1Solver(StagedTiming, CamWindows):
             win=self._winargs(obs),
         )
         jpsq = self._combine_cam_win(obs, jpsq)
-        hll_raw = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
+        hll_raw = self._seg_lm(obs, ata).reshape(3, 3, -1)
         bl_raw = self._seg_lm(obs, atr)
         return ct, x, r_w, sw, hll_raw, bl_raw, jpsq
 
@@ -1397,7 +1422,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         lh = linalg.cholesky_smallf(hll_inv)  # [3, 3, M] lower
         jls_obs = self._gather_lm_x(obs, d)
         hib_obs = self._gather_lm_x(obs, hib)
-        lh_obs = self._gather_lm_x(obs, lh.reshape(9, self.n_lms))
+        lh_obs = self._gather_lm_x(obs, lh.reshape(9, lh.shape[-1]))
         return hll_inv, hib_obs, jls_obs, lh_obs
 
     def _hpp_b_s(self, obs: Obs, lin: Lin1S, hib_obs, jls_obs):
@@ -1575,9 +1600,11 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._mask1(obs), alpha=self.alpha, robust=0, huber=1.0,
             weighted=False, win=win,
         )
-        hll_new = self._seg_lm(obs, ata).reshape(3, 3, self.n_lms)
+        hll_new = self._seg_lm(obs, ata).reshape(3, 3, -1)
         tmp = self._seg_lm(obs, atr)
-        inc_lm = -linalg.solve3x3f(hll_new, tmp)  # [3, M]
+        inc_lm = self._lm_masked(
+            obs, -linalg.solve3x3f(hll_new, tmp)
+        )  # [3, M]
 
         part = pallas_pose.apply_ldiff(
             kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
@@ -1586,7 +1613,7 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._expand_tbl(obs, lin.ct),
             self._expand_tbl(obs, inc_f), alpha=self.alpha, win=win,
         )
-        l_diff = -jnp.sum(part)
+        l_diff = -self._psum(jnp.sum(part))
         return (
             lm_p + inc_lm.astype(self.dtype).T,
             l_diff.astype(self.dtype),
@@ -1612,7 +1639,9 @@ class Stage1Solver(StagedTiming, CamWindows):
             alpha=self.alpha, win=win,
         )
         tmp = self._seg_lm(obs, t3)
-        inc_lm_scaled = -linalg.solve3x3f(hll, tmp)  # [3, M]
+        inc_lm_scaled = self._lm_masked(
+            obs, -linalg.solve3x3f(hll, tmp)
+        )  # [3, M]
 
         part = pallas_pose.apply_ldiff_stored(
             kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
@@ -1621,7 +1650,7 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._expand_tbl(obs, lin.pose_scale * inc_f),
             alpha=self.alpha, win=win,
         )
-        l_diff = -jnp.sum(part)
+        l_diff = -self._psum(jnp.sum(part))
 
         new_lm = lm_p + (inc_lm_scaled * d).astype(self.dtype).T
         return new_lm, l_diff.astype(self.dtype)
@@ -1652,9 +1681,13 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._mask1(obs), alpha=self.alpha, robust=self.robust,
             huber=self.huber, win=self._winargs(obs),
         )
-        err = jnp.sum(part[0].astype(f64)) + jnp.sum(part[1].astype(f64))
-        rn = jnp.sum(part[2].astype(f64)) + jnp.sum(part[3].astype(f64))
-        bad = jnp.sum(part[4]) > 0
+        err = self._psum(
+            jnp.sum(part[0].astype(f64)) + jnp.sum(part[1].astype(f64))
+        )
+        rn = self._psum(
+            jnp.sum(part[2].astype(f64)) + jnp.sum(part[3].astype(f64))
+        )
+        bad = self._psum(jnp.sum(part[4])) > 0
         n_live = jnp.asarray(self.n_obs_live, jnp.int64)
         return {
             "num_obs_all": n_live,

@@ -843,17 +843,21 @@ class Stage2Solver(StagedTiming, CamWindows):
         )
 
         def pair(i):
-            return (jnp.sum(part[2 * i].astype(f64))
-                    + jnp.sum(part[2 * i + 1].astype(f64)))
+            return self._psum(
+                jnp.sum(part[2 * i].astype(f64))
+                + jnp.sum(part[2 * i + 1].astype(f64))
+            )
 
         return {
             "num_obs_all": jnp.asarray(self.n_obs_live, jnp.int64),
             "error_all": pair(0),
             "residual_sum_all": pair(1),
-            "num_obs_valid": jnp.sum(part[8]).astype(jnp.int64),
+            "num_obs_valid": self._psum(
+                jnp.sum(part[8])
+            ).astype(jnp.int64),
             "error_valid": pair(2),
             "residual_sum_valid": pair(3),
-            "is_numerically_valid": jnp.sum(part[9]) == 0,
+            "is_numerically_valid": self._psum(jnp.sum(part[9])) == 0,
         }
 
     # ------------------------------------------------ structured path
@@ -883,7 +887,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         jls_e = self._gather_lm_x(obs, jl_scale)  # [4, O]
         jls8 = jlw * jnp.concatenate([jls_e, jls_e], axis=0)
         klm_e = self._gather_lm_x(
-            obs, kernel_lm.reshape(12, self.n_lms)
+            obs, kernel_lm.reshape(12, kernel_lm.shape[-1])
         )  # [12, O], rows c*3+i
         jlns = jnp.stack(
             [
@@ -906,7 +910,7 @@ class Stage2Solver(StagedTiming, CamWindows):
             ],
             axis=0,
         )
-        hll_raw = self._seg_lm(obs, prods).reshape(3, 3, self.n_lms)
+        hll_raw = self._seg_lm(obs, prods).reshape(3, 3, -1)
         blp = jnp.stack(
             [jlns[i] * rw[0] + jlns[3 + i] * rw[1] for i in range(3)],
             axis=0,
@@ -931,7 +935,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         lchol = linalg.cholesky_smallf(hll_inv)  # [3, 3, M]
         hib_obs = self._gather_lm_x(obs, hib)
         l_obs = self._gather_lm_x(
-            obs, lchol.reshape(9, self.n_lms)
+            obs, lchol.reshape(9, lchol.shape[-1])
         )  # rows i*3+c
         b6 = jnp.stack(
             [
@@ -1030,7 +1034,7 @@ class Stage2Solver(StagedTiming, CamWindows):
             kcam, lin.x4, lin.mm, lin.sw, lin.r_w, lin.jls8,
             self._gather_lm_x(obs, inc_proj), zt_e, win=win,
         )
-        l_diff = -jnp.sum(part)
+        l_diff = -self._psum(jnp.sum(part))
         new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).astype(
             self.dtype
         ).T
