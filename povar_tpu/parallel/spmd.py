@@ -752,3 +752,232 @@ class _SpmdCommon:
     def unpad_landmarks(self, lm_pad):
         """Sharded padded [D*m_dev, k] -> canonical numpy [n_lms, k]."""
         return np.asarray(lm_pad)[self.plan.lm_perm]
+
+
+def _make_spmd_class():
+    """Deferred class construction (keeps jax imports out of module
+    import time for pure-numpy plan users)."""
+    global SpmdStage1Solver, SpmdStage2Solver
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from povar_tpu.ops.pallas_pose import PART_ALIGN
+    from povar_tpu.options import SolverType
+    from povar_tpu.solver.stage1 import Lin1S, Stage1Solver
+    from povar_tpu.solver.stage2 import Lin2S, Stage2Solver
+
+    d = AXIS
+
+    def _common_scalars(self, options, dtype):
+        if dtype != jnp.float64 or not options.mixed_precision_solves:
+            raise ValueError(
+                "SPMD windowed solvers run the production precision "
+                "design only: f64 LM state with f32 inner solves "
+                "(mixed_precision_solves)"
+            )
+        if options.detailed_timing:
+            raise ValueError(
+                "detailed_timing staging is not supported on the SPMD "
+                "path (each stage sync would serialize the mesh); use "
+                "the fused iteration"
+            )
+        self.opts = options
+        self.dtype = dtype
+        self.solve_dtype = jnp.float32
+        self.power_m = int(options.power_sc_iterations)
+        self.use_pallas = True
+        self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
+            jnp.float32
+        )
+
+    class SpmdStage1Solver(_SpmdCommon, Stage1Solver):
+        """Stage-1 solver over an SPMD mesh (windowed kernels inside
+        shard_map; see the module docstring)."""
+
+        def __init__(
+            self, plan, obs_uv, num_cameras, num_landmarks, options,
+            mesh, dtype=jnp.float64, obs_weight=None,
+        ):
+            from povar_tpu.options import RobustNorm
+            from povar_tpu.ops import pose_math
+
+            _common_scalars(self, options, dtype)
+            if options.solver_type_step_1 == SolverType.CHOLESKY:
+                raise ValueError(
+                    "CHOLESKY (dense direct) is a small-problem "
+                    "single-chip solver; use POWER_VARPROJ or PCG on "
+                    "the SPMD path"
+                )
+            self.mesh = mesh
+            self.plan = plan
+            self.n_cams = int(num_cameras)
+            self.n_lms = int(num_landmarks)
+            self.alpha = float(options.alpha)
+            code = {
+                RobustNorm.NONE: pose_math.ROBUST_NONE,
+                RobustNorm.HUBER: pose_math.ROBUST_HUBER,
+                RobustNorm.CAUCHY: pose_math.ROBUST_CAUCHY,
+            }
+            self.robust = code[options.residual.robust_norm]
+            self.huber = float(options.residual.huber_parameter)
+            self.n_win = plan.n_win_dev
+            self.win_w = plan.width
+            self.lm_shapes = None  # layout overrides replace it
+            self.spmd_layout = plan.layout
+            self.obs = self._spmd_build_obs(
+                plan, obs_uv, obs_weight, mesh
+            )
+            self._setup_jits()
+
+        def _setup_jits(self):
+            ospec = self._obs_specs()
+            lin_spec = Lin1S(
+                ct=P(), x=P(None, d), r_w=P(None, d), sw=P(None, d),
+                hll_raw=P(None, None, d), bl_raw=P(None, d),
+                jl_scale=P(None, d), pose_scale=P(),
+            )
+            err_spec = {k: P() for k in _ERR_KEYS}
+            sm = functools.partial(_shard_map, mesh=self.mesh)
+            self._jit_compute_error = jax.jit(sm(
+                self._compute_error,
+                in_specs=(ospec, P(), P(d, None)),
+                out_specs=err_spec,
+            ))
+            self._jit_initialize_varproj = jax.jit(sm(
+                self._initialize_varproj,
+                in_specs=(ospec, P()),
+                out_specs=P(d, None),
+            ))
+            self._jit_linearize = jax.jit(sm(
+                self._linearize,
+                in_specs=(ospec, P(), P(d, None)),
+                out_specs=lin_spec,
+            ))
+
+            def mk_power(ld):
+                def f(obs, lin, lam):
+                    return self._solve_power(
+                        obs, lin, lam, landmark_damping=ld
+                    )
+
+                return jax.jit(sm(
+                    f,
+                    in_specs=(ospec, lin_spec, P()),
+                    out_specs=(P(), P()),
+                ))
+
+            pow_jits = {False: mk_power(False), True: mk_power(True)}
+
+            def solve_power(obs, lin, lam, landmark_damping=False):
+                return pow_jits[bool(landmark_damping)](obs, lin, lam)
+
+            self._jit_solve_power = solve_power
+            self._jit_solve_pcg = jax.jit(sm(
+                self._solve_pcg,
+                in_specs=(ospec, lin_spec, P()),
+                out_specs=(P(), P()),
+            ))
+            self._jit_apply = jax.jit(sm(
+                self._apply,
+                in_specs=(ospec, P(), P(d, None), lin_spec, P()),
+                out_specs=(P(), P(d, None), P()),
+            ))
+            self._jit_apply_poba = jax.jit(sm(
+                self._apply_poba,
+                in_specs=(
+                    ospec, P(), P(d, None), lin_spec, P(), P(),
+                ),
+                out_specs=(P(), P(d, None), P()),
+            ))
+
+            def no_chol(*_a, **_k):
+                raise ValueError("CHOLESKY unsupported on SPMD path")
+
+            self._jit_solve_cholesky = no_chol
+
+    class SpmdStage2Solver(_SpmdCommon, Stage2Solver):
+        """Stage-2 Riemannian solver over an SPMD mesh."""
+
+        def __init__(
+            self, plan, obs_uv, num_cameras, num_landmarks, options,
+            mesh, dtype=jnp.float64, obs_weight=None,
+        ):
+            from povar_tpu.options import RobustNorm
+            from povar_tpu.ops import pose_math
+
+            _common_scalars(self, options, dtype)
+            self.mesh = mesh
+            self.plan = plan
+            self.n_cams = int(num_cameras)
+            self.n_lms = int(num_landmarks)
+            code = {
+                RobustNorm.NONE: pose_math.ROBUST_NONE,
+                RobustNorm.HUBER: pose_math.ROBUST_HUBER,
+                RobustNorm.CAUCHY: pose_math.ROBUST_CAUCHY,
+            }
+            self.robust = code[options.residual.robust_norm]
+            self.huber = float(options.residual.huber_parameter)
+            self.use_valid_only = options.use_projection_validity_check()
+            self.n_win = plan.n_win_dev
+            self.win_w = plan.width
+            self.lm_shapes = None
+            self.spmd_layout = plan.layout
+            self.obs = self._spmd_build_obs(
+                plan, obs_uv, obs_weight, mesh
+            )
+            self._setup_jits()
+
+        def _setup_jits(self):
+            ospec = self._obs_specs()
+            lin_spec = Lin2S(
+                ct=P(), x4=P(None, d), mm=P(None, d), sw=P(None, d),
+                r_w=P(None, d), jls8=P(None, d), jlns=P(None, d),
+                hll_raw=P(None, None, d), bl_raw=P(None, d),
+                jl_scale=P(None, d), pose_scale=P(),
+                kernel_cam=P(), kernel_lm=P(None, None, d), kps=P(),
+            )
+            err_spec = {k: P() for k in _ERR_KEYS}
+            sm = functools.partial(_shard_map, mesh=self.mesh)
+            self._jit_compute_error = jax.jit(sm(
+                self._compute_error,
+                in_specs=(ospec, P(), P(d, None)),
+                out_specs=err_spec,
+            ))
+            self._jit_linearize = jax.jit(sm(
+                self._linearize,
+                in_specs=(ospec, P(), P(d, None)),
+                out_specs=lin_spec,
+            ))
+            self._jit_solve_power = jax.jit(sm(
+                self._solve_power,
+                in_specs=(ospec, lin_spec, P()),
+                out_specs=(P(), P()),
+            ))
+            self._jit_solve_pcg = jax.jit(sm(
+                self._solve_pcg,
+                in_specs=(ospec, lin_spec, P()),
+                out_specs=(P(), P()),
+            ))
+            self._jit_apply = jax.jit(sm(
+                self._apply,
+                in_specs=(
+                    ospec, P(), P(d, None), lin_spec, P(), P(),
+                ),
+                out_specs=(P(), P(d, None), P()),
+            ))
+
+    return SpmdStage1Solver, SpmdStage2Solver
+
+
+SpmdStage1Solver = None
+SpmdStage2Solver = None
+
+
+def get_spmd_solver_classes():
+    global SpmdStage1Solver, SpmdStage2Solver
+    if SpmdStage1Solver is None:
+        SpmdStage1Solver, SpmdStage2Solver = _make_spmd_class()
+    return SpmdStage1Solver, SpmdStage2Solver

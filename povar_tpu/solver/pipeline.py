@@ -24,11 +24,73 @@ from povar_tpu.utils.summary import SolverSummary
 from povar_tpu.utils.timer import Timer
 
 
+def _spmd_eligible(options, dtype) -> bool:
+    """Whether the fast SPMD windowed path (parallel/spmd.py) covers
+    this configuration: the production precision design (f64 LM over
+    f32 structured kernels), fused iterations, and an iterative step-1
+    solver. Anything else falls back to the GSPMD-sharded XLA lowering
+    (parallel/mesh.py)."""
+    import jax.numpy as jnp
+
+    from povar_tpu.options import SolverType
+
+    return (
+        dtype == jnp.float64
+        and options.mixed_precision_solves
+        and not options.detailed_timing
+        and options.pallas_kernels != "off"
+        and options.solver_type_step_1 != SolverType.CHOLESKY
+    )
+
+
+def _make_spmd_plan(problem, mesh):
+    """Build (and cache on the problem) the sharded windowed plan
+    shared by both stage solvers."""
+    from povar_tpu.ops.pallas_pose import PART_ALIGN
+    from povar_tpu.parallel.spmd import build_spmd_plan
+
+    n_dev = int(mesh.devices.size)
+    cache = getattr(problem, "_spmd_plan_cache", None)
+    if cache is not None and cache[0] == n_dev:
+        return cache[1]
+    plan = build_spmd_plan(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.num_cameras,
+        problem.num_landmarks,
+        n_dev,
+        PART_ALIGN,
+    )
+    problem._spmd_plan_cache = (n_dev, plan)
+    return plan
+
+
 def _make_solver(solver_cls, problem, options, dtype, mesh):
-    """Build a stage solver, sharded over `mesh`'s observation axis when
-    a mesh is given (the multi-chip analogue of the reference's TBB
-    landmark loops + mutex scatter, SURVEY.md §2.7)."""
+    """Build a stage solver; on a mesh, prefer the SPMD windowed path
+    (whole-window device ownership, landmark reductions device-local,
+    per-camera accumulators all-reduced over ICI — the multi-chip
+    analogue of the reference's TBB landmark loops + mutex scatter,
+    SURVEY.md §2.7), falling back to GSPMD over the XLA lowering for
+    configurations the fast path does not cover."""
+    from povar_tpu.solver.stage1 import Stage1Solver
+
     if mesh is not None:
+        if _spmd_eligible(options, dtype):
+            from povar_tpu.parallel.spmd import (
+                get_spmd_solver_classes,
+            )
+
+            s1_cls, s2_cls = get_spmd_solver_classes()
+            cls = s1_cls if solver_cls is Stage1Solver else s2_cls
+            return cls(
+                _make_spmd_plan(problem, mesh),
+                problem.obs_uv,
+                problem.num_cameras,
+                problem.num_landmarks,
+                options,
+                mesh,
+                dtype=dtype,
+            )
         from povar_tpu.parallel.mesh import make_sharded_solver
 
         return make_sharded_solver(
@@ -66,15 +128,25 @@ def bundle_adjust(
     n_mesh = mesh.size if mesh is not None else 1
 
     s1 = _make_solver(Stage1Solver, problem, options, dtype, mesh)
+    spmd = hasattr(s1, "pad_landmarks")  # SPMD windowed solver
     summary1 = SolverSummary(
         num_threads_given=n_mesh, num_threads_used=n_mesh
     )
     cams = jnp.asarray(problem.cam_space, dtype)
-    lms = jnp.asarray(problem.lm_p, dtype)
-    if mesh is not None:
+    if spmd:
+        # landmark state lives in the device-major padded order; the
+        # canonical order is restored at the pipeline boundary
+        lms = s1.pad_landmarks(problem.lm_p)
         from povar_tpu.parallel.mesh import replicate
 
+        cams = replicate(mesh, cams)
+    elif mesh is not None:
+        from povar_tpu.parallel.mesh import replicate
+
+        lms = jnp.asarray(problem.lm_p, dtype)
         cams, lms = replicate(mesh, cams, lms)
+    else:
+        lms = jnp.asarray(problem.lm_p, dtype)
     cams, lms = optimize_step1(
         s1, cams, lms, options, summary1, timer_total, log
     )
@@ -90,6 +162,9 @@ def bundle_adjust(
     )
 
     problem.cam_space = np.asarray(cams)
-    problem.lm_p_h = np.asarray(lms_h)
-    problem.lm_p = np.asarray(lms_h[:, :3] / lms_h[:, 3:4])
+    lms_h_np = (
+        s1.unpad_landmarks(lms_h) if spmd else np.asarray(lms_h)
+    )
+    problem.lm_p_h = lms_h_np
+    problem.lm_p = lms_h_np[:, :3] / lms_h_np[:, 3:4]
     return problem, summary1, summary2

@@ -325,6 +325,18 @@ class CamWindows:
         m = obs.lm_mask.reshape((1,) * (x.ndim - 1) + (-1,)) > 0
         return jnp.where(m, x, 0.0)
 
+    def _hll_guard(self, obs: Obs, hll: jnp.ndarray) -> jnp.ndarray:
+        """Make fake-landmark (SPMD padding) 3x3 normal matrices the
+        identity so downstream inversions/Cholesky stay FINITE — a NaN
+        there would poison per-observation operands through the slot
+        expansion when a device's local landmark 0 is itself fake.
+        Their (zero right-hand-side) solves yield zero increments.
+        hll [3, 3, M]."""
+        if obs.lm_mask is None:
+            return hll
+        f = (1.0 - obs.lm_mask).astype(hll.dtype)
+        return hll + f * jnp.eye(3, dtype=hll.dtype)[:, :, None]
+
     def _winargs(self, obs: Obs):
         if not self.n_win:
             return None
@@ -828,7 +840,9 @@ class Stage1Solver(StagedTiming, CamWindows):
                 self._mask1(obs), alpha=self.alpha, robust=0,
                 huber=1.0, weighted=False, win=self._winargs(obs),
             )
-            gtg = self._seg_lm(obs, ata).reshape(3, 3, -1)
+            gtg = self._hll_guard(
+                obs, self._seg_lm(obs, ata).reshape(3, 3, -1)
+            )
             gtz = -self._seg_lm(obs, atr)
             lm0 = linalg.solve3x3f(gtg, gtz)
             return self._lm_masked(obs, lm0).T.astype(self.dtype)
@@ -1416,7 +1430,7 @@ class Stage1Solver(StagedTiming, CamWindows):
             hll = hll + lam.astype(hll.dtype) * jnp.eye(
                 3, dtype=hll.dtype
             )[:, :, None]
-        hll_inv = linalg.inv3x3f(hll)
+        hll_inv = linalg.inv3x3f(self._hll_guard(obs, hll))
         bl = d * lin.bl_raw
         hib = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
         lh = linalg.cholesky_smallf(hll_inv)  # [3, 3, M] lower
@@ -1600,7 +1614,9 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._mask1(obs), alpha=self.alpha, robust=0, huber=1.0,
             weighted=False, win=win,
         )
-        hll_new = self._seg_lm(obs, ata).reshape(3, 3, -1)
+        hll_new = self._hll_guard(
+            obs, self._seg_lm(obs, ata).reshape(3, 3, -1)
+        )
         tmp = self._seg_lm(obs, atr)
         inc_lm = self._lm_masked(
             obs, -linalg.solve3x3f(hll_new, tmp)
