@@ -142,6 +142,88 @@ def test_spmd_plan_and_reduces():
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
 
 
+def _as_jaxpr(p):
+    if hasattr(p, "eqns"):
+        return p
+    if hasattr(p, "jaxpr"):
+        return _as_jaxpr(p.jaxpr)
+    return None
+
+
+_COLL = {
+    "psum", "all_reduce", "all_gather", "all_to_all", "ppermute",
+    "reduce_scatter",
+}
+
+
+def _find_collectives(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in _COLL:
+            out.append(
+                (
+                    eqn.primitive.name,
+                    [tuple(v.aval.shape) for v in eqn.invars],
+                )
+            )
+        for p in eqn.params.values():
+            for q in p if isinstance(p, (list, tuple)) else [p]:
+                j = _as_jaxpr(q)
+                if j is not None:
+                    _find_collectives(j, out)
+    return out
+
+
+def test_spmd_collectives_are_camera_sized_only():
+    """The SPMD program's ONLY cross-device communication is the
+    all-reduce of per-camera accumulators ([12,N], [144,N]) and of
+    cost/model-decrease scalars — the ICI mapping of the reference's
+    mutex-guarded per-camera scatter (SURVEY.md §2.7). No obs-sized or
+    landmark-sized array ever moves between devices."""
+    opts = SolverOptions()
+    opts.power_sc_iterations = 3
+    opts.pallas_kernels = "on"
+    s, _ref, cams = _stage1_pair(opts)
+    n_cams = cams.shape[0]
+    lmpad = jnp.zeros((s.plan.n_dev * s.plan.m_dev, 3))
+    lam = jnp.asarray(1e-3, jnp.float64)
+    lin_shape = jax.eval_shape(
+        lambda c, l: s._jit_linearize(s.obs, c, l), cams, lmpad
+    )
+    lin = jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype), lin_shape
+    )
+
+    cases = {
+        "linearize": (
+            lambda c, l: s._jit_linearize(s.obs, c, l), (cams, lmpad)
+        ),
+        "solve_power": (
+            lambda ln, la: s._jit_solve_power(s.obs, ln, la),
+            (lin, lam),
+        ),
+        "apply": (
+            lambda c, l, ln: s._jit_apply(
+                s.obs, c, l, ln, jnp.zeros((12, n_cams))
+            ),
+            (cams, lmpad, lin),
+        ),
+        "compute_error": (
+            lambda c, l: s._jit_compute_error(s.obs, c, l),
+            (cams, lmpad),
+        ),
+    }
+    for name, (fn, args) in cases.items():
+        colls = _find_collectives(jax.make_jaxpr(fn)(*args).jaxpr, [])
+        assert colls, f"{name}: expected camera-accumulator psums"
+        for pname, shapes in colls:
+            for shp in shapes:
+                ok = len(shp) == 0 or shp[-1] in (n_cams, n_cams + 1)
+                assert ok, (
+                    f"{name}: {pname} moves a non-camera-sized array "
+                    f"{shp} across devices"
+                )
+
+
 def _stage1_pair(opts):
     from povar_tpu.solver.stage1 import Stage1Solver
 
