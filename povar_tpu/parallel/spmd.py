@@ -158,25 +158,94 @@ def build_spmd_plan(
         else 0
     )
 
-    # ---- device assignment -------------------------------------------
-    # normal windows: contiguous ranges balanced by lane count
-    win_lanes_est = np.zeros(n_norm_win + 1, dtype=np.int64)
-    np.add.at(
-        win_lanes_est,
-        np.where(row_is_grid, n_norm_win, row_window),
-        row_width,
-    )
-    cum = np.cumsum(win_lanes_est[:n_norm_win])
-    total = int(cum[-1]) if n_norm_win else 0
-    win_dev = np.zeros(n_norm_win, dtype=np.int64)
-    if n_norm_win:
-        # split points at equal lane quantiles
-        targets = total * (np.arange(1, n_dev) + 0.0) / n_dev
-        splits = np.searchsorted(cum, targets)
-        win_dev = np.searchsorted(splits, np.arange(n_norm_win), "right")
-    lm_dev = np.full(num_landmarks, -1, dtype=np.int64)
+    # ---- clone construction ------------------------------------------
+    # Natural windows vary wildly in row count; padding every window to
+    # a max-over-windows profile wastes up to tens of percent. Instead
+    # every window is SPLIT into fixed-profile CLONES (same camera
+    # start; duplicated window columns combine like any shared camera):
+    # per width w, at most cap_w rows per clone, with cap_w drawn from
+    # the global row mix so a clone holds ~`budget` lanes. Padding is
+    # then bounded by one partial chunk per width per window, and
+    # devices balance by simply counting clones (all clones have equal
+    # padded lane counts).
+    WIDTHS = np.unique(row_width)
     norm_rows = ~row_is_grid
-    lm_dev[row_lm[norm_rows]] = win_dev[row_window[norm_rows]]
+
+    def make_caps(mask, max_clones_per_dev):
+        if not mask.any():
+            return {}
+        R = {
+            int(w): int(np.sum(row_width[mask] == w)) for w in WIDTHS
+        }
+        R = {w: c for w, c in R.items() if c}
+        total = sum(c * w for w, c in R.items())
+        # smallest block-aligned clone budget that keeps the clone
+        # count per device bounded: small clones bound the padding of
+        # each window's PARTIAL last clone by one budget's worth
+        budget = block_align * max(
+            1,
+            -(-total // (block_align * n_dev * max_clones_per_dev)),
+        )
+        # clamp by the global count: a width never needs more rows
+        # per clone than it has rows in total (tiny problems)
+        caps = {
+            w: min(max(1, int(np.ceil(c * budget / total))), c)
+            for w, c in R.items()
+        }
+        # absorb the block-alignment pad into the dominant width so
+        # full clones carry real rows in those lanes instead of pad
+        lanes = sum(c * w for w, c in caps.items())
+        pad = (-lanes) % block_align
+        wd = max(R, key=R.get)
+        caps[wd] += pad // wd
+        return caps
+
+    caps0 = make_caps(norm_rows, 256)
+    caps1 = make_caps(row_is_grid, 64)
+
+    def split_clones(rows, caps):
+        """Rows of one window -> list of per-clone row lists (chunked
+        per width by the fixed caps)."""
+        by_w = {}
+        for rr in rows:
+            by_w.setdefault(int(row_width[rr]), []).append(rr)
+        n_clones = max(
+            (
+                -(-len(v) // caps[w])
+                for w, v in by_w.items()
+            ),
+            default=1,
+        )
+        clones = [[] for _ in range(n_clones)]
+        for w, v in by_w.items():
+            c = caps[w]
+            for j in range(0, len(v), c):
+                clones[j // c].extend(v[j : j + c])
+        return clones
+
+    # class 0: natural normal windows -> clones, in window order
+    clones0 = []  # (start_plan, [rows])
+    if norm_rows.any():
+        rows_by_win = {}
+        for rr in np.nonzero(norm_rows)[0]:
+            rows_by_win.setdefault(int(row_window[rr]), []).append(rr)
+        for wwin in sorted(rows_by_win):
+            for rows in split_clones(rows_by_win[wwin], caps0):
+                clones0.append((int(win_start[wwin]), rows))
+    # contiguous equal-count device split (clones are equal-sized)
+    n0 = len(clones0)
+    clone0_dev = (
+        np.arange(n0) * n_dev // max(n0, 1) if n0 else np.array([], int)
+    )
+    lm_dev = np.full(num_landmarks, -1, dtype=np.int64)
+    for ci, (_st, rows) in enumerate(clones0):
+        for rr in rows:
+            lm_dev[row_lm[rr]] = clone0_dev[ci]
+
+    # overflow landmarks: balance by obs count, then clone each
+    # device's grid cells
+    grid_rows_idx = np.nonzero(row_is_grid)[0]
+    clones1_by_dev = {d: [] for d in range(n_dev)}
     ovf_lms = np.nonzero(is_ovf_lm)[0]
     if len(ovf_lms):
         ovf_counts = np.array(
@@ -185,54 +254,22 @@ def build_spmd_plan(
         assign = _assign_overflow(ovf_lms, ovf_counts, n_dev)
         for m, d in assign.items():
             lm_dev[m] = d
-    row_dev = lm_dev[row_lm]
-
-    # ---- per-class uniform profiles ----------------------------------
-    # class 0: normal windows. cap_w = max rows of width w over all
-    # (device, window) pairs. class 1: grid windows (per-device cells
-    # of each device's overflow landmarks).
-    WIDTHS = np.unique(row_width)
-
-    def window_caps(rows_mask, win_key):
-        """dict width -> max row count over windows (win_key groups
-        rows into windows; any hashable-by-int key array)."""
-        caps = {}
-        if not rows_mask.any():
-            return caps
-        key = win_key[rows_mask] * 1024 + np.searchsorted(
-            WIDTHS, row_width[rows_mask]
-        )
-        uniq, cnt = np.unique(key, return_counts=True)
-        for k, c in zip(uniq, cnt):
-            w = int(WIDTHS[int(k % 1024)])
-            caps[w] = max(caps.get(w, 0), int(c))
-        return caps
-
-    caps0 = window_caps(norm_rows, row_window.astype(np.int64))
-
-    # grid rows: local grid window = (device, cell). cell id from the
-    # window's start (grid windows start at multiples of width)
-    grid_rows = np.nonzero(row_is_grid)[0]
-    caps1 = {}
-    n_grid_dev = 0
-    if len(grid_rows):
-        grid_cell = win_start[row_window[grid_rows]] // width
-        grid_key_all = np.full(n_rows, -1, dtype=np.int64)
-        grid_key_all[grid_rows] = (
-            row_dev[grid_rows] * (num_cameras // width + 2) + grid_cell
-        )
-        caps1 = window_caps(row_is_grid, grid_key_all)
-        # windows (cells) per device
-        per_dev_cells = [
-            len(np.unique(grid_cell[row_dev[grid_rows] == d]))
-            for d in range(n_dev)
-        ]
-        n_grid_dev = max(per_dev_cells)
+        for d in range(n_dev):
+            cell_rows = {}
+            for rr in grid_rows_idx:
+                if lm_dev[row_lm[rr]] != d:
+                    continue
+                cell = int(win_start[row_window[rr]] // width)
+                cell_rows.setdefault(cell, []).append(rr)
+            for cell in sorted(cell_rows):
+                for rows in split_clones(cell_rows[cell], caps1):
+                    clones1_by_dev[d].append((cell * width, rows))
 
     n_norm_dev = (
-        int(np.bincount(win_dev, minlength=n_dev).max())
-        if n_norm_win
-        else 0
+        int(np.bincount(clone0_dev, minlength=n_dev).max()) if n0 else 0
+    )
+    n_grid_dev = max(
+        (len(v) for v in clones1_by_dev.values()), default=0
     )
 
     def class_layout(n_windows, caps):
@@ -296,13 +333,10 @@ def build_spmd_plan(
         local_of = np.zeros(num_landmarks, dtype=np.int64)
         local_of[dl] = np.arange(len(dl))
 
-        # device-local windows: its normal windows in order, then its
-        # grid cells in order, then fakes
-        my_norm = np.nonzero(win_dev == d)[0] if n_norm_win else []
-        my_grid_rows = grid_rows[row_dev[grid_rows] == d]
-        my_cells = np.unique(
-            win_start[row_window[my_grid_rows]] // width
-        ) if len(my_grid_rows) else np.array([], dtype=np.int64)
+        # device-local windows: its class-0 clones in order, then its
+        # grid clones, then fakes
+        my0 = [clones0[i] for i in range(n0) if clone0_dev[i] == d]
+        my1 = clones1_by_dev.get(d, [])
         lane_base = d * o_dev
         row_base = d * n_rows_dev
         kmap_dev = []
@@ -362,40 +396,25 @@ def build_spmd_plan(
                 [win_idx] * (cl.win_lanes // block_align)
             )
 
-        # class 0: normal windows
+        # class 0: normal-window clones
         if layout and n_norm_dev:
             cl0 = layout[0]
-            rows_by_win = {}
-            for rr in np.nonzero(norm_rows & (row_dev == d))[0]:
-                rows_by_win.setdefault(
-                    int(row_window[rr]), []
-                ).append(rr)
-            for wi_c, wwin in enumerate(my_norm):
-                fill_window(
-                    cl0, wi_c,
-                    rows_by_win.get(int(wwin), []),
-                    int(win_start[wwin]),
-                )
+            for wi_c, (st, rows) in enumerate(my0):
+                fill_window(cl0, wi_c, rows, st)
                 win_idx += 1
-            for wi_c in range(len(my_norm), cl0.n_windows):
+            for wi_c in range(len(my0), cl0.n_windows):
                 fill_window(cl0, wi_c, [], 0)  # fake window
                 win_idx += 1
             class_row_ofs += cl0.n_windows * sum(
                 c for c, _w in cl0.parts
             )
-        # class 1: grid windows
+        # class 1: grid clones
         if n_grid_dev:
             cl1 = layout[-1]
-            cell_rows = {}
-            for rr in my_grid_rows:
-                cell = int(win_start[row_window[rr]] // width)
-                cell_rows.setdefault(cell, []).append(rr)
-            for wi_c, cell in enumerate(my_cells):
-                fill_window(
-                    cl1, wi_c, cell_rows[int(cell)], int(cell) * width
-                )
+            for wi_c, (st, rows) in enumerate(my1):
+                fill_window(cl1, wi_c, rows, st)
                 win_idx += 1
-            for wi_c in range(len(my_cells), cl1.n_windows):
+            for wi_c in range(len(my1), cl1.n_windows):
                 fill_window(cl1, wi_c, [], 0)
                 win_idx += 1
             class_row_ofs += cl1.n_windows * sum(
