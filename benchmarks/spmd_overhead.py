@@ -1,0 +1,122 @@
+"""SPMD layout overhead on ONE chip: the cost of the uniformized
+sharded layout relative to the plain single-chip windowed path.
+
+Multi-chip hardware is unavailable in CI (one real TPU), so the
+multi-chip claim decomposes into (a) this measurement — a 1-device
+mesh runs the EXACT sharded program (clone layout, combine reduces,
+psum that degenerates to a copy) against the tuned single-chip
+windowed solver on the same problem — and (b) the jaxpr-verified
+communication pattern (tests/test_spmd.py): per-camera accumulators
+and scalars only, [144,N] f32 per power term, microseconds on ICI.
+n-chip time ≈ (single-chip time x overhead) / n + collectives.
+
+Usage: python benchmarks/spmd_overhead.py [--cams 1778] [--lms 993923]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from povar_tpu.options import SolverOptions  # noqa: E402
+from povar_tpu.ops.pallas_pose import PART_ALIGN  # noqa: E402
+from povar_tpu.parallel.spmd import (  # noqa: E402
+    build_spmd_plan,
+    get_spmd_solver_classes,
+)
+from povar_tpu.problem.synthetic import (  # noqa: E402
+    synthetic_bal_problem_fast,
+)
+from povar_tpu.solver.stage1 import Stage1Solver  # noqa: E402
+
+
+def _time_steps(step, state, lam, reps):
+    c, l = state
+    c, l, e = step(c, l, lam)
+    _ = float(np.asarray(e))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c, l, e = step(c, l, lam)
+    _ = float(np.asarray(e))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=1778)
+    ap.add_argument("--lms", type=int, default=993_923)
+    ap.add_argument("--obs-per-lm", type=int, default=5)
+    ap.add_argument("--locality", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    problem = synthetic_bal_problem_fast(
+        args.cams, args.lms, args.obs_per_lm, seed=0,
+        locality=args.locality,
+    )
+    opts = SolverOptions()
+    opts.power_sc_iterations = 10
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+
+    # plain single-chip windowed solver
+    plain = Stage1Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+    assert plain.n_win > 0, "expected the windowed path"
+    cams = jnp.asarray(problem.cam_space)
+    lam = jnp.asarray(1e-4, jnp.float64)
+
+    def step_plain(c, l, la):
+        lin = plain.linearize(c, l)
+        inc, _ = plain.solve_power(lin, la)
+        nc, nl, _ld = plain.apply(c, l, lin, inc)
+        err = plain.compute_error(nc, nl)
+        return nc, nl, err["error_all"]
+
+    lms0 = plain.initialize_varproj(cams)
+    t_plain = _time_steps(step_plain, (cams, lms0), lam, args.reps)
+    print(f"plain windowed: {t_plain * 1e3:.1f} ms/iter "
+          f"({problem.num_observations / t_plain / 1e6:.1f} Mobs/s)")
+
+    # 1-device-mesh SPMD solver (same chip, sharded program)
+    t0 = time.perf_counter()
+    plan = build_spmd_plan(
+        problem.obs_cam, problem.obs_lm, problem.num_cameras,
+        problem.num_landmarks, 1, PART_ALIGN,
+    )
+    print(f"spmd plan build: {time.perf_counter() - t0:.1f}s, "
+          f"util {plan.lane_utilization:.3f}")
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("obs",))
+    S1, _ = get_spmd_solver_classes()
+    spmd = S1(
+        plan, problem.obs_uv, problem.num_cameras,
+        problem.num_landmarks, opts, mesh,
+    )
+
+    def step_spmd(c, l, la):
+        lin = spmd.linearize(c, l)
+        inc, _ = spmd.solve_power(lin, la)
+        nc, nl, _ld = spmd.apply(c, l, lin, inc)
+        err = spmd.compute_error(nc, nl)
+        return nc, nl, err["error_all"]
+
+    lms0s = spmd.initialize_varproj(cams)
+    t_spmd = _time_steps(step_spmd, (cams, lms0s), lam, args.reps)
+    print(f"spmd layout (1 dev): {t_spmd * 1e3:.1f} ms/iter "
+          f"({problem.num_observations / t_spmd / 1e6:.1f} Mobs/s)")
+    print(f"layout overhead: {t_spmd / t_plain:.3f}x "
+          f"(n-chip speedup estimate ~ n / {t_spmd / t_plain:.3f})")
+
+
+if __name__ == "__main__":
+    main()
