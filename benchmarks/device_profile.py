@@ -24,6 +24,13 @@ import tempfile
 import time
 from collections import defaultdict
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

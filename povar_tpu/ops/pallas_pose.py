@@ -129,6 +129,15 @@ def _win_tile(t: int, win) -> int:
     return min(t, 1024) if win is not None else t
 
 
+def _choose_tile(o: int, nb: int, win) -> int:
+    """Obs tile for a kernel launch: windowed mode caps at the kmap
+    block granularity (PART_ALIGN) and the window VMEM budget; plain
+    mode uses the largest supported tile (the PART_ALIGN cap would
+    halve it and double the fixed per-tile launch cost)."""
+    t = _tile(o, nb)
+    return _win_tile(min(t, PART_ALIGN), win) if win is not None else t
+
+
 def _pose_call(kern, out_shape, in_specs, out_specs, args, *, o, t, win):
     """pallas_call wrapper: plain grid, or scalar-prefetch grid with the
     per-tile window map as the prefetched operand."""
@@ -298,7 +307,7 @@ def prepare(
     nb = _cam_block(n_pad, win)
     # the A~ / residual / outer temporaries bound the tile below the
     # one-hot VMEM budget
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     kern = functools.partial(
         _prepare_kernel, alpha=float(alpha), robust=int(robust),
         huber=float(huber), weighted=bool(weighted),
@@ -379,7 +388,7 @@ def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha, win=None):
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     return _pose_call(
         functools.partial(_h_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((9, o), jnp.float32),
@@ -547,7 +556,7 @@ def e0_u_structured(cam, x, h, z_table, win=None):
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     return _pose_call(
         _e0_u_kernel,
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
@@ -593,7 +602,7 @@ def e0_scatter_structured(cam, x, h, sb, n_cams, win=None):
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     out = _pose_call(
         _e0_scatter_kernel,
         out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
@@ -691,7 +700,7 @@ def apply_ldiff(
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     out = _pose_call(
         functools.partial(_ldiff_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
@@ -770,7 +779,7 @@ def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha,
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     return _pose_call(
         functools.partial(_poba_t3_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
@@ -918,7 +927,7 @@ def apply_ldiff_stored(
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     out = _pose_call(
         functools.partial(_ldiff_stored_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),

@@ -43,6 +43,7 @@ from povar_tpu.ops.pallas_pose import (
     PART_ALIGN,
     _cam_block,
     _cam_spec,
+    _choose_tile,
     _first_visit,
     _fixed_spec,
     _gather_table,
@@ -161,7 +162,7 @@ def prepare2(
     n = cam_table.shape[-1]
     cam_table, n_pad = _tbl_prep(cam_table, win)
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     kern = functools.partial(
         _prepare2_kernel, use_valid=bool(use_valid),
         robust=int(robust), huber=float(huber),
@@ -334,7 +335,7 @@ def mat_dot2(cam, x4, mm, sw, mat6, r_w, zt, *, add_r, win=None):
     o = cam.shape[0]
     zt, n_pad = _tbl_prep(zt, win)
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     specs = [
         _obs_spec(1, t, win),
         _obs_spec(4, t, win),
@@ -392,7 +393,7 @@ def scatter2(cam, x4, mm, sw, mat6, sb, n_cams, win=None):
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     out = _pose_call(
         _scatter2_kernel,
         out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
@@ -523,7 +524,7 @@ def ldiff2(cam, x4, mm, sw, r_w, jls8, ilm4, zt, win=None):
     o = cam.shape[0]
     zt, n_pad = _tbl_prep(zt, win)
     nb = _cam_block(n_pad, win)
-    t = _win_tile(min(_tile(o, nb), PART_ALIGN), win)
+    t = _choose_tile(o, nb, win)
     out = _pose_call(
         _ldiff2_kernel,
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),

@@ -95,6 +95,8 @@ class SpmdPlan(NamedTuple):
     lm_mask: np.ndarray  # 1 real / 0 fake
     # canonical landmark id -> global padded position [n_lms]
     lm_perm: np.ndarray
+    # whether any landmark owns several rows (span overflow)
+    has_duplicates: bool
     # diagnostics
     lane_utilization: float  # real obs lanes / total lanes
 
@@ -443,6 +445,7 @@ def build_spmd_plan(
         row_lm_ext=row_lm_ext_all,
         lm_mask=lm_mask,
         lm_perm=lm_perm,
+        has_duplicates=bool(is_ovf_lm.any()),
         lane_utilization=real_lanes / max(D * o_dev, 1),
     )
 
@@ -749,6 +752,21 @@ class _SpmdCommon:
 
         rows = jnp.take(s, obs.lm_order, axis=-1)
         return spmd_expand_rows(rows, self.spmd_layout)
+
+    def _seg_lm_reexpand(self, obs, u):
+        """Reduce-then-re-expand per landmark (E0 inner op) in slot
+        ROW space — no canonical-order takes unless overflow rows
+        duplicate landmarks (see stage1._seg_lm_reexpand)."""
+        rows = spmd_part_sums(u, self.spmd_layout)
+        if not self.plan.has_duplicates:
+            return spmd_expand_rows(rows, self.spmd_layout)
+        from povar_tpu.solver.segments import padded_segment_sum
+        import jax.numpy as jnp
+
+        s = padded_segment_sum(rows, obs.lm_combine)[..., :-1]
+        return spmd_expand_rows(
+            jnp.take(s, obs.lm_order, axis=-1), self.spmd_layout
+        )
 
     # state conversion ------------------------------------------------
     def pad_landmarks(self, lm):

@@ -249,23 +249,34 @@ def slot_segment_sum(
     return jnp.take(slot_part_sums(x, shapes), inv_pos, axis=-1)
 
 
+def slot_row_expand(rows: jnp.ndarray, shapes) -> jnp.ndarray:
+    """Per-slot-row values [..., n_slot_rows] -> per-observation
+    [..., O_pad]: the broadcast half of slot_expand without the
+    canonical-order take. With unique rows per landmark,
+    slot_row_expand(slot_part_sums(x)) re-expands a per-landmark
+    reduction with ZERO index gathers — the reduce-then-broadcast
+    round trip the power-series E0 runs every term (on device the two
+    canonical-order takes cost ~40% of a term at venice-89)."""
+    parts = []
+    ofs = 0
+    for g, w in shapes:
+        blk = rows[..., ofs : ofs + g]
+        parts.append(
+            jnp.broadcast_to(
+                blk[..., None, :], blk.shape[:-1] + (w, g)
+            ).reshape(rows.shape[:-1] + (g * w,))
+        )
+        ofs += g
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def slot_expand(
     s: jnp.ndarray, shapes, lm_order: jnp.ndarray
 ) -> jnp.ndarray:
     """Inverse of slot_segment_sum's indexing: per-landmark values
     s [..., M] -> per-observation [..., O_pad] (slot order)."""
-    s_slot = jnp.take(s, lm_order, axis=-1)  # [..., M] in slot-row order
-    parts = []
-    ofs = 0
-    for g, w in shapes:
-        blk = s_slot[..., ofs : ofs + g]
-        parts.append(
-            jnp.broadcast_to(
-                blk[..., None, :], blk.shape[:-1] + (w, g)
-            ).reshape(s.shape[:-1] + (g * w,))
-        )
-        ofs += g
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    # [..., M] -> slot-row order, then broadcast over slot widths
+    return slot_row_expand(jnp.take(s, lm_order, axis=-1), shapes)
 
 
 # ---------------------------------------------------------------------

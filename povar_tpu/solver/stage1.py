@@ -342,6 +342,24 @@ class CamWindows:
             return None
         return (obs.win_kmap, self.n_win, self.win_w)
 
+    def _seg_lm_reexpand(self, obs: Obs, u: jnp.ndarray) -> jnp.ndarray:
+        """Per-landmark sum of u [..., O] immediately re-expanded to
+        observations [..., O] — the inner operation of every E0 matvec
+        (right_mul_e0, linearization_power_varproj.hpp:364-453). With
+        unique slot rows this is a pure reshape-sum-broadcast in SLOT
+        ROW order (no canonical-order takes, which cost ~40% of a
+        power term on device); duplicated overflow rows fall back to
+        the canonical combine round trip."""
+        from povar_tpu.solver.segments import (
+            slot_part_sums,
+            slot_row_expand,
+        )
+
+        if obs.lm_combine is None:
+            rows = slot_part_sums(u, self.lm_shapes)
+            return slot_row_expand(rows, self.lm_shapes)
+        return self._gather_lm_x(obs, self._seg_lm(obs, u))
+
     def _kcam(self, obs: Obs) -> jnp.ndarray:
         """Camera ids as the kernels expect them (window-local under
         the windowed layout)."""
@@ -1011,14 +1029,12 @@ class Stage1Solver(StagedTiming, CamWindows):
         if self.use_pallas and W.dtype == jnp.float32:
             w36 = W.reshape(36, -1)
             u = pallas_cam.e0_u(w36, obs.cam, x)  # [3, O]
-            s = self._seg_lm(obs, u)  # [3, M]
-            sb = self._gather_lm_x(obs, s)  # [3, O]
+            sb = self._seg_lm_reexpand(obs, u)  # [3, O]
             return pallas_cam.e0_scatter(w36, obs.cam, sb, self.n_cams)
         xc = x[:, obs.cam]  # [12, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
-        s = self._seg_lm(obs, u)  # [3, M]
         v = small_einsum(
-            "ijo,io->jo", W, self._gather_lm_x(obs, s)
+            "ijo,io->jo", W, self._seg_lm_reexpand(obs, u)
         )  # [12, O]
         return self._seg_cam(obs, v)
 
@@ -1466,8 +1482,7 @@ class Stage1Solver(StagedTiming, CamWindows):
             u = pallas_pose.e0_u_structured(
                 kcam, lin.x, h, self._expand_tbl(obs, ps * v), win=win
             )
-            s = self._seg_lm(obs, u)
-            sb = self._gather_lm_x(obs, s)
+            sb = self._seg_lm_reexpand(obs, u)
             out = pallas_pose.e0_scatter_structured(
                 kcam, lin.x, h, sb, self.n_cams, win=win
             )

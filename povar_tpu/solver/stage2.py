@@ -569,17 +569,18 @@ class Stage2Solver(StagedTiming, CamWindows):
     def _e0_w_matvec(
         self, x: jnp.ndarray, obs: Obs, W: jnp.ndarray
     ) -> jnp.ndarray:
-        if self.use_pallas and W.dtype == jnp.float32:
+        if (
+            self.use_pallas and not self.n_win
+            and W.dtype == jnp.float32
+        ):
             w33 = W.reshape(33, -1)
             u = pallas_cam.e0_u(w33, obs.cam, x)  # [3, O]
-            s = self._seg_lm(obs, u)
-            sb = self._gather_lm_x(obs, s)
+            sb = self._seg_lm_reexpand(obs, u)
             return pallas_cam.e0_scatter(w33, obs.cam, sb, self.n_cams)
         xc = self._gather_cam_x(obs, x)  # [11, O]
         u = small_einsum("ijo,jo->io", W, xc)  # [3, O]
-        s = self._seg_lm(obs, u)
         v = small_einsum(
-            "ijo,io->jo", W, self._gather_lm_x(obs, s)
+            "ijo,io->jo", W, self._seg_lm_reexpand(obs, u)
         )  # [11, O]
         return self._seg_cam(obs, v)
 
@@ -1001,8 +1002,7 @@ class Stage2Solver(StagedTiming, CamWindows):
                 kcam, lin.x4, lin.mm, lin.sw, b6, None,
                 self._expand_tbl(obs, zt), add_r=False, win=win,
             )
-            s = self._seg_lm(obs, u3)
-            sb = self._gather_lm_x(obs, s)
+            sb = self._seg_lm_reexpand(obs, u3)
             out12 = self._combine_cam_win(obs, pallas_pose2.scatter2(
                 kcam, lin.x4, lin.mm, lin.sw, b6, sb, self.n_cams,
                 win=win,
