@@ -129,13 +129,17 @@ def _win_tile(t: int, win) -> int:
     return min(t, 1024) if win is not None else t
 
 
-def _choose_tile(o: int, nb: int, win) -> int:
+def _choose_tile(o: int, nb: int, win, plain_cap: int = PART_ALIGN) -> int:
     """Obs tile for a kernel launch: windowed mode caps at the kmap
     block granularity (PART_ALIGN) and the window VMEM budget; plain
-    mode uses the largest supported tile (the PART_ALIGN cap would
-    halve it and double the fixed per-tile launch cost)."""
+    mode caps at the kernel's own VMEM frame budget (`plain_cap` —
+    thin kernels take 8192 to halve the fixed per-tile launch cost,
+    fat ones like `prepare` stay at 4096: their padded operand +
+    temporary rows exceed scoped VMEM at 8192)."""
     t = _tile(o, nb)
-    return _win_tile(min(t, PART_ALIGN), win) if win is not None else t
+    if win is not None:
+        return _win_tile(min(t, PART_ALIGN), win)
+    return min(t, plain_cap)
 
 
 def _pose_call(kern, out_shape, in_specs, out_specs, args, *, o, t, win):
@@ -388,7 +392,7 @@ def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha, win=None):
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _choose_tile(o, nb, win)
+    t = _choose_tile(o, nb, win, plain_cap=8192)
     return _pose_call(
         functools.partial(_h_kernel, alpha=float(alpha)),
         out_shape=jax.ShapeDtypeStruct((9, o), jnp.float32),
@@ -556,7 +560,7 @@ def e0_u_structured(cam, x, h, z_table, win=None):
     else:
         n_pad = n
     nb = _cam_block(n_pad, win)
-    t = _choose_tile(o, nb, win)
+    t = _choose_tile(o, nb, win, plain_cap=8192)
     return _pose_call(
         _e0_u_kernel,
         out_shape=jax.ShapeDtypeStruct((3, o), jnp.float32),
@@ -602,7 +606,7 @@ def e0_scatter_structured(cam, x, h, sb, n_cams, win=None):
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
-    t = _choose_tile(o, nb, win)
+    t = _choose_tile(o, nb, win, plain_cap=8192)
     out = _pose_call(
         _e0_scatter_kernel,
         out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
