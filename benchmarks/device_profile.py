@@ -43,26 +43,14 @@ from povar_tpu.problem.synthetic import (  # noqa: E402
     synthetic_bal_problem_fast,
 )
 
-N_CAMS, N_LMS, OBS = 89, 110_973, 5
+N_CAMS, N_LMS, OBS = 89, 110_973, 5  # venice-89 defaults
 
 
-def _bucket(name: str) -> str:
-    """Group raw HLO op names into readable buckets."""
-    n = name.lower()
-    for key in (
-        "prepare", "hpp_b", "e0_u", "e0_scatter", "e0_factor",
-        "ldiff", "poba", "error", "custom-call", "fusion", "copy",
-        "dot", "reduce", "transpose", "convert", "scatter", "gather",
-        "dynamic", "broadcast", "iota", "select", "concatenate",
-    ):
-        if key in n:
-            return key
-    return n.split(".")[0][:40]
-
-
-def _device_events(trace_dir):
-    """Yield (name, dur_us) for device-track complete events from the
-    captured chrome trace."""
+def _device_tracks(trace_dir):
+    """Return (modules, ops): lists of complete events from the device
+    'XLA Modules' and 'XLA Ops' tracks. Modules are whole-executable
+    spans (one per jit call); ops are the leaf HLO ops within them —
+    keeping the tracks separate avoids double-counting nested spans."""
     paths = glob.glob(
         os.path.join(
             trace_dir, "plugins", "profile", "*", "*.trace.json.gz"
@@ -72,26 +60,45 @@ def _device_events(trace_dir):
     with gzip.open(paths[0], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # find device pids: process names containing 'TPU' or 'device'
-    dev_pids = set()
+    pnames, tnames = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pname = e.get("args", {}).get("name", "").lower()
-            if "tpu" in pname or ("xla" in pname and "host" not in pname):
-                dev_pids.add(e["pid"])
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pnames[e["pid"]] = e.get("args", {}).get("name", "")
+            elif e.get("name") == "thread_name":
+                tnames[(e["pid"], e.get("tid"))] = e.get(
+                    "args", {}
+                ).get("name", "")
+    mods, ops = [], []
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            yield e.get("name", "?"), float(e.get("dur", 0.0))
+        if e.get("ph") != "X":
+            continue
+        if "device" not in pnames.get(e["pid"], "").lower():
+            continue
+        track = tnames.get((e["pid"], e.get("tid")), "")
+        if track == "XLA Modules":
+            mods.append(e)
+        elif track == "XLA Ops":
+            ops.append(e)
+    mods.sort(key=lambda e: e["ts"])
+    return mods, ops
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage2", action="store_true")
+    ap.add_argument("--cams", type=int, default=N_CAMS)
+    ap.add_argument("--lms", type=int, default=N_LMS)
+    ap.add_argument("--obs-per-lm", type=int, default=OBS)
+    ap.add_argument("--locality", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    problem = synthetic_bal_problem_fast(N_CAMS, N_LMS, OBS, seed=0)
+    n_cams, n_lms = args.cams, args.lms
+    problem = synthetic_bal_problem_fast(
+        n_cams, n_lms, args.obs_per_lm, seed=0, locality=args.locality,
+    )
     opts = SolverOptions()
     opts.power_sc_iterations = 10
     opts.eta = 0.0
@@ -106,14 +113,14 @@ def main():
 
         s1 = Stage1Solver(
             problem.obs_cam, problem.obs_lm, problem.obs_uv,
-            N_CAMS, N_LMS, opts,
+            n_cams, n_lms, opts,
         )
         cams = jnp.asarray(problem.cam_space)
         lms = s1.initialize_varproj(cams)
         cams, lms_h = create_homogeneous(cams, lms)
         solver = Stage2Solver(
             problem.obs_cam, problem.obs_lm, problem.obs_uv,
-            N_CAMS, N_LMS, opts,
+            n_cams, n_lms, opts,
         )
         lam = jnp.asarray(1e-4, solver.dtype)
 
@@ -130,7 +137,7 @@ def main():
 
         solver = Stage1Solver(
             problem.obs_cam, problem.obs_lm, problem.obs_uv,
-            N_CAMS, N_LMS, opts,
+            n_cams, n_lms, opts,
         )
         cams = jnp.asarray(problem.cam_space)
         lms = solver.initialize_varproj(cams)
@@ -159,20 +166,41 @@ def main():
     jax.profiler.stop_trace()
     wall = (time.perf_counter() - t0) / args.reps
 
-    agg = defaultdict(float)
-    total = 0.0
-    for name, dur in _device_events(trace_dir):
-        agg[_bucket(name)] += dur
-        total += dur
+    import bisect
+
+    mods, ops = _device_tracks(trace_dir)
+    mod_agg = defaultdict(float)
+    for m in mods:
+        mod_agg[m["name"].split("(")[0]] += m["dur"]
+    total = sum(mod_agg.values())
     per_it = total / args.reps / 1e3  # ms
     which = "stage-2" if args.stage2 else "stage-1"
-    print(f"\n== venice-89 {which} iteration device profile ==")
+    print(f"\n== {n_cams}-cam {which} iteration device profile ==")
     print(f"host wall/iter: {wall * 1e3:.2f} ms;  "
           f"device time/iter: {per_it:.2f} ms;  trace: {trace_dir}")
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])
-    for name, dur in rows[:25]:
+    print("\nper-module (whole jit executables):")
+    for name, dur in sorted(mod_agg.items(), key=lambda kv: -kv[1]):
         ms = dur / args.reps / 1e3
-        print(f"  {name:<28} {ms:8.3f} ms  {100 * dur / total:5.1f}%")
+        print(f"  {name:<32} {ms:8.3f} ms  {100 * dur / total:5.1f}%")
+
+    # leaf ops grouped by enclosing module (timestamp containment)
+    mstarts = [m["ts"] for m in mods]
+
+    def _modname(ts):
+        i = bisect.bisect_right(mstarts, ts) - 1
+        if i >= 0 and ts < mods[i]["ts"] + mods[i]["dur"]:
+            return mods[i]["name"].split("(")[0]
+        return "<outside-module>"
+
+    per_mod = defaultdict(lambda: defaultdict(float))
+    for o in ops:
+        per_mod[_modname(o["ts"])][o["name"]] += o["dur"]
+    for mn, d in sorted(
+        per_mod.items(), key=lambda kv: -sum(kv[1].values())
+    ):
+        print(f"\n{mn}: top leaf ops")
+        for n, v in sorted(d.items(), key=lambda kv: -kv[1])[:10]:
+            print(f"   {n:<44} {v / args.reps / 1e3:7.3f} ms")
 
     # HBM roofline: bytes moved per iteration by the structured path
     o = problem.num_observations

@@ -16,7 +16,13 @@ Usage: python benchmarks/spmd_overhead.py [--cams 1778] [--lms 993923]
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
 import time
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
 
 import jax
 
