@@ -10,6 +10,13 @@ communication pattern (tests/test_spmd.py): per-camera accumulators
 and scalars only, [144,N] f32 per power term, microseconds on ICI.
 n-chip time ≈ (single-chip time x overhead) / n + collectives.
 
+The two phases run in SEPARATE subprocesses: measuring them in one
+process contaminates the second phase (live executables + device
+arrays from the first phase were measured inflating the SPMD iteration
+~30x). Syncs happen on replicated scalars only — `block_until_ready`
+on a sharded (NamedSharding) output takes seconds per call on the
+tunneled platform.
+
 Usage: python benchmarks/spmd_overhead.py [--cams 1778] [--lms 993923]
 """
 
@@ -62,7 +69,35 @@ def main():
     ap.add_argument("--obs-per-lm", type=int, default=5)
     ap.add_argument("--locality", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--phase", choices=["plain", "spmd"], default=None,
+        help="run one measurement phase (default: both, each in its "
+        "own subprocess, then print the ratio)",
+    )
     args = ap.parse_args()
+
+    if args.phase is None:
+        import re
+        import subprocess
+        import sys
+
+        times = {}
+        for phase in ("plain", "spmd"):
+            out = subprocess.run(
+                [sys.executable, __file__, "--phase", phase,
+                 "--cams", str(args.cams), "--lms", str(args.lms),
+                 "--obs-per-lm", str(args.obs_per_lm),
+                 "--locality", str(args.locality),
+                 "--reps", str(args.reps)],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            print(out, end="")
+            m = re.search(r"(?:windowed|1 dev\)): ([0-9.]+) ms", out)
+            times[phase] = float(m.group(1))
+        r = times["spmd"] / times["plain"]
+        print(f"layout overhead: {r:.3f}x "
+              f"(n-chip speedup estimate ~ n / {r:.3f})")
+        return
 
     problem = synthetic_bal_problem_fast(
         args.cams, args.lms, args.obs_per_lm, seed=0,
@@ -73,7 +108,15 @@ def main():
     opts.eta = 0.0
     opts.r_tolerance = -1.0
 
+    run_plain = args.phase == "plain"
     # plain single-chip windowed solver
+    if run_plain:
+        _measure_plain(problem, opts, args)
+    else:
+        _measure_spmd(problem, opts, args)
+
+
+def _measure_plain(problem, opts, args):
     plain = Stage1Solver(
         problem.obs_cam, problem.obs_lm, problem.obs_uv,
         problem.num_cameras, problem.num_landmarks, opts,
@@ -94,6 +137,10 @@ def main():
     print(f"plain windowed: {t_plain * 1e3:.1f} ms/iter "
           f"({problem.num_observations / t_plain / 1e6:.1f} Mobs/s)")
 
+
+def _measure_spmd(problem, opts, args):
+    cams = jnp.asarray(problem.cam_space)
+    lam = jnp.asarray(1e-4, jnp.float64)
     # 1-device-mesh SPMD solver (same chip, sharded program)
     t0 = time.perf_counter()
     plan = build_spmd_plan(
@@ -120,8 +167,6 @@ def main():
     t_spmd = _time_steps(step_spmd, (cams, lms0s), lam, args.reps)
     print(f"spmd layout (1 dev): {t_spmd * 1e3:.1f} ms/iter "
           f"({problem.num_observations / t_spmd / 1e6:.1f} Mobs/s)")
-    print(f"layout overhead: {t_spmd / t_plain:.3f}x "
-          f"(n-chip speedup estimate ~ n / {t_spmd / t_plain:.3f})")
 
 
 if __name__ == "__main__":

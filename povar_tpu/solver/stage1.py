@@ -58,6 +58,11 @@ from povar_tpu.solver.segments import (
 # gathers/reductions) when it fits comfortably in HBM
 ONEHOT_BUDGET_BYTES = 1_500_000_000
 
+# largest camera count for the dense reduced-camera-system direct
+# solve; above this CHOLESKY switches to the banded factorization
+# (solver/band_chol.py)
+DENSE_CHOL_MAX = 1536
+
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
     RobustNorm.HUBER: pose_math.ROBUST_HUBER,
@@ -464,6 +469,35 @@ class Stage1Solver(StagedTiming, CamWindows):
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             self.solve_dtype
         )
+        # banded direct solver beyond the dense-RCS ceiling
+        # (solver/band_chol.py: RCM band -> block-tridiagonal LLT)
+        self._band_plan = None
+        if (
+            options.solver_type_step_1 == SolverType.CHOLESKY
+            and self.n_cams > DENSE_CHOL_MAX
+        ):
+            import numpy as _np
+
+            from povar_tpu.solver import band_chol
+
+            self._band_plan = band_chol.build_band_plan(
+                _np.asarray(self.obs.cam), _np.asarray(self.obs.lm),
+                self.n_cams, self.n_lms,
+                live=None if self.obs.weight is None
+                else _np.asarray(self.obs.weight),
+            )
+            if self._band_plan is None:
+                raise ValueError(
+                    f"CHOLESKY at n_cams={self.n_cams}: the dense RCS "
+                    f"exceeds {DENSE_CHOL_MAX} cameras and the RCM "
+                    "block bandwidth exceeds "
+                    f"{band_chol.MAX_SUPERNODE} (no band structure); "
+                    "use POWER_VARPROJ or PCG"
+                )
+            self._band_meta = self._band_plan.meta
+            self._band_arrays = jax.tree.map(
+                jnp.asarray, self._band_plan.arrays
+            )
         # live-observation count for ResidualInfo (padding rows carry
         # zero weight and must not inflate num_obs / mean residuals)
         import numpy as _np
@@ -520,6 +554,10 @@ class Stage1Solver(StagedTiming, CamWindows):
         return self._jit_solve_pcg(self.obs, lin, lam)
 
     def solve_cholesky(self, lin, lam):
+        if self._band_plan is not None:
+            return self._jit_solve_cholesky(
+                self.obs, lin, lam, self._band_arrays
+            )
         return self._jit_solve_cholesky(self.obs, lin, lam)
 
     def apply(self, cam_space, lm_p, lin, inc_scaled):
@@ -693,10 +731,18 @@ class Stage1Solver(StagedTiming, CamWindows):
                 ),
                 self.obs, lin, lam, False,
             )
-            (inc, n_iter), t["solve_reduced_system"] = self._timed(
-                self._jit_cached("chol_solve", self._chol_solve),
-                self.obs, lin, lam, *pieces,
-            )
+            if self._band_plan is not None:
+                (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                    self._jit_cached(
+                        "chol_solve_band", self._chol_solve_banded
+                    ),
+                    self.obs, lin, lam, *pieces, self._band_arrays,
+                )
+            else:
+                (inc, n_iter), t["solve_reduced_system"] = self._timed(
+                    self._jit_cached("chol_solve", self._chol_solve),
+                    self.obs, lin, lam, *pieces,
+                )
             return inc, n_iter, t
         raise ValueError(f"unknown step-1 solver type {st}")
 
@@ -1183,14 +1229,14 @@ class Stage1Solver(StagedTiming, CamWindows):
         return (-res.x).astype(self.dtype), res.num_iterations
 
     def _solve_cholesky(
-        self, obs: Obs, lin: Lin1, lam: jnp.ndarray
+        self, obs: Obs, lin: Lin1, lam: jnp.ndarray, band_arrs=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """CHOLESKY path (linearization_sc.hpp:236-245 solve_direct_pOSE):
         materialize the dense reduced camera system S [12N, 12N] and
-        solve S inc = -b with the hand-rolled Cholesky. Intended for
-        small/medium N (tests, small problems), like the reference's
-        SimplicialLLT path. S = blockdiag(Hpp) + lam I - A A^T with
-        A = [W_o hll_chol^-T] scattered by (cam, lm)."""
+        solve S inc = -b with the hand-rolled Cholesky — or, when
+        `band_arrs` is given (n_cams > DENSE_CHOL_MAX), the banded
+        block-tridiagonal factorization. S = blockdiag(Hpp) + lam I -
+        A A^T with A = [W_o hll_chol^-T] scattered by (cam, lm)."""
         if isinstance(lin, Lin1S):
             raise ValueError(
                 "CHOLESKY is not supported on the structured Pallas "
@@ -1198,14 +1244,17 @@ class Stage1Solver(StagedTiming, CamWindows):
                 "PCG (the dense direct solve serves small problems, "
                 "where the XLA path is fast anyway)"
             )
-        if self.n_cams > 1536:
-            raise ValueError(
-                f"CHOLESKY materializes a dense [{self.n_cams * 12}]^2 "
-                "reduced camera system; use POWER_VARPROJ or PCG above "
-                "1536 cameras (the reference's SimplicialLLT serves the "
-                "same small/medium regime)"
-            )
         hll_inv, hll_inv_bl = self._prep_hll(obs, lin, lam, False)
+        if band_arrs is not None:
+            return self._chol_solve_banded(
+                obs, lin, lam, hll_inv, hll_inv_bl, band_arrs
+            )
+        if self.n_cams > DENSE_CHOL_MAX:
+            raise ValueError(
+                f"CHOLESKY at n_cams={self.n_cams} requires the banded "
+                "plan built at construction (solver_type_step_1 must "
+                "be CHOLESKY when the solver is created)"
+            )
         return self._chol_solve(obs, lin, lam, hll_inv, hll_inv_bl)
 
     def _chol_solve(self, obs: Obs, lin: Lin1, lam, hll_inv, hll_inv_bl):
@@ -1243,6 +1292,30 @@ class Stage1Solver(StagedTiming, CamWindows):
             S, b.astype(S.dtype).T.reshape(-1)
         ).reshape(self.n_cams, 12)
         return inc.T.astype(self.dtype), jnp.asarray(1, jnp.int32)
+
+    def _chol_solve_banded(
+        self, obs: Obs, lin: Lin1, lam, hll_inv, hll_inv_bl, band_arrs
+    ):
+        """Banded RCS assembly + supernodal block-tridiagonal LLT
+        (solver/band_chol.py) — the TPU mapping of the reference's
+        sparse SimplicialLLT (linearization_sc.hpp:236-245) beyond the
+        dense ceiling: RCM-banded structure factored as a lax.scan of
+        dense MXU panels."""
+        from povar_tpu.solver import band_chol
+
+        b, hpp = self._prep_hpp_b(obs, lin, hll_inv_bl)
+        hll_inv_chol = linalg.cholesky_smallf(hll_inv)
+        W = small_einsum("kio,kjo->ijo", lin.Jp, lin.Jl)  # [12, 3, O]
+        WL = small_einsum(
+            "ijo,jko->iko", W, self._gather_lm_x(obs, hll_inv_chol)
+        )  # [12, 3, O]
+        s_flat = band_chol.assemble_band(
+            self._band_meta, band_arrs, WL, hpp, lam
+        )
+        inc = -band_chol.solve_band(
+            self._band_meta, band_arrs, s_flat, b.astype(s_flat.dtype)
+        )
+        return inc.astype(self.dtype), jnp.asarray(1, jnp.int32)
 
     # ------------------------------------------------------------- apply
 
