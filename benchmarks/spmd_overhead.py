@@ -53,8 +53,13 @@ from povar_tpu.solver.stage1 import Stage1Solver  # noqa: E402
 
 def _time_steps(step, state, lam, reps):
     c, l = state
-    c, l, e = step(c, l, lam)
-    _ = float(np.asarray(e))  # compile + sync
+    # warm up THREE iterations, synced: beyond compilation, the first
+    # 1-2 EXECUTIONS of a freshly loaded sharded program take tens of
+    # seconds on the tunneled platform (measured: reps 0-1 at 57s/43s,
+    # rep 2+ steady at ~0.29s) — timing must start in steady state
+    for _ in range(3):
+        c, l, e = step(c, l, lam)
+        _ = float(np.asarray(e))
     t0 = time.perf_counter()
     for _ in range(reps):
         c, l, e = step(c, l, lam)
