@@ -99,11 +99,63 @@ def _check_supported(o: int, n_cams: int) -> None:
 
 
 def _onehot(cam_tile: jnp.ndarray, n_pad: int) -> jnp.ndarray:
-    """[Npad, T] f32 incidence for one tile's camera indices [1, T]."""
+    """[Npad, T] bf16 incidence for one tile's camera indices [1, T].
+
+    bf16 because {0, 1} is exact in bf16 and the MXU runs bf16 matmuls
+    in ONE pass where an f32 HIGHEST matmul costs six: the incidence
+    contractions below split the f32 value operand into three exact
+    bf16 summands instead (same products, half the passes)."""
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (n_pad, cam_tile.shape[-1]), 0
     )
-    return (rows == cam_tile).astype(jnp.float32)
+    return (rows == cam_tile).astype(jnp.bfloat16)
+
+
+def _split3(v32: jnp.ndarray):
+    """Exact 3-way bf16 split: hi + mid + lo == v32 (f32 adds, to the
+    last ulp).  Each summand is exact in bf16, so a bf16 matmul against
+    a 0/1 incidence matrix produces exact products with f32 MXU
+    accumulation — a 2x cheaper equivalent of precision=HIGHEST for
+    one-hot gathers/scatters."""
+    hi = v32.astype(jnp.bfloat16)
+    r1 = v32 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _oh_gather(v32: jnp.ndarray, oh: jnp.ndarray) -> jnp.ndarray:
+    """[R, Npad] f32 table x [Npad, T] one-hot -> [R, T] f32, exact
+    (3 single-pass bf16 matmuls)."""
+    dims = (((1,), (0,)), ((), ()))
+    hi, mid, lo = _split3(v32)
+    out = jax.lax.dot_general(
+        hi, oh, dims, preferred_element_type=jnp.float32
+    )
+    out += jax.lax.dot_general(
+        mid, oh, dims, preferred_element_type=jnp.float32
+    )
+    out += jax.lax.dot_general(
+        lo, oh, dims, preferred_element_type=jnp.float32
+    )
+    return out
+
+
+def _oh_scatter(v32: jnp.ndarray, oh: jnp.ndarray) -> jnp.ndarray:
+    """[R, T] f32 rows x [Npad, T] one-hot -> [R, Npad] per-camera f32
+    sums, with exact per-observation products (3-way bf16 split)."""
+    dims = (((1,), (1,)), ((), ()))
+    hi, mid, lo = _split3(v32)
+    out = jax.lax.dot_general(
+        hi, oh, dims, preferred_element_type=jnp.float32
+    )
+    out += jax.lax.dot_general(
+        mid, oh, dims, preferred_element_type=jnp.float32
+    )
+    out += jax.lax.dot_general(
+        lo, oh, dims, preferred_element_type=jnp.float32
+    )
+    return out
 
 
 def _obs_spec(rows: int, t: int):
@@ -121,10 +173,7 @@ def _fixed_spec(rows: int, cols: int):
 
 def _gather_kernel(cam_ref, table_ref, out_ref):
     oh = _onehot(cam_ref[:], table_ref.shape[-1])
-    out_ref[:] = jax.lax.dot_general(
-        table_ref[:], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    out_ref[:] = _oh_gather(table_ref[:], oh)
 
 
 def cam_gather(table: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
@@ -155,10 +204,7 @@ def _scatter_kernel(cam_ref, v_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     oh = _onehot(cam_ref[:], out_ref.shape[-1])
-    out_ref[:] += jax.lax.dot_general(
-        v_ref[:], oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    out_ref[:] += _oh_scatter(v_ref[:], oh)
 
 
 def cam_scatter_add(
@@ -191,10 +237,7 @@ def cam_scatter_add(
 
 def _e0_u_kernel(cam_ref, x_ref, w_ref, u_ref, *, dl, dc):
     oh = _onehot(cam_ref[:], x_ref.shape[-1])
-    xc = jax.lax.dot_general(
-        x_ref[:], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )  # [dc, T]
+    xc = _oh_gather(x_ref[:], oh)  # [dc, T]
     w3 = w_ref[:].reshape(dl, dc, w_ref.shape[-1])
     u_ref[:] = jnp.sum(w3 * xc[None, :, :], axis=1)
 
@@ -232,10 +275,7 @@ def _e0_scatter_kernel(cam_ref, sb_ref, w_ref, out_ref, *, dl, dc):
     w3 = w_ref[:].reshape(dl, dc, w_ref.shape[-1])
     v = jnp.sum(w3 * sb_ref[:][:, None, :], axis=0)  # [dc, T]
     oh = _onehot(cam_ref[:], out_ref.shape[-1])
-    out_ref[:] += jax.lax.dot_general(
-        v, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    out_ref[:] += _oh_scatter(v, oh)
 
 
 def e0_scatter(
@@ -288,15 +328,9 @@ def _hpp_b_kernel(cam_ref, jp_ref, rt_ref, hpp_ref, b_ref, *, k, d):
     for kk in range(1, k):
         jpk = jp[kk]
         outer += jpk[:, None, :] * jpk[None, :, :]
-    hpp_ref[:] += jax.lax.dot_general(
-        outer.reshape(d * d, t), oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    hpp_ref[:] += _oh_scatter(outer.reshape(d * d, t), oh)
     jr = jnp.sum(jp * rt_ref[:][:, None, :], axis=0)  # [d, T]
-    b_ref[:] += jax.lax.dot_general(
-        jr, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    b_ref[:] += _oh_scatter(jr, oh)
 
 
 def hpp_b(

@@ -43,10 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from povar_tpu.ops.pallas_cam import (
-    _HIGHEST,
     _I0,
     _interpret,
     _n_pad,
+    _oh_gather,
+    _oh_scatter,
     _onehot,
     _tile,
 )
@@ -169,19 +170,14 @@ def _pose_call(kern, out_shape, in_specs, out_specs, args, *, o, t, win):
 
 def _gather_table(table_ref, oh):
     """[R, Npad] table -> [R, T] per-observation rows via the on-chip
-    one-hot incidence."""
-    return jax.lax.dot_general(
-        table_ref[:], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    one-hot incidence (exact: 3-way bf16 split, see pallas_cam)."""
+    return _oh_gather(table_ref[:], oh)
 
 
 def _scatter_rows(rows, oh):
-    """rows [R, T] -> [R, Npad] per-camera sums."""
-    return jax.lax.dot_general(
-        rows, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGHEST,
-    )
+    """rows [R, T] -> [R, Npad] per-camera sums (exact products:
+    3-way bf16 split, see pallas_cam)."""
+    return _oh_scatter(rows, oh)
 
 
 def _a_tilde(P, u, v, sp, sa):
