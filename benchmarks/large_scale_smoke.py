@@ -33,6 +33,10 @@ SCALES = {
     "final-13682": (13_682, 4_585_579, 5, 64),
     # uniform camera draws (no locality): exercises the XLA fallback
     "venice-1778-uniform": (1778, 993_923, 5, 0),
+    # heavy-tailed obs counts + mixed spans + 1% global-span loop
+    # closures + scrambled camera ids (synthetic_bal_problem_adversarial)
+    "venice-1778-adversarial": (1778, 993_923, 5, -1),
+    "final-13682-adversarial": (13_682, 4_585_579, 5, -1),
 }
 
 
@@ -40,9 +44,18 @@ def main() -> None:
     scale = sys.argv[1] if len(sys.argv) > 1 else "venice-1778"
     n_cams, n_lms, obs_per_lm, locality = SCALES[scale]
     t0 = time.time()
-    problem = synthetic_bal_problem_fast(
-        n_cams, n_lms, obs_per_lm, seed=0, locality=locality
-    )
+    if locality < 0:
+        from povar_tpu.problem.synthetic import (
+            synthetic_bal_problem_adversarial,
+        )
+
+        problem = synthetic_bal_problem_adversarial(
+            n_cams, n_lms, mean_obs_per_lm=obs_per_lm, seed=0
+        )
+    else:
+        problem = synthetic_bal_problem_fast(
+            n_cams, n_lms, obs_per_lm, seed=0, locality=locality
+        )
     print(f"generated {problem.num_observations} obs in {time.time()-t0:.1f}s",
           flush=True)
     opts = SolverOptions()
