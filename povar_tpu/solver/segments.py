@@ -299,11 +299,6 @@ def slot_expand(
 
 WINDOW_W = 512  # largest supported window (VMEM bound on the one-hot)
 WINDOW_CHOICES = (128, 256, 512)
-# auto width: the smallest window is chosen whose span-overflow
-# landmarks cover at most this fraction of the observations (overflow
-# costs extra slot rows + combine gathers, the window width costs
-# one-hot FLOPs per observation)
-OVERFLOW_OBS_BUDGET = 0.02
 
 
 def _lm_spans(obs_cam, obs_lm, num_landmarks):
@@ -417,27 +412,56 @@ def plan_camera_order(
     return min(cands, key=lambda c: c[0])[1]
 
 
+def _bucket_lanes(counts: np.ndarray) -> int:
+    """Total slot lanes for per-row observation counts under the
+    build_slot_plan_windowed bucket rule (exact up to SLOT_EXACT_MAX,
+    next power of two above)."""
+    counts = counts[counts > 0]
+    small = counts <= SLOT_EXACT_MAX
+    lanes = int(counts[small].sum())
+    big = counts[~small]
+    if len(big):
+        lanes += int(
+            (1 << np.ceil(np.log2(big)).astype(np.int64)).sum()
+        )
+    return lanes
+
+
 def choose_window_width(
     obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
 ) -> int:
-    """Smallest supported window width whose span-overflow landmarks
-    (routed through grid-window sub-rows, see build_window_plan) cover
-    at most OVERFLOW_OBS_BUDGET of the observations. The one-hot
-    gather/scatter cost per observation is O(W), so tighter camera
-    locality directly buys kernel speed; a handful of wide-span
-    loop-closure landmarks no longer force the widest window."""
-    obs_cam = np.asarray(obs_cam)
-    obs_lm = np.asarray(obs_lm)
+    """Window width minimizing the modeled one-hot contraction cost
+    `lanes(w) * w`. Every slot lane (real or bucket pad) pays an O(w)
+    one-hot gather/scatter per kernel pass, so the cost of a width is
+    the EXACT lane count its plan would produce — including the extra
+    grid-cell sub-rows that landmarks with span > w split into
+    (build_window_plan) — times the width. A width whose overflow rows
+    cost less than the wider window's universal 2-4x one-hot tax wins:
+    one medium-span landmark population no longer forces the widest
+    window on everyone (the round-2 OVERFLOW_OBS_BUDGET rule did
+    exactly that on mixed-span problems, a 0.22x throughput cliff)."""
+    obs_cam = np.asarray(obs_cam, dtype=np.int64)
+    obs_lm = np.asarray(obs_lm, dtype=np.int64)
     lo, hi = _lm_spans(obs_cam, obs_lm, num_landmarks)
-    span_per_obs = (hi - lo + 1)[obs_lm]
-    o = max(len(obs_cam), 1)
-    # landmarks that overflow even the widest window overflow at ANY
-    # width — they must not drive the choice for everyone else
-    base = span_per_obs > WINDOW_CHOICES[-1]
+    span = hi - lo  # inclusive span minus one; row is normal if < w
+    lm_counts = np.bincount(obs_lm, minlength=num_landmarks)
+    span_per_obs = span[obs_lm]
+    best_w, best_cost = None, None
     for w in WINDOW_CHOICES:
-        if np.sum((span_per_obs > w) & ~base) <= OVERFLOW_OBS_BUDGET * o:
-            return w
-    return WINDOW_CHOICES[-1]
+        normal = span < w
+        lanes = _bucket_lanes(lm_counts[normal])
+        ovf = ~normal[obs_lm]
+        if ovf.any():
+            # one sub-row per occupied (landmark, width-w grid cell)
+            key = obs_lm[ovf] * (int(obs_cam.max()) // w + 2) + (
+                obs_cam[ovf] // w
+            )
+            _, cell_counts = np.unique(key, return_counts=True)
+            lanes += _bucket_lanes(cell_counts)
+        cost = lanes * w
+        if best_cost is None or cost < best_cost:
+            best_w, best_cost = w, cost
+    return best_w
 
 
 def build_window_plan(
@@ -558,39 +582,22 @@ def build_slot_plan_windowed(
     ends = np.searchsorted(sorted_ids, np.arange(n_rows), "right")
     counts = ends - starts
 
-    def width(c):
-        if c <= SLOT_EXACT_MAX:
-            return int(c) if c > 0 else 1
-        return 1 << int(np.ceil(np.log2(c)))
-
-    widths = np.array([width(c) for c in counts], dtype=np.int64)
+    # bucketed lane width per row: exact up to SLOT_EXACT_MAX, next
+    # power of two above (mirrored by _bucket_lanes' cost model)
+    widths = np.where(
+        counts <= SLOT_EXACT_MAX,
+        np.maximum(counts, 1),
+        1 << np.ceil(np.log2(np.maximum(counts, 1))).astype(np.int64),
+    ).astype(np.int64)
     perm_parts = []
     weight_parts = []
     shapes = []
     lm_order_parts = []
     real_parts = []  # mirrors lm_order_parts: True for real rows
     block_window = []
-    for win in range(n_windows):
-        in_win = row_window == win
-        win_lanes = 0
-        for w in np.unique(widths[in_win]):
-            rows = np.nonzero(in_win & (widths == w))[0]
-            g = len(rows)
-            blk_idx = np.zeros((g, w), dtype=np.int64)
-            blk_w = np.zeros((g, w), dtype=np.float64)
-            for i, rr in enumerate(rows):
-                c = counts[rr]
-                pos = order[starts[rr] : ends[rr]]
-                blk_idx[i, :c] = pos
-                blk_idx[i, c:] = pos[0] if c > 0 else 0
-                blk_w[i, :c] = 1.0
-            # slot-element-major: lane = k * G + g (see module comment)
-            perm_parts.append(blk_idx.T.reshape(-1))
-            weight_parts.append(blk_w.T.reshape(-1))
-            shapes.append((g, int(w)))
-            lm_order_parts.append(row_lm[rows])
-            real_parts.append(np.ones(g, dtype=bool))
-            win_lanes += g * int(w)
+    n_obs = len(obs_row)
+
+    def flush_pad(win, win_lanes):
         if win_lanes % pad_to:
             tail = pad_to - win_lanes % pad_to
             perm_parts.append(np.zeros(tail, np.int64))
@@ -599,7 +606,47 @@ def build_slot_plan_windowed(
             lm_order_parts.append(np.zeros(1, np.int64))
             real_parts.append(np.zeros(1, dtype=bool))
             win_lanes += tail
-        block_window += [win] * (win_lanes // pad_to)
+        block_window.extend([win] * (win_lanes // pad_to))
+
+    # one vectorized batch per (window, width-bucket) group: rows are
+    # lexsorted so groups are contiguous and windows ascend
+    sort_idx = np.lexsort((np.arange(n_rows), widths, row_window))
+    key_w = widths[sort_idx]
+    key_win = row_window[sort_idx].astype(np.int64)
+    change = (
+        np.nonzero((np.diff(key_win) != 0) | (np.diff(key_w) != 0))[0]
+        + 1
+    )
+    bounds = np.concatenate([[0], change, [n_rows]])
+    cur_win = None
+    win_lanes = 0
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if a == b:
+            continue
+        rows = sort_idx[a:b]
+        win, w, g = int(key_win[a]), int(key_w[a]), len(rows)
+        if cur_win is not None and win != cur_win:
+            flush_pad(cur_win, win_lanes)
+            win_lanes = 0
+        cur_win = win
+        cg = counts[rows]
+        # lane k of a row: its k-th observation; lanes past the count
+        # repeat a real observation with zero weight
+        k = np.arange(w)
+        idx = starts[rows][:, None] + np.minimum(
+            k[None, :], np.maximum(cg - 1, 0)[:, None]
+        )
+        blk_idx = order[np.minimum(idx, max(n_obs - 1, 0))]
+        blk_w = (k[None, :] < cg[:, None]).astype(np.float64)
+        # slot-element-major: lane = k * G + g (see module comment)
+        perm_parts.append(blk_idx.T.reshape(-1))
+        weight_parts.append(blk_w.T.reshape(-1))
+        shapes.append((g, w))
+        lm_order_parts.append(row_lm[rows])
+        real_parts.append(np.ones(g, dtype=bool))
+        win_lanes += g * w
+    if cur_win is not None:
+        flush_pad(cur_win, win_lanes)
     perm = np.concatenate(perm_parts)
     pad_weight = np.concatenate(weight_parts)
     lm_order = np.concatenate(lm_order_parts).astype(np.int32)

@@ -42,6 +42,34 @@ def _local_problem(rng, n_cams, n_lms, spread=30, k=4):
     )
 
 
+def test_choose_window_width_cost_model():
+    """A 5% medium-span landmark population must NOT force the widest
+    window on everyone: the lanes(w)*w cost model routes them through
+    grid-overflow sub-rows at width 128 instead (the round-2
+    overflow-budget rule picked 512 here — a 4x one-hot tax on the
+    95% of tight-span observations)."""
+    from povar_tpu.solver.segments import choose_window_width
+
+    rng = np.random.default_rng(3)
+    n_cams, n_lms, k = 1600, 4000, 6
+    centers = rng.integers(0, n_cams - 400, n_lms)
+    span = np.where(rng.random(n_lms) < 0.05, 384, 24)
+    obs_lm = np.repeat(np.arange(n_lms), k)
+    obs_cam = (
+        centers[obs_lm] + rng.integers(0, span[obs_lm], k * n_lms)
+    ).astype(np.int64)
+    w = choose_window_width(obs_cam, obs_lm, n_lms)
+    assert w == 128
+
+    # all-tight spans still pick the tightest width
+    w2 = choose_window_width(
+        (centers[obs_lm] + rng.integers(0, 24, k * n_lms)),
+        obs_lm,
+        n_lms,
+    )
+    assert w2 == 128
+
+
 def test_window_plan_covers_and_splits_overflow():
     rng = np.random.default_rng(0)
     obs_lm, obs_cam, _ = _local_problem(rng, 900, 200)
