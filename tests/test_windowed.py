@@ -308,14 +308,30 @@ def test_windowed_rcm_overflow_solver_matches_plain():
 
 
 @pytest.mark.slow
-def test_windowed_stage2_matches_plain_kernels():
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_windowed_stage2_matches_plain_kernels(adversarial):
     """Stage-2 structured kernels under the camera-window layout match
-    the same solver's global one-hot mode."""
+    the same solver's global one-hot mode — including on adversarial
+    structure (scrambled camera ids + loop-closure landmarks riding
+    the grid-overflow combine), mirroring the stage-1 RCM test."""
     from povar_tpu.solver.stage2 import Stage2Solver
 
     rng = np.random.default_rng(5)
     n_cams, n_lms = 1300, 100
     obs_lm, obs_cam, obs_uv = _local_problem(rng, n_cams, n_lms)
+    if adversarial:
+        extra_lm, extra_cam, extra_uv = [], [], []
+        for m in range(5):
+            for c in np.arange(m * 3, n_cams, 20):
+                extra_lm.append(n_lms + m)
+                extra_cam.append(c)
+                extra_uv.append(rng.standard_normal(2) * 0.3)
+        obs_lm = np.concatenate([obs_lm, extra_lm])
+        obs_cam = np.concatenate([obs_cam, extra_cam])
+        obs_uv = np.concatenate([obs_uv, np.asarray(extra_uv)])
+        n_lms += 5
+        scramble = rng.permutation(n_cams)
+        obs_cam = scramble[obs_cam]
     cam_space = rng.standard_normal((n_cams, 3, 4))
     lm_h = np.concatenate(
         [rng.standard_normal((n_lms, 3)), np.ones((n_lms, 1))], axis=1
@@ -328,6 +344,8 @@ def test_windowed_stage2_matches_plain_kernels():
     opts.r_tolerance = -1.0
     s = Stage2Solver(obs_cam, obs_lm, obs_uv, n_cams, n_lms, opts)
     assert s.n_win > 0
+    if adversarial:
+        assert s.obs.lm_combine is not None
     cams = jnp.asarray(cam_space)
     lms_h = jnp.asarray(lm_h)
 
