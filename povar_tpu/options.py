@@ -67,7 +67,18 @@ class BalResidualOptions:
 @dataclass
 class SolverOptions:
     """solver_options.hpp:46-308 (fields not meaningful on TPU, e.g.
-    num_threads, are kept for config compatibility but see notes)."""
+    num_threads, are kept for config compatibility but see notes).
+
+    Deliberately NOT ported (reference TOML configs containing them
+    still load — unknown keys are tolerated by load_config):
+    check_gradients / gradient_check_relative_precision /
+    gradient_check_numeric_derivative_relative_step_size
+    (solver_options.hpp:260-264, ceres-only debug switches; the
+    equivalent coverage here is tests/test_pose_math.py's
+    finite-difference Jacobian checks) and jp_t_jl_on_the_fly /
+    reallocate_cache (solver_options.hpp:282-283, experimental C++
+    landmark-block allocator knobs with no XLA analogue — buffer
+    layout is the compiler's job)."""
 
     solver_type_step_1: SolverType = SolverType.POWER_VARPROJ
     solver_type_step_2: SolverTypeRiemannian = SolverTypeRiemannian.RIPOBA
