@@ -19,3 +19,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# self-provision the optional native I/O library so its tests run
+# (falls back to a skip if no toolchain is available)
+import subprocess  # noqa: E402
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+if not os.path.exists(os.path.join(_CSRC, "libpovar_io.so")):
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC, "all"],
+            check=False,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
