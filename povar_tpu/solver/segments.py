@@ -379,11 +379,9 @@ def plan_camera_order(
     num_landmarks: int,
 ) -> Optional[np.ndarray]:
     """Choose the camera ordering the window planner works in: the
-    best of {identity, RCM, RCM without heavy outlier landmarks} by
-    (window width, span-overflow observation count) — the two terms of
-    the windowed kernels' cost model (one-hot FLOPs per obs are O(W);
-    overflow rows cost extra lanes + the combine reduce). Returns pos
-    [N] or None for identity.
+    best of {identity, RCM, RCM without heavy outlier landmarks} under
+    the window_cost_model (modeled one-hot lanes(w)*w at each
+    candidate's best width). Returns pos [N] or None for identity.
 
     Heavy landmarks (obs count >> median) act like loop closures:
     including their star edges drags every local span wider, so a
@@ -393,10 +391,9 @@ def plan_camera_order(
     obs_lm = np.asarray(obs_lm)
 
     def score(cam):
-        w = choose_window_width(cam, obs_lm, num_landmarks)
-        lo, hi = _lm_spans(cam, obs_lm, num_landmarks)
-        ovf = int(np.sum((hi - lo + 1)[obs_lm] > w))
-        return (w, ovf)
+        # the same lanes(w)*w model the width choice minimizes
+        w, cost = window_cost_model(cam, obs_lm, num_landmarks)
+        return (cost, w)
 
     cands = [(score(obs_cam), None)]
     pos1 = rcm_camera_order(obs_cam, obs_lm, num_cameras)
@@ -427,25 +424,25 @@ def _bucket_lanes(counts: np.ndarray) -> int:
     return lanes
 
 
-def choose_window_width(
+def window_cost_model(
     obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
-) -> int:
-    """Window width minimizing the modeled one-hot contraction cost
-    `lanes(w) * w`. Every slot lane (real or bucket pad) pays an O(w)
-    one-hot gather/scatter per kernel pass, so the cost of a width is
-    the EXACT lane count its plan would produce — including the extra
-    grid-cell sub-rows that landmarks with span > w split into
-    (build_window_plan) — times the width. A width whose overflow rows
-    cost less than the wider window's universal 2-4x one-hot tax wins:
-    one medium-span landmark population no longer forces the widest
-    window on everyone (the round-2 OVERFLOW_OBS_BUDGET rule did
-    exactly that on mixed-span problems, a 0.22x throughput cliff)."""
+) -> tuple:
+    """(best width, modeled one-hot contraction cost) over
+    WINDOW_CHOICES: cost(w) = lanes(w) * w. Every slot lane (real or
+    bucket pad) pays an O(w) one-hot gather/scatter per kernel pass,
+    so the cost of a width is the EXACT lane count its plan would
+    produce — including the extra grid-cell sub-rows that landmarks
+    with span > w split into (build_window_plan) — times the width. A
+    width whose overflow rows cost less than the wider window's
+    universal 2-4x one-hot tax wins: one medium-span landmark
+    population no longer forces the widest window on everyone (the
+    round-2 overflow-budget rule did exactly that on mixed-span
+    problems, a 0.22x throughput cliff)."""
     obs_cam = np.asarray(obs_cam, dtype=np.int64)
     obs_lm = np.asarray(obs_lm, dtype=np.int64)
     lo, hi = _lm_spans(obs_cam, obs_lm, num_landmarks)
     span = hi - lo  # inclusive span minus one; row is normal if < w
     lm_counts = np.bincount(obs_lm, minlength=num_landmarks)
-    span_per_obs = span[obs_lm]
     best_w, best_cost = None, None
     for w in WINDOW_CHOICES:
         normal = span < w
@@ -461,7 +458,14 @@ def choose_window_width(
         cost = lanes * w
         if best_cost is None or cost < best_cost:
             best_w, best_cost = w, cost
-    return best_w
+    return best_w, best_cost
+
+
+def choose_window_width(
+    obs_cam: np.ndarray, obs_lm: np.ndarray, num_landmarks: int
+) -> int:
+    """Window width minimizing the window_cost_model."""
+    return window_cost_model(obs_cam, obs_lm, num_landmarks)[0]
 
 
 def build_window_plan(
