@@ -4,7 +4,13 @@ scale (13,682 cams, 4.8M landmarks, ~24M observations) — validates HBM
 fit and reports throughput + peak device memory. Camera one-hot is
 disabled automatically at this N*O (falls back to bucketed gathers).
 
-Usage: python benchmarks/large_scale_smoke.py [venice-1778|final-13682]
+Usage:
+  python benchmarks/large_scale_smoke.py [venice-1778|final-13682]
+  python benchmarks/large_scale_smoke.py final-13682 --stage2
+
+--stage2 measures a steady step-2 Riemannian LM iteration (linearize +
+11-dof tangent power solve + joint apply + double-float cost eval)
+through the structured kernels instead of step 1.
 """
 
 import os
@@ -41,7 +47,9 @@ SCALES = {
 
 
 def main() -> None:
-    scale = sys.argv[1] if len(sys.argv) > 1 else "venice-1778"
+    argv = [a for a in sys.argv[1:] if a != "--stage2"]
+    stage2 = "--stage2" in sys.argv[1:]
+    scale = argv[0] if argv else "venice-1778"
     n_cams, n_lms, obs_per_lm, locality = SCALES[scale]
     t0 = time.time()
     if locality < 0:
@@ -77,28 +85,76 @@ def main() -> None:
         return float(np.asarray(jnp.sum(x)))
 
     lam = jnp.asarray(1e-4, lms.dtype)
-    t0 = time.time()
-    lin = s.linearize(cams, lms)
-    inc, terms = s.solve_power(lin, lam)
-    out = s.apply(cams, lms, lin, inc)
-    sync(out[2])
-    print(f"first iteration (incl compile): {time.time()-t0:.1f}s", flush=True)
+    if stage2:
+        from povar_tpu.solver.stage2 import (
+            Stage2Solver,
+            create_homogeneous,
+        )
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
+        cams2, lms_h = create_homogeneous(cams, lms)
+        s2 = Stage2Solver(
+            problem.obs_cam, problem.obs_lm, problem.obs_uv,
+            problem.num_cameras, problem.num_landmarks, opts,
+            obs_weight=getattr(problem, "obs_weight", None),
+        )
+        lam2 = jnp.asarray(1e-4, s2.dtype)
+
+        def iter2(c, l):
+            lin = s2.linearize(c, l)
+            inc, _ = s2.solve_power(lin, lam2)
+            nc, nl, _ld = s2.apply(c, l, lin, inc, lam2)
+            err = s2.compute_error(nc, nl)
+            return nc, nl, err["error_all"]
+
+        t0 = time.time()
+        c, l, e = iter2(cams2, lms_h)
+        sync(e)
+        print(f"first stage-2 iteration (incl compile): "
+              f"{time.time()-t0:.1f}s", flush=True)
+        # 2 more warm executions (fresh tunneled executables are slow
+        # on their first runs), then the timed loop
+        for _ in range(2):
+            c, l, e = iter2(cams2, lms_h)
+        sync(e)
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            c, l, e = iter2(cams2, lms_h)
+        e1 = sync(e)
+        dt = (time.time() - t0) / reps
+        print(
+            f"steady stage-2 LM iteration (incl df32 cost eval): "
+            f"{dt*1e3:.0f} ms "
+            f"({problem.num_observations/dt/1e6:.1f} Mobs/s); "
+            f"cost at step-2 start: {e1:.6e}",
+            flush=True,
+        )
+    else:
+        t0 = time.time()
         lin = s.linearize(cams, lms)
-        inc, _ = s.solve_power(lin, lam)
+        inc, terms = s.solve_power(lin, lam)
         out = s.apply(cams, lms, lin, inc)
-    sync(out[2])
-    dt = (time.time() - t0) / reps
-    e1 = float(np.asarray(s.compute_error(out[0], out[1])["error_all"]))
-    print(
-        f"steady LM iteration: {dt*1e3:.0f} ms "
-        f"({problem.num_observations/dt/1e6:.1f} Mobs/s); "
-        f"cost after 1 step: {e1:.6e} (from {e0:.6e})",
-        flush=True,
-    )
+        sync(out[2])
+        print(f"first iteration (incl compile): {time.time()-t0:.1f}s",
+              flush=True)
+
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            lin = s.linearize(cams, lms)
+            inc, _ = s.solve_power(lin, lam)
+            out = s.apply(cams, lms, lin, inc)
+        sync(out[2])
+        dt = (time.time() - t0) / reps
+        e1 = float(
+            np.asarray(s.compute_error(out[0], out[1])["error_all"])
+        )
+        print(
+            f"steady LM iteration: {dt*1e3:.0f} ms "
+            f"({problem.num_observations/dt/1e6:.1f} Mobs/s); "
+            f"cost after 1 step: {e1:.6e} (from {e0:.6e})",
+            flush=True,
+        )
     from povar_tpu.utils.profiling import device_memory_stats
 
     for dev, stats in device_memory_stats().items():

@@ -152,15 +152,20 @@ class Lin1S(NamedTuple):
 
     hll_raw/bl_raw are the UNSCALED landmark normal-equation slot sums
     (w A~^T A~, w A~^T r); the Jacobi scales apply as tiny outer
-    products on [.., M]/[.., N] tables, never per observation."""
+    products on [.., L]/[.., N] tables, never per observation.
+
+    Landmark-axis fields live in the solver's L space (CamWindows):
+    slot-ROW order when every landmark owns a unique slot row (zero
+    index gathers in the seg/expand round trips), canonical M order
+    under overflow sub-rows."""
 
     ct: jnp.ndarray  # [12, N] camera table (vec(P) rows) at lin point
     x: jnp.ndarray  # [3, O] landmarks expanded to observations
     r_w: jnp.ndarray  # [4, O] sqrt-weighted residuals
     sw: jnp.ndarray  # [1, O] sqrt robust weight (0 on dead rows)
-    hll_raw: jnp.ndarray  # [3, 3, M]
-    bl_raw: jnp.ndarray  # [3, M]
-    jl_scale: jnp.ndarray  # [3, M]
+    hll_raw: jnp.ndarray  # [3, 3, L]
+    bl_raw: jnp.ndarray  # [3, L]
+    jl_scale: jnp.ndarray  # [3, L]
     pose_scale: jnp.ndarray  # [12, N]
 
 
@@ -364,6 +369,72 @@ class CamWindows:
             rows = slot_part_sums(u, self.lm_shapes)
             return slot_row_expand(rows, self.lm_shapes)
         return self._gather_lm_x(obs, self._seg_lm(obs, u))
+
+    # ---- landmark "L space": where per-landmark tables live between
+    # a slot reduce and a slot expansion. With unique slot rows per
+    # landmark (no overflow sub-rows) that is SLOT-ROW order, and both
+    # directions are reshape-sum/broadcast with ZERO index gathers —
+    # the same trick _seg_lm_reexpand plays for E0, extended to every
+    # per-landmark quantity a linearization stores (Hll, bl, Jacobi
+    # scales, tangent bases). Random-access [M]-table gathers otherwise
+    # run ~100x below HBM bandwidth and dominated stage-2 linearize.
+    # With overflow rows, L space IS canonical M order (combine reduce).
+
+    def _lm_rowspace(self, obs: Obs) -> bool:
+        return obs.lm_combine is None
+
+    def _seg_L(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        """[..., O] -> [..., L] per-landmark reduce into L space."""
+        from povar_tpu.solver.segments import slot_part_sums
+
+        if self._lm_rowspace(obs):
+            return slot_part_sums(x, self.lm_shapes)
+        return self._seg_lm(obs, x)
+
+    def _expand_L(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
+        """[..., L] -> per-observation [..., O]."""
+        from povar_tpu.solver.segments import slot_row_expand
+
+        if self._lm_rowspace(obs):
+            return slot_row_expand(s, self.lm_shapes)
+        return self._gather_lm_x(obs, s)
+
+    def _L_to_lm(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
+        """[..., L] -> canonical [..., M] (one take; identity when L
+        space is already canonical)."""
+        if self._lm_rowspace(obs):
+            return jnp.take(s, obs.lm_inv, axis=-1)
+        return s
+
+    def _lm_to_L(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
+        """Canonical [..., M] -> [..., L] (one take; identity when L
+        space is already canonical)."""
+        if self._lm_rowspace(obs):
+            return jnp.take(s, obs.lm_order, axis=-1)
+        return s
+
+    def _lm_masked_L(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
+        """_lm_masked for L-space arrays (fake-landmark zeroing under
+        SPMD; no-op without a mask)."""
+        if obs.lm_mask is None:
+            return x
+        m = self._lm_to_L(obs, obs.lm_mask)
+        m = m.reshape((1,) * (x.ndim - 1) + (-1,)) > 0
+        return jnp.where(m, x, 0.0)
+
+    def _hll_guard_L(self, obs: Obs, hll: jnp.ndarray) -> jnp.ndarray:
+        """_hll_guard for L-space [3, 3, L] normal matrices.
+
+        Unlike canonical M space, slot-ROW space contains PAD rows
+        (lane/profile filler) whose sums are exactly zero — inverting
+        them would poison per-observation expansions with NaN (0 * NaN
+        = NaN survives the sw=0 dead-row mask). Their diagonal is a sum
+        of squares, so == 0 identifies exactly the singular rows (pads
+        AND SPMD fake landmarks); identity-guarding them keeps the
+        inversions finite and their zero-rhs solves yield zero."""
+        dg = hll[0, 0] + hll[1, 1] + hll[2, 2]
+        f = (dg == 0).astype(hll.dtype)
+        return hll + f * jnp.eye(3, dtype=hll.dtype)[:, :, None]
 
     def _kcam(self, obs: Obs) -> jnp.ndarray:
         """Camera ids as the kernels expect them (window-local under
@@ -904,11 +975,11 @@ class Stage1Solver(StagedTiming, CamWindows):
                 self._mask1(obs), alpha=self.alpha, robust=0,
                 huber=1.0, weighted=False, win=self._winargs(obs),
             )
-            gtg = self._hll_guard(
-                obs, self._seg_lm(obs, ata).reshape(3, 3, -1)
+            gtg = self._hll_guard_L(
+                obs, self._seg_L(obs, ata).reshape(3, 3, -1)
             )
-            gtz = -self._seg_lm(obs, atr)
-            lm0 = linalg.solve3x3f(gtg, gtz)
+            gtz = -self._seg_L(obs, atr)
+            lm0 = self._L_to_lm(obs, linalg.solve3x3f(gtg, gtz))
             return self._lm_masked(obs, lm0).T.astype(self.dtype)
         P = self._gather_cams(obs, cam_space)
         gtg, gtz = pose_math.varproj_init_normal_eq_t(P, obs.uv, self.alpha)
@@ -1485,7 +1556,11 @@ class Stage1Solver(StagedTiming, CamWindows):
         observations plus the landmark-slot reductions."""
         f32 = jnp.float32
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
-        x = self._gather_lm_x(obs, lm_p.astype(f32).T)  # [3, O]
+        # landmark state enters L space once; per-landmark tables stay
+        # there so seg/expand round trips are gather-free (CamWindows)
+        x = self._expand_L(
+            obs, self._lm_to_L(obs, lm_p.astype(f32).T)
+        )  # [3, O]
         r_w, sw, ata, atr, jpsq = pallas_pose.prepare(
             self._kcam(obs), self._expand_tbl(obs, ct), x,
             obs.uv.astype(f32), self._mask1(obs),
@@ -1493,8 +1568,8 @@ class Stage1Solver(StagedTiming, CamWindows):
             win=self._winargs(obs),
         )
         jpsq = self._combine_cam_win(obs, jpsq)
-        hll_raw = self._seg_lm(obs, ata).reshape(3, 3, -1)
-        bl_raw = self._seg_lm(obs, atr)
+        hll_raw = self._seg_L(obs, ata).reshape(3, 3, -1)
+        bl_raw = self._seg_L(obs, atr)
         return ct, x, r_w, sw, hll_raw, bl_raw, jpsq
 
     def _lin_scale_jl_s(self, hll_raw: jnp.ndarray) -> jnp.ndarray:
@@ -1519,13 +1594,13 @@ class Stage1Solver(StagedTiming, CamWindows):
             hll = hll + lam.astype(hll.dtype) * jnp.eye(
                 3, dtype=hll.dtype
             )[:, :, None]
-        hll_inv = linalg.inv3x3f(self._hll_guard(obs, hll))
+        hll_inv = linalg.inv3x3f(self._hll_guard_L(obs, hll))
         bl = d * lin.bl_raw
-        hib = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, M]
-        lh = linalg.cholesky_smallf(hll_inv)  # [3, 3, M] lower
-        jls_obs = self._gather_lm_x(obs, d)
-        hib_obs = self._gather_lm_x(obs, hib)
-        lh_obs = self._gather_lm_x(obs, lh.reshape(9, lh.shape[-1]))
+        hib = small_einsum("ijm,jm->im", hll_inv, bl)  # [3, L]
+        lh = linalg.cholesky_smallf(hll_inv)  # [3, 3, L] lower
+        jls_obs = self._expand_L(obs, d)
+        hib_obs = self._expand_L(obs, hib)
+        lh_obs = self._expand_L(obs, lh.reshape(9, lh.shape[-1]))
         return hll_inv, hib_obs, jls_obs, lh_obs
 
     def _hpp_b_s(self, obs: Obs, lin: Lin1S, hib_obs, jls_obs):
@@ -1702,24 +1777,24 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._mask1(obs), alpha=self.alpha, robust=0, huber=1.0,
             weighted=False, win=win,
         )
-        hll_new = self._hll_guard(
-            obs, self._seg_lm(obs, ata).reshape(3, 3, -1)
+        hll_new = self._hll_guard_L(
+            obs, self._seg_L(obs, ata).reshape(3, 3, -1)
         )
-        tmp = self._seg_lm(obs, atr)
-        inc_lm = self._lm_masked(
+        tmp = self._seg_L(obs, atr)
+        inc_lm = self._lm_masked_L(
             obs, -linalg.solve3x3f(hll_new, tmp)
-        )  # [3, M]
+        )  # [3, L]
 
         part = pallas_pose.apply_ldiff(
             kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
-            self._gather_lm_x(obs, lin.jl_scale),
-            self._gather_lm_x(obs, inc_lm),
+            self._expand_L(obs, lin.jl_scale),
+            self._expand_L(obs, inc_lm),
             self._expand_tbl(obs, lin.ct),
             self._expand_tbl(obs, inc_f), alpha=self.alpha, win=win,
         )
         l_diff = -self._psum(jnp.sum(part))
         return (
-            lm_p + inc_lm.astype(self.dtype).T,
+            lm_p + self._L_to_lm(obs, inc_lm).astype(self.dtype).T,
             l_diff.astype(self.dtype),
         )
 
@@ -1732,7 +1807,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         d = lin.jl_scale
         hll = lin.hll_raw * (d[:, None, :] * d[None, :, :])
         hll = hll + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
-        jls_obs = self._gather_lm_x(obs, d)
+        jls_obs = self._expand_L(obs, d)
         win = self._winargs(obs)
         kcam = self._kcam(obs)
         t3 = pallas_pose.poba_t3(
@@ -1742,21 +1817,23 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._expand_tbl(obs, lin.pose_scale * inc_f),
             alpha=self.alpha, win=win,
         )
-        tmp = self._seg_lm(obs, t3)
-        inc_lm_scaled = self._lm_masked(
+        tmp = self._seg_L(obs, t3)
+        inc_lm_scaled = self._lm_masked_L(
             obs, -linalg.solve3x3f(hll, tmp)
-        )  # [3, M]
+        )  # [3, L]
 
         part = pallas_pose.apply_ldiff_stored(
             kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
-            jls_obs, self._gather_lm_x(obs, inc_lm_scaled),
+            jls_obs, self._expand_L(obs, inc_lm_scaled),
             self._expand_tbl(obs, lin.ct),
             self._expand_tbl(obs, lin.pose_scale * inc_f),
             alpha=self.alpha, win=win,
         )
         l_diff = -self._psum(jnp.sum(part))
 
-        new_lm = lm_p + (inc_lm_scaled * d).astype(self.dtype).T
+        new_lm = lm_p + self._L_to_lm(
+            obs, inc_lm_scaled * d
+        ).astype(self.dtype).T
         return new_lm, l_diff.astype(self.dtype)
 
     def _compute_error_df32(

@@ -80,7 +80,12 @@ class Lin2S(NamedTuple):
     per-observation projection state instead of the Jp/Jl/Jp_ns/Jl_ns
     storage (ops/pallas_pose2.py — the Jacobians re-derive in registers
     from (mm, x4) and the tangent lifts fold per-camera into kps).
-    Everything f32."""
+    Everything f32.
+
+    Landmark-axis fields live in the solver's L space (CamWindows):
+    slot-ROW order when every landmark owns a unique slot row — so the
+    per-landmark reduce/expand round trips in solve/apply run with zero
+    index gathers — and canonical M order under overflow sub-rows."""
 
     ct: jnp.ndarray  # [12, N] normalized camera table
     x4: jnp.ndarray  # [4, O] homogeneous landmarks expanded
@@ -89,12 +94,12 @@ class Lin2S(NamedTuple):
     r_w: jnp.ndarray  # [2, O] sqrt-weighted residuals
     jls8: jnp.ndarray  # [8, O] weighted SCALED Jl rows (r*4+c)
     jlns: jnp.ndarray  # [6, O] tangent-projected Jl_ns rows (r*3+i)
-    hll_raw: jnp.ndarray  # [3, 3, M] undamped tangent Hll slot sums
-    bl_raw: jnp.ndarray  # [3, M] tangent gradient slot sums
-    jl_scale: jnp.ndarray  # [4, M]
+    hll_raw: jnp.ndarray  # [3, 3, L] undamped tangent Hll slot sums
+    bl_raw: jnp.ndarray  # [3, L] tangent gradient slot sums
+    jl_scale: jnp.ndarray  # [4, L]
     pose_scale: jnp.ndarray  # [12, N]
     kernel_cam: jnp.ndarray  # [12, 11, N]
-    kernel_lm: jnp.ndarray  # [4, 3, M]
+    kernel_lm: jnp.ndarray  # [4, 3, L]
     kps: jnp.ndarray  # [12, 11, N] = pose_scale . kernel_cam
 
 
@@ -871,7 +876,11 @@ class Stage2Solver(StagedTiming, CamWindows):
     def _linearize_s(self, obs: Obs, cam_space, lm_p_h) -> Lin2S:
         f32 = jnp.float32
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
-        x4 = self._gather_lm_x(obs, lm_p_h.astype(f32).T)  # [4, O]
+        # landmark state enters L space ONCE (a [4, M] take when rows
+        # are unique); every per-landmark quantity below stays in L
+        # space so the seg/expand round trips are gather-free
+        x4_L = self._lm_to_L(obs, lm_p_h.astype(f32).T)  # [4, L]
+        x4 = self._expand_L(obs, x4_L)  # [4, O]
         rw, sw, mm, jlw, jlsq, jpsq = pallas_pose2.prepare2(
             self._kcam(obs), self._expand_tbl(obs, ct), x4,
             obs.uv.astype(f32), self._mask1(obs),
@@ -879,15 +888,15 @@ class Stage2Solver(StagedTiming, CamWindows):
             huber=self.huber, win=self._winargs(obs),
         )
         jpsq = self._combine_cam_win(obs, jpsq)
-        jl_sq = self._seg_lm(obs, jlsq)  # [4, M]
+        jl_sq = self._seg_L(obs, jlsq)  # [4, L]
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
         pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
         kernel_cam = linalg.nullspace_of_rowf(ct)  # [12, 11, N]
-        kernel_lm = linalg.nullspace_of_rowf(lm_p_h.astype(f32).T)
+        kernel_lm = linalg.nullspace_of_rowf(x4_L)  # [4, 3, L]
 
-        jls_e = self._gather_lm_x(obs, jl_scale)  # [4, O]
+        jls_e = self._expand_L(obs, jl_scale)  # [4, O]
         jls8 = jlw * jnp.concatenate([jls_e, jls_e], axis=0)
-        klm_e = self._gather_lm_x(
+        klm_e = self._expand_L(
             obs, kernel_lm.reshape(12, kernel_lm.shape[-1])
         )  # [12, O], rows c*3+i
         jlns = jnp.stack(
@@ -911,12 +920,12 @@ class Stage2Solver(StagedTiming, CamWindows):
             ],
             axis=0,
         )
-        hll_raw = self._seg_lm(obs, prods).reshape(3, 3, -1)
+        hll_raw = self._seg_L(obs, prods).reshape(3, 3, -1)
         blp = jnp.stack(
             [jlns[i] * rw[0] + jlns[3 + i] * rw[1] for i in range(3)],
             axis=0,
         )
-        bl_raw = self._seg_lm(obs, blp)
+        bl_raw = self._seg_L(obs, blp)
         kps = pose_scale[:, None, :] * kernel_cam
         return Lin2S(
             ct=ct, x4=x4, mm=mm, sw=sw, r_w=rw, jls8=jls8, jlns=jlns,
@@ -933,9 +942,9 @@ class Stage2Solver(StagedTiming, CamWindows):
         ]
         hll_inv = linalg.inv3x3f(hll)
         hib = small_einsum("ijm,jm->im", hll_inv, lin.bl_raw)
-        lchol = linalg.cholesky_smallf(hll_inv)  # [3, 3, M]
-        hib_obs = self._gather_lm_x(obs, hib)
-        l_obs = self._gather_lm_x(
+        lchol = linalg.cholesky_smallf(hll_inv)  # [3, 3, L]
+        hib_obs = self._expand_L(obs, hib)
+        l_obs = self._expand_L(
             obs, lchol.reshape(9, lchol.shape[-1])
         )  # rows i*3+c
         b6 = jnp.stack(
@@ -1024,19 +1033,19 @@ class Stage2Solver(StagedTiming, CamWindows):
             kcam, lin.x4, lin.mm, lin.sw, lin.jlns, lin.r_w, zt_e,
             add_r=True, win=win,
         )
-        t3 = self._seg_lm(obs, t3_obs)
+        t3 = self._seg_L(obs, t3_obs)
         hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
-        inc3 = -linalg.solve3x3f(hll, t3)  # [3, M]
+        inc3 = -linalg.solve3x3f(hll, t3)  # [3, L]
         inc_proj = small_einsum(
             "ijm,jm->im", lin.kernel_lm, inc3
-        )  # [4, M]
+        )  # [4, L]
         part = pallas_pose2.ldiff2(
             kcam, lin.x4, lin.mm, lin.sw, lin.r_w, lin.jls8,
-            self._gather_lm_x(obs, inc_proj), zt_e, win=win,
+            self._expand_L(obs, inc_proj), zt_e, win=win,
         )
         l_diff = -self._psum(jnp.sum(part))
-        new_lm_h = lm_p_h + (inc_proj * lin.jl_scale).astype(
-            self.dtype
-        ).T
+        # canonical state update: one [4, M] take out of L space
+        inc4 = self._L_to_lm(obs, inc_proj * lin.jl_scale)
+        new_lm_h = lm_p_h + inc4.astype(self.dtype).T
         new_lm_h = new_lm_h / new_lm_h[:, 3:4]
         return new_lm_h, l_diff.astype(self.dtype)
