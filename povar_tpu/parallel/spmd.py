@@ -768,6 +768,43 @@ class _SpmdCommon:
             jnp.take(s, obs.lm_order, axis=-1), self.spmd_layout
         )
 
+    # L space under SPMD (see stage1.CamWindows): with unique slot
+    # rows per landmark, per-landmark tables live in device-local ROW
+    # order and the reduce/expand round trips are gather-free; only
+    # the landmark state crosses to/from the padded canonical order
+    # (one take in at linearize, one combine out at the state update).
+    # Overflow duplicates force the canonical combine path throughout.
+
+    def _lm_rowspace(self, obs):
+        return not self.plan.has_duplicates
+
+    def _seg_L(self, obs, x):
+        rows = spmd_part_sums(x, self.spmd_layout)
+        if self.plan.has_duplicates:
+            from povar_tpu.solver.segments import padded_segment_sum
+
+            return padded_segment_sum(rows, obs.lm_combine)[..., :-1]
+        return rows
+
+    def _expand_L(self, obs, s):
+        if self.plan.has_duplicates:
+            return self._gather_lm_x(obs, s)
+        return spmd_expand_rows(s, self.spmd_layout)
+
+    def _L_to_lm(self, obs, s):
+        if self.plan.has_duplicates:
+            return s
+        from povar_tpu.solver.segments import padded_segment_sum
+
+        return padded_segment_sum(s, obs.lm_combine)[..., :-1]
+
+    def _lm_to_L(self, obs, s):
+        if self.plan.has_duplicates:
+            return s
+        import jax.numpy as jnp
+
+        return jnp.take(s, obs.lm_order, axis=-1)
+
     # state conversion ------------------------------------------------
     def pad_landmarks(self, lm):
         """Canonical [n_lms, k] -> sharded padded [D*m_dev, k]."""
