@@ -98,6 +98,10 @@ def main() -> None:
     lms = solver.initialize_varproj(cams)
     lms.block_until_ready()
     lam = jnp.asarray(1e-4, lms.dtype)
+    # thread the landmark state in L space, like the LM driver
+    # (solver/lm.py): canonical<->slot-order takes happen per stage,
+    # not per iteration
+    lms = solver.lm_pack(lms)
 
     # warmup/compile
     out = step(cams, lms, lam)

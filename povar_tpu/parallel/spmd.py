@@ -778,6 +778,16 @@ class _SpmdCommon:
     def _lm_rowspace(self, obs):
         return not self.plan.has_duplicates
 
+    # the sharded state already lives in the padded device order
+    # (pad_landmarks/unpad_landmarks); L-space packing would need the
+    # device-local take to run inside shard_map, so the state threads
+    # canonically here
+    def lm_pack(self, lm_p):
+        return lm_p
+
+    def lm_unpack(self, lm_p):
+        return lm_p
+
     def _seg_L(self, obs, x):
         rows = spmd_part_sums(x, self.spmd_layout)
         if self.plan.has_duplicates:

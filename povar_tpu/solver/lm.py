@@ -387,7 +387,12 @@ def optimize_step1(
     detailed = options.detailed_timing
 
     def initialize():
-        state.lms = solver.initialize_varproj(state.cams)
+        # thread the landmark state through the loop in L space
+        # (stage1.LmState): the canonical<->slot-order takes then
+        # happen once per stage instead of several times per iteration
+        state.lms = solver.lm_pack(
+            solver.initialize_varproj(state.cams)
+        )
 
     def compute_error():
         return ResidualInfo.from_device(
@@ -453,7 +458,7 @@ def optimize_step1(
     )
     summary.minimizer_time_in_seconds = timer_total.elapsed()
     finish_solve(summary, _SOLVER_TYPE_NAMES[options.solver_type_step_1])
-    return state.cams, state.lms
+    return state.cams, solver.lm_unpack(state.lms)
 
 
 def optimize_step2(
@@ -467,7 +472,7 @@ def optimize_step2(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Step 2: Riemannian joint refinement (optimize_homogeneous_joint,
     cpp:557-843). Returns optimized (cam_space, lm_p_h)."""
-    state = _State(cam_space, lm_p_h)
+    state = _State(cam_space, solver.lm_pack(lm_p_h))
     lin_box = {}
     detailed = options.detailed_timing
 
@@ -534,4 +539,4 @@ def optimize_step2(
         summary,
         "riemannian_" + options.solver_type_step_2.value.lower(),
     )
-    return state.cams, state.lms
+    return state.cams, solver.lm_unpack(state.lms)

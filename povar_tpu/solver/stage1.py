@@ -169,6 +169,21 @@ class Lin1S(NamedTuple):
     pose_scale: jnp.ndarray  # [12, N]
 
 
+class LmState(NamedTuple):
+    """Landmark state threaded through the LM loop in L space (slot-ROW
+    order, CamWindows): `rows` is [K, L] in the state dtype (K=3 for
+    step 1, 4 for step 2). Produced by `lm_pack`, consumed by
+    linearize/compute_error/apply, converted back to the canonical
+    [M, K] layout by `lm_unpack` at the stage boundary — so the
+    per-iteration canonical<->slot-order state takes (4 x [K, M]
+    random-access gathers, ~20% of device time at venice-1778) happen
+    once per STAGE instead. Solver methods accept either representation;
+    trajectories are bit-identical because the take commutes with every
+    elementwise state operation."""
+
+    rows: jnp.ndarray  # [K, L]
+
+
 def _mask_rows(obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
     """Zero out padded observation lanes (no-op when unpadded)."""
     if obs.weight is None:
@@ -412,6 +427,44 @@ class CamWindows:
         if self._lm_rowspace(obs):
             return jnp.take(s, obs.lm_order, axis=-1)
         return s
+
+    # ---- L-space state threading (see LmState). The LM driver packs
+    # once per stage; every jitted entry accepts either representation
+    # (a trace-time pytree branch), so direct canonical callers (tests,
+    # tools) are unaffected.
+
+    def lm_pack(self, lm_p):
+        """Canonical [M, K] state -> LmState (identity on the XLA
+        path, where no slot-order storage exists)."""
+        if isinstance(lm_p, LmState) or not self.use_pallas:
+            return lm_p
+        return LmState(
+            rows=self._jit_cached("lm_pack", self._lm_pack_rows)(
+                self.obs, lm_p
+            )
+        )
+
+    def lm_unpack(self, lm_p):
+        """LmState -> canonical [M, K] state (identity otherwise)."""
+        if not isinstance(lm_p, LmState):
+            return lm_p
+        return self._jit_cached("lm_unpack", self._lm_unpack_rows)(
+            self.obs, lm_p.rows
+        )
+
+    def _lm_pack_rows(self, obs: Obs, lm_p):
+        return self._lm_to_L(obs, jnp.asarray(lm_p, self.dtype).T)
+
+    def _lm_unpack_rows(self, obs: Obs, rows):
+        return self._L_to_lm(obs, rows).T
+
+    def _lm_rows(self, obs: Obs, lm_p) -> jnp.ndarray:
+        """State rows [K, L] in the state dtype from either
+        representation (one take for canonical input, free for
+        LmState)."""
+        if isinstance(lm_p, LmState):
+            return lm_p.rows
+        return self._lm_to_L(obs, lm_p.T)
 
     def _lm_masked_L(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """_lm_masked for L-space arrays (fake-landmark zeroing under
@@ -934,7 +987,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         if self.use_pallas and self.dtype == jnp.float64:
             return self._compute_error_df32(obs, cam_space, lm_p)
         P = self._gather_cams(obs, cam_space)
-        x = self._gather_lm_x(obs, lm_p.T)  # [3, O]
+        x = self._expand_L(obs, self._lm_rows(obs, lm_p))  # [3, O]
         r = _mask_rows(
             obs, pose_math.pose_residual_t(P, x, obs.uv, self.alpha)
         )
@@ -1021,7 +1074,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         (the jacobian_evaluation timing span)."""
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
-        x = self._gather_lm_x(obs, lm_p.astype(sd).T)
+        x = self._expand_L(obs, self._lm_rows(obs, lm_p).astype(sd))
         r, Jp, Jl = pose_math.pose_jacobians_t(
             P, x, obs.uv.astype(sd), self.alpha
         )
@@ -1556,10 +1609,11 @@ class Stage1Solver(StagedTiming, CamWindows):
         observations plus the landmark-slot reductions."""
         f32 = jnp.float32
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
-        # landmark state enters L space once; per-landmark tables stay
-        # there so seg/expand round trips are gather-free (CamWindows)
+        # landmark state enters L space once (or arrives packed);
+        # per-landmark tables stay there so seg/expand round trips are
+        # gather-free (CamWindows)
         x = self._expand_L(
-            obs, self._lm_to_L(obs, lm_p.astype(f32).T)
+            obs, self._lm_rows(obs, lm_p).astype(f32)
         )  # [3, O]
         r_w, sw, ata, atr, jpsq = pallas_pose.prepare(
             self._kcam(obs), self._expand_tbl(obs, ct), x,
@@ -1793,10 +1847,15 @@ class Stage1Solver(StagedTiming, CamWindows):
             self._expand_tbl(obs, inc_f), alpha=self.alpha, win=win,
         )
         l_diff = -self._psum(jnp.sum(part))
-        return (
-            lm_p + self._L_to_lm(obs, inc_lm).astype(self.dtype).T,
-            l_diff.astype(self.dtype),
-        )
+        if isinstance(lm_p, LmState):
+            new_lm = LmState(
+                rows=lm_p.rows + inc_lm.astype(self.dtype)
+            )
+        else:
+            new_lm = lm_p + self._L_to_lm(obs, inc_lm).astype(
+                self.dtype
+            ).T
+        return new_lm, l_diff.astype(self.dtype)
 
     def _back_sub_poba_s(
         self, obs: Obs, lm_p, lin: Lin1S, inc_scaled, lam
@@ -1831,9 +1890,15 @@ class Stage1Solver(StagedTiming, CamWindows):
         )
         l_diff = -self._psum(jnp.sum(part))
 
-        new_lm = lm_p + self._L_to_lm(
-            obs, inc_lm_scaled * d
-        ).astype(self.dtype).T
+        if isinstance(lm_p, LmState):
+            new_lm = LmState(
+                rows=lm_p.rows
+                + (inc_lm_scaled * d).astype(self.dtype)
+            )
+        else:
+            new_lm = lm_p + self._L_to_lm(
+                obs, inc_lm_scaled * d
+            ).astype(self.dtype).T
         return new_lm, l_diff.astype(self.dtype)
 
     def _compute_error_df32(
@@ -1851,9 +1916,9 @@ class Stage1Solver(StagedTiming, CamWindows):
 
         ct = cam_space.reshape(self.n_cams, 12).T  # [12, N] f64
         ct_hi, ct_lo = split(ct)
-        lm_hi, lm_lo = split(lm_p.T)  # [3, M]
-        x_hi = self._gather_lm_x(obs, lm_hi)
-        x_lo = self._gather_lm_x(obs, lm_lo)
+        lm_hi, lm_lo = split(self._lm_rows(obs, lm_p))  # [3, L]
+        x_hi = self._expand_L(obs, lm_hi)
+        x_lo = self._expand_L(obs, lm_lo)
         uv_hi, uv_lo = split(obs.uv)
         part = pallas_pose.pose_error_df32(
             self._kcam(obs),

@@ -48,7 +48,13 @@ from povar_tpu.solver.segments import (
     slot_part_sums,
     slot_segment_sum,
 )
-from povar_tpu.solver.stage1 import CamWindows, Obs, _mask_rows, make_obs
+from povar_tpu.solver.stage1 import (
+    CamWindows,
+    LmState,
+    Obs,
+    _mask_rows,
+    make_obs,
+)
 
 _ROBUST_CODE = {
     RobustNorm.NONE: pose_math.ROBUST_NONE,
@@ -398,7 +404,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         if self.use_pallas and self.dtype == jnp.float64:
             return self._compute_error_df32(obs, cam_space, lm_p_h)
         P = self._gather_cams(obs, cam_space)
-        xh = self._gather_lm_x(obs, lm_p_h.T)  # [4, O]
+        xh = self._expand_L(obs, self._lm_rows(obs, lm_p_h))  # [4, O]
         r, valid = pose_math.homogeneous_residual_t(P, xh, obs.uv)
         r = _mask_rows(obs, r)
         res_sq = jnp.sum(r * r, axis=0)
@@ -458,7 +464,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         masking and sqrt robust weights."""
         sd = self.solve_dtype
         P = self._gather_cams(obs, cam_space.astype(sd))
-        xh = self._gather_lm_x(obs, lm_p_h.astype(sd).T)
+        xh = self._expand_L(obs, self._lm_rows(obs, lm_p_h).astype(sd))
         r, Jp, Jl, valid = pose_math.homogeneous_jacobians_t(
             P, xh, obs.uv.astype(sd)
         )
@@ -836,9 +842,9 @@ class Stage2Solver(StagedTiming, CamWindows):
 
         ct = cam_space.reshape(self.n_cams, 12).T  # [12, N] f64
         ct_hi, ct_lo = split(ct)
-        lm_hi, lm_lo = split(lm_p_h.T)  # [4, M]
-        x_hi = self._gather_lm_x(obs, lm_hi)
-        x_lo = self._gather_lm_x(obs, lm_lo)
+        lm_hi, lm_lo = split(self._lm_rows(obs, lm_p_h))  # [4, L]
+        x_hi = self._expand_L(obs, lm_hi)
+        x_lo = self._expand_L(obs, lm_lo)
         uv_hi, uv_lo = split(obs.uv)
         part = pallas_pose2.error2_df32(
             self._kcam(obs),
@@ -877,9 +883,10 @@ class Stage2Solver(StagedTiming, CamWindows):
         f32 = jnp.float32
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
         # landmark state enters L space ONCE (a [4, M] take when rows
-        # are unique); every per-landmark quantity below stays in L
-        # space so the seg/expand round trips are gather-free
-        x4_L = self._lm_to_L(obs, lm_p_h.astype(f32).T)  # [4, L]
+        # are unique; free when it arrives packed); every per-landmark
+        # quantity below stays in L space so the seg/expand round trips
+        # are gather-free
+        x4_L = self._lm_rows(obs, lm_p_h).astype(f32)  # [4, L]
         x4 = self._expand_L(obs, x4_L)  # [4, O]
         rw, sw, mm, jlw, jlsq, jpsq = pallas_pose2.prepare2(
             self._kcam(obs), self._expand_tbl(obs, ct), x4,
@@ -1044,8 +1051,16 @@ class Stage2Solver(StagedTiming, CamWindows):
             self._expand_L(obs, inc_proj), zt_e, win=win,
         )
         l_diff = -self._psum(jnp.sum(part))
+        inc4_L = (inc_proj * lin.jl_scale).astype(self.dtype)
+        if isinstance(lm_p_h, LmState):
+            rows = lm_p_h.rows + inc4_L
+            # dehomogenize per row (pad rows divide by their stale
+            # copy's w — finite, and only dead observations see them)
+            return (
+                LmState(rows=rows / rows[3:4, :]),
+                l_diff.astype(self.dtype),
+            )
         # canonical state update: one [4, M] take out of L space
-        inc4 = self._L_to_lm(obs, inc_proj * lin.jl_scale)
-        new_lm_h = lm_p_h + inc4.astype(self.dtype).T
+        new_lm_h = lm_p_h + self._L_to_lm(obs, inc4_L).T
         new_lm_h = new_lm_h / new_lm_h[:, 3:4]
         return new_lm_h, l_diff.astype(self.dtype)

@@ -370,3 +370,80 @@ def test_windowed_stage2_matches_plain_kernels(adversarial):
         else:
             d = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
             assert d < 1e-5, (k, d)
+
+
+def test_lmstate_packed_trajectory_bit_identical():
+    """The L-space state threading (stage1.LmState) must reproduce the
+    canonical-state results exactly: the pack take commutes with every
+    elementwise state operation, so linearize/apply/compute_error at a
+    packed state are bit-identical to the canonical flow."""
+    import jax.numpy as jnp
+
+    from povar_tpu.options import SolverOptions
+    from povar_tpu.problem.synthetic import synthetic_bal_problem
+    from povar_tpu.solver.stage1 import LmState, Stage1Solver
+    from povar_tpu.solver.stage2 import Stage2Solver, create_homogeneous
+
+    problem, _ = synthetic_bal_problem(
+        n_cams=8, n_lms=60, obs_per_lm=4, seed=3
+    )
+    opts = SolverOptions()
+    opts.power_sc_iterations = 4
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    opts.pallas_kernels = "on"
+    s = Stage1Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+    cams = jnp.asarray(problem.cam_space)
+    lms = s.initialize_varproj(cams)
+    lam = jnp.asarray(1e-4, lms.dtype)
+    packed = s.lm_pack(lms)
+    assert isinstance(packed, LmState)
+    np.testing.assert_array_equal(
+        np.asarray(s.lm_unpack(packed)), np.asarray(lms)
+    )
+
+    # two chained iterations in both representations
+    def iterate(lm_state):
+        lin = s.linearize(cams, lm_state)
+        inc, _ = s.solve_power(lin, lam)
+        nc, nl, ld = s.apply(cams, lm_state, lin, inc)
+        err = s.compute_error(nc, nl)
+        return nc, nl, float(ld), float(err["error_all"])
+
+    nc_c, nl_c, ld_c, e_c = iterate(lms)
+    nc_p, nl_p, ld_p, e_p = iterate(packed)
+    _, nl_c2, _, e_c2 = iterate(nl_c)
+    _, nl_p2, _, e_p2 = iterate(nl_p)
+    np.testing.assert_array_equal(np.asarray(nc_c), np.asarray(nc_p))
+    np.testing.assert_array_equal(
+        np.asarray(nl_c), np.asarray(s.lm_unpack(nl_p))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nl_c2), np.asarray(s.lm_unpack(nl_p2))
+    )
+    assert ld_c == ld_p and e_c == e_p and e_c2 == e_p2
+
+    # stage 2: packed flow through linearize/solve/apply/error
+    cams2, lms_h = create_homogeneous(cams, s.lm_unpack(nl_p))
+    s2 = Stage2Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+    lam2 = jnp.asarray(1e-4, s2.dtype)
+
+    def iterate2(lm_state):
+        lin = s2.linearize(cams2, lm_state)
+        inc, _ = s2.solve_power(lin, lam2)
+        nc, nl, ld = s2.apply(cams2, lm_state, lin, inc, lam2)
+        err = s2.compute_error(nc, nl)
+        return nl, float(ld), float(err["error_all"])
+
+    nl2_c, ld2_c, e2_c = iterate2(lms_h)
+    nl2_p, ld2_p, e2_p = iterate2(s2.lm_pack(lms_h))
+    np.testing.assert_array_equal(
+        np.asarray(nl2_c), np.asarray(s2.lm_unpack(nl2_p))
+    )
+    assert ld2_c == ld2_p and e2_c == e2_p
