@@ -125,37 +125,34 @@ def _split3(v32: jnp.ndarray):
 
 
 def _oh_gather(v32: jnp.ndarray, oh: jnp.ndarray) -> jnp.ndarray:
-    """[R, Npad] f32 table x [Npad, T] one-hot -> [R, T] f32, exact
-    (3 single-pass bf16 matmuls)."""
+    """[R, Npad] f32 table x [Npad, T] one-hot -> [R, T] f32, exact.
+
+    The three bf16 summands are STACKED on the row axis into one
+    [3R, Npad] x [Npad, T] matmul: the tables here are skinny
+    (R = 12), so one 36-row pass through the 128-row MXU replaces
+    three 12-row passes (each of which occupies the full array)."""
     dims = (((1,), (0,)), ((), ()))
+    r = v32.shape[0]
     hi, mid, lo = _split3(v32)
     out = jax.lax.dot_general(
-        hi, oh, dims, preferred_element_type=jnp.float32
+        jnp.concatenate([hi, mid, lo], axis=0), oh, dims,
+        preferred_element_type=jnp.float32,
     )
-    out += jax.lax.dot_general(
-        mid, oh, dims, preferred_element_type=jnp.float32
-    )
-    out += jax.lax.dot_general(
-        lo, oh, dims, preferred_element_type=jnp.float32
-    )
-    return out
+    return out[:r] + out[r : 2 * r] + out[2 * r :]
 
 
 def _oh_scatter(v32: jnp.ndarray, oh: jnp.ndarray) -> jnp.ndarray:
     """[R, T] f32 rows x [Npad, T] one-hot -> [R, Npad] per-camera f32
-    sums, with exact per-observation products (3-way bf16 split)."""
+    sums, with exact per-observation products (3-way bf16 split,
+    row-stacked into one matmul — see _oh_gather)."""
     dims = (((1,), (1,)), ((), ()))
+    r = v32.shape[0]
     hi, mid, lo = _split3(v32)
     out = jax.lax.dot_general(
-        hi, oh, dims, preferred_element_type=jnp.float32
+        jnp.concatenate([hi, mid, lo], axis=0), oh, dims,
+        preferred_element_type=jnp.float32,
     )
-    out += jax.lax.dot_general(
-        mid, oh, dims, preferred_element_type=jnp.float32
-    )
-    out += jax.lax.dot_general(
-        lo, oh, dims, preferred_element_type=jnp.float32
-    )
-    return out
+    return out[:r] + out[r : 2 * r] + out[2 * r :]
 
 
 def _obs_spec(rows: int, t: int):
