@@ -85,6 +85,7 @@ def main() -> None:
         return float(np.asarray(jnp.sum(x)))
 
     lam = jnp.asarray(1e-4, lms.dtype)
+    lms_packed = s.lm_pack(lms)
     if stage2:
         from povar_tpu.solver.stage2 import (
             Stage2Solver,
@@ -97,6 +98,7 @@ def main() -> None:
             problem.num_cameras, problem.num_landmarks, opts,
             obs_weight=getattr(problem, "obs_weight", None),
         )
+        lms_h = s2.lm_pack(lms_h)
         lam2 = jnp.asarray(1e-4, s2.dtype)
 
         def iter2(c, l):
@@ -131,9 +133,9 @@ def main() -> None:
         )
     else:
         t0 = time.time()
-        lin = s.linearize(cams, lms)
+        lin = s.linearize(cams, lms_packed)
         inc, terms = s.solve_power(lin, lam)
-        out = s.apply(cams, lms, lin, inc)
+        out = s.apply(cams, lms_packed, lin, inc)
         sync(out[2])
         print(f"first iteration (incl compile): {time.time()-t0:.1f}s",
               flush=True)
@@ -141,14 +143,15 @@ def main() -> None:
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            lin = s.linearize(cams, lms)
+            lin = s.linearize(cams, lms_packed)
             inc, _ = s.solve_power(lin, lam)
-            out = s.apply(cams, lms, lin, inc)
+            out = s.apply(cams, lms_packed, lin, inc)
         sync(out[2])
         dt = (time.time() - t0) / reps
         e1 = float(
             np.asarray(s.compute_error(out[0], out[1])["error_all"])
         )
+        out = (out[0], s.lm_unpack(out[1]), out[2])
         print(
             f"steady LM iteration: {dt*1e3:.0f} ms "
             f"({problem.num_observations/dt/1e6:.1f} Mobs/s); "
