@@ -252,6 +252,24 @@ class Stage2Solver(StagedTiming, CamWindows):
         scale_landmark_jacobian, scale_pose_jacobian, perform_qr (the
         tangent nullspace projection is the QR/COD analogue)."""
         t = {}
+        if self.use_pallas:
+            core, t["jacobian_evaluation"] = self._timed(
+                self._jit_cached("lin2_core_s", self._lin2_core_s),
+                self.obs, cam_space, lm_p_h,
+            )
+            jl_scale, t["scale_landmark_jacobian"] = self._timed(
+                self._jit_cached("lin2_scale_jl_s", self._lin2_scale_jl_s),
+                core[7],
+            )
+            pose_scale, t["scale_pose_jacobian"] = self._timed(
+                self._jit_cached("lin2_scale_jp_s", self._lin2_scale_jp_s),
+                core[8],
+            )
+            lin, t["perform_qr"] = self._timed(
+                self._jit_cached("lin2_tangent_s", self._lin2_tangent_s),
+                self.obs, core, jl_scale, pose_scale,
+            )
+            return lin, t
         (r, Jp, Jl), t["jacobian_evaluation"] = self._timed(
             self._jit_cached("lin_core", self._lin_core),
             self.obs, cam_space, lm_p_h,
@@ -880,6 +898,22 @@ class Stage2Solver(StagedTiming, CamWindows):
     # tiny XLA ops around the kernels.
 
     def _linearize_s(self, obs: Obs, cam_space, lm_p_h) -> Lin2S:
+        core = self._lin2_core_s(obs, cam_space, lm_p_h)
+        jl_scale = self._lin2_scale_jl_s(core[7])
+        pose_scale = self._lin2_scale_jp_s(core[8])
+        return self._lin2_tangent_s(obs, core, jl_scale, pose_scale)
+
+    def _lin2_scale_jl_s(self, jl_sq):
+        """Landmark Jacobi scale (scale_Jl_cols_homogeneous span)."""
+        return 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
+
+    def _lin2_scale_jp_s(self, jpsq):
+        """Pose Jacobi scale (scale_Jp_cols_joint span)."""
+        return 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
+
+    def _lin2_core_s(self, obs: Obs, cam_space, lm_p_h):
+        """Projection/residual/weight pass + raw column-norm sums (the
+        jacobian_evaluation timing span)."""
         f32 = jnp.float32
         ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
         # landmark state enters L space ONCE (a [4, M] take when rows
@@ -896,8 +930,15 @@ class Stage2Solver(StagedTiming, CamWindows):
         )
         jpsq = self._combine_cam_win(obs, jpsq)
         jl_sq = self._seg_L(obs, jlsq)  # [4, L]
-        jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
-        pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jpsq))
+        return ct, x4_L, x4, rw, sw, mm, jlw, jl_sq, jpsq
+
+    def _lin2_tangent_s(
+        self, obs: Obs, core, jl_scale, pose_scale
+    ) -> Lin2S:
+        """Tangent bases + projected storage + tangent Hll/bl sums (the
+        perform_qr timing span — the nullspace projection is the
+        reference's QR/COD analogue)."""
+        ct, x4_L, x4, rw, sw, mm, jlw, _jl_sq, _jpsq = core
         kernel_cam = linalg.nullspace_of_rowf(ct)  # [12, 11, N]
         kernel_lm = linalg.nullspace_of_rowf(x4_L)  # [4, 3, L]
 

@@ -148,3 +148,31 @@ def test_fused_and_staged_trajectories_match():
     for (ok_a, c_a), (ok_b, c_b) in zip(runs[False], runs[True]):
         assert ok_a == ok_b
         np.testing.assert_allclose(c_b, c_a, rtol=1e-6)
+
+
+def test_staged_timing_structured_path():
+    """detailed_timing through the STRUCTURED (Pallas) pipeline: the
+    stage-2 timed linearize must route to the structured kernels (it
+    previously fell back to the Lin2 XLA path, which broke once the LM
+    driver threaded the landmark state in L space) and match the fused
+    structured trajectory decision-for-decision."""
+    runs = {}
+    for detailed in [False, True]:
+        opts = SolverOptions()
+        opts.max_num_iterations_step_1 = 4
+        opts.max_num_iterations_step_2 = 3
+        opts.detailed_timing = detailed
+        opts.pallas_kernels = "on"
+        p, _ = synthetic_bal_problem(
+            n_cams=6, n_lms=40, obs_per_lm=4, seed=27
+        )
+        _, s1, s2 = bundle_adjust(p, opts, log=lambda s: None)
+        runs[detailed] = [
+            (it.step_is_successful, it.cost.all.error)
+            for s in (s1, s2) for it in s.iterations
+        ]
+    # the staged stage-2 timing spans must be real (incl perform_qr)
+    assert len(runs[False]) == len(runs[True])
+    for (ok_a, c_a), (ok_b, c_b) in zip(runs[False], runs[True]):
+        assert ok_a == ok_b
+        np.testing.assert_allclose(c_b, c_a, rtol=1e-9)
