@@ -138,6 +138,66 @@ def build_onehot(
     return jnp.asarray(m)
 
 
+class DupCorrect(NamedTuple):
+    """Static plan for the duplicate-row correction that keeps L space
+    (slot-ROW order, see stage1.CamWindows) usable when span-overflow
+    landmarks own SEVERAL slot rows: after a per-row reduce, every row
+    of a multi-row landmark is overwritten with its landmark TOTAL, so
+    row-space expansion/solves stay per-landmark-consistent. All ops
+    are O(D) in the duplicate-row count — the full canonical combine
+    round trip (two O(R) random gathers that dominated the adversarial
+    power term) is avoided.
+
+    rows [D]: slot-row positions belonging to multi-row landmarks;
+    combine: D-position reduce grouped per landmark -> [M_d] totals;
+    is_dup [R] bool, group_dense [R]: select mask + per-row position in
+    the totals (0 for unique rows) — the write-back is a
+    select(mask, take(totals, group_dense), rows) rather than a
+    scatter: TPU scatters fuse pathologically (a [3, R] scatter
+    measured 245 ms inside the power-term loop vs 11 ms standalone),
+    while the select formulation is a plain gather + elementwise."""
+
+    rows: jnp.ndarray
+    combine: PaddedReduce
+    is_dup: jnp.ndarray
+    group_dense: jnp.ndarray
+
+
+def build_dup_correct(row_lm_ext: np.ndarray, num_landmarks: int):
+    """DupCorrect from the windowed plan's row->landmark map (pads map
+    to num_landmarks). Returns None when rows are unique."""
+    row_lm_ext = np.asarray(row_lm_ext)
+    real = row_lm_ext < num_landmarks
+    ids = row_lm_ext[real]
+    uniq, counts = np.unique(ids, return_counts=True)
+    dup_lms = uniq[counts > 1]
+    if len(dup_lms) == 0:
+        return None
+    lm_is_dup = np.zeros(num_landmarks + 1, dtype=bool)
+    lm_is_dup[dup_lms] = True
+    rows = np.nonzero(lm_is_dup[row_lm_ext])[0]
+    gid_of_lm = np.zeros(num_landmarks + 1, dtype=np.int64)
+    gid_of_lm[dup_lms] = np.arange(len(dup_lms))
+    gids = gid_of_lm[row_lm_ext[rows]]
+    group_dense = np.zeros(len(row_lm_ext), dtype=np.int32)
+    group_dense[rows] = gids
+    return DupCorrect(
+        rows=jnp.asarray(rows, jnp.int32),
+        combine=_build_padded_reduce(gids, len(dup_lms)),
+        is_dup=jnp.asarray(lm_is_dup[row_lm_ext]),
+        group_dense=jnp.asarray(group_dense),
+    )
+
+
+def dup_correct_rows(x: jnp.ndarray, dc: DupCorrect) -> jnp.ndarray:
+    """Overwrite each duplicate row of x [..., R] with its landmark
+    total (gather/reduce over the duplicate subset + select)."""
+    sub = jnp.take(x, dc.rows, axis=-1)
+    tot = padded_segment_sum(sub, dc.combine)
+    fix = jnp.take(tot, dc.group_dense, axis=-1)
+    return jnp.where(dc.is_dup, fix, x)
+
+
 def padded_segment_sum(x: jnp.ndarray, red: PaddedReduce) -> jnp.ndarray:
     """Sum x [..., O] per segment -> [..., S]."""
     parts = []

@@ -43,9 +43,12 @@ from povar_tpu.options import RobustNorm, SolverOptions, SolverType
 from povar_tpu.solver import pcg as pcg_mod
 from povar_tpu.solver.common import StagedTiming, accumulate_residual_info
 from povar_tpu.solver.segments import (
+    DupCorrect,
     PaddedReduce,
     _build_padded_reduce,
+    build_dup_correct,
     build_slot_plan,
+    dup_correct_rows,
     onehot_gather,
     onehot_segment_sum,
     padded_segment_sum,
@@ -130,6 +133,13 @@ class Obs(NamedTuple):
     # overflow sub-landmark rows exist (segments.build_window_plan):
     # per-landmark sums are then bucketed-gather-summed across rows
     lm_combine: Optional[PaddedReduce] = None
+    # duplicate-row correction keeping L space usable under overflow
+    # sub-rows (segments.DupCorrect). Buildable, but NOT wired by
+    # default: every write-back formulation measured SLOWER in situ
+    # than the canonical combine round trip on TPU (a [3, R] scatter
+    # fused to 245 ms/term; the select+dense-take variant still pays an
+    # O(R) random gather) — see docs/PERFORMANCE.md "Adversarial".
+    lm_dup: Optional[DupCorrect] = None
     # 1/0 mask over the landmark axis (SPMD padding; parallel/spmd.py)
     lm_mask: Optional[jnp.ndarray] = None
 
@@ -380,8 +390,10 @@ class CamWindows:
             slot_row_expand,
         )
 
-        if obs.lm_combine is None:
-            rows = slot_part_sums(u, self.lm_shapes)
+        if self._lm_rowspace(obs):
+            rows = self._dup_fix(
+                obs, slot_part_sums(u, self.lm_shapes)
+            )
             return slot_row_expand(rows, self.lm_shapes)
         return self._gather_lm_x(obs, self._seg_lm(obs, u))
 
@@ -393,17 +405,29 @@ class CamWindows:
     # per-landmark quantity a linearization stores (Hll, bl, Jacobi
     # scales, tangent bases). Random-access [M]-table gathers otherwise
     # run ~100x below HBM bandwidth and dominated stage-2 linearize.
-    # With overflow rows, L space IS canonical M order (combine reduce).
+    # Overflow sub-rows stay in row space through the O(D) duplicate
+    # correction (segments.DupCorrect: every row of a multi-row
+    # landmark carries the landmark TOTAL after a reduce, so row-space
+    # expansions and per-row solves remain per-landmark-consistent);
+    # without a correction plan, L space IS canonical M order.
 
     def _lm_rowspace(self, obs: Obs) -> bool:
-        return obs.lm_combine is None
+        return obs.lm_combine is None or obs.lm_dup is not None
+
+    def _dup_fix(self, obs: Obs, rows: jnp.ndarray) -> jnp.ndarray:
+        if obs.lm_dup is None:
+            return rows
+        return dup_correct_rows(rows, obs.lm_dup)
 
     def _seg_L(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
-        """[..., O] -> [..., L] per-landmark reduce into L space."""
+        """[..., O] -> [..., L] per-landmark reduce into L space (dup
+        rows hold their landmark total)."""
         from povar_tpu.solver.segments import slot_part_sums
 
         if self._lm_rowspace(obs):
-            return slot_part_sums(x, self.lm_shapes)
+            return self._dup_fix(
+                obs, slot_part_sums(x, self.lm_shapes)
+            )
         return self._seg_lm(obs, x)
 
     def _expand_L(self, obs: Obs, s: jnp.ndarray) -> jnp.ndarray:
