@@ -122,6 +122,8 @@ def main():
             problem.obs_cam, problem.obs_lm, problem.obs_uv,
             n_cams, n_lms, opts,
         )
+        # thread the landmark state in L space, like the LM driver
+        lms_h = solver.lm_pack(lms_h)
         lam = jnp.asarray(1e-4, solver.dtype)
 
         def step(c, l):
@@ -140,7 +142,8 @@ def main():
             n_cams, n_lms, opts,
         )
         cams = jnp.asarray(problem.cam_space)
-        lms = solver.initialize_varproj(cams)
+        # thread the landmark state in L space, like the LM driver
+        lms = solver.lm_pack(solver.initialize_varproj(cams))
         lam = jnp.asarray(1e-4, solver.dtype)
 
         def step(c, l):

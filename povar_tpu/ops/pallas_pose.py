@@ -619,6 +619,128 @@ def e0_scatter_structured(cam, x, h, sb, n_cams, win=None):
     return out if win is not None else out[:, :n_cams]
 
 
+# --------------------------------------------------------------- K5b
+# Fully fused power-series E0 term (right_mul_e0,
+# sc/linearization_power_varproj.hpp:364-453): one kernel computes
+#   out[:, n] = seg_cam( (H^T sb) (x) xh ),  sb = seg_lm( H (xh . zc) )
+# i.e. the e0_u gather, the per-landmark slot reduction, the
+# re-expansion AND the e0_scatter in a single pass — the composed
+# three-step pipeline pays two extra kernel launches per obs tile plus
+# an HBM round trip of u/sb [3, O] per term (~40% of a term's device
+# time at venice-89 was launch sequencing + XLA reduce/expand glue).
+#
+# The per-landmark reduction is possible in-kernel because the slot
+# layout is slot-element-major per width bucket (segments.py): a part
+# of g landmarks with slot width w is a [w, g] grid with the landmark
+# axis on the lanes. The caller reshapes each part's per-obs operands
+# to [rows * w, g] (flat slot-major rows — a pure view of the existing
+# memory) and the kernel blocks on the LANDMARK axis: a [rows*w, gt]
+# block holds every slot of gt whole landmarks, so sb is a plain
+# in-register sum over the w row slices. One pallas_call per width
+# bucket; the caller sums the per-part [12, Npad] outputs.
+
+
+def _e0_term_kernel(cam_ref, x_ref, h_ref, z_ref, out_ref, *, w):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    nb = z_ref.shape[-1]
+    gt = cam_ref.shape[-1]
+    ohs = []
+    sb = [None, None, None]
+    # pass A: u per slot row, accumulated per landmark (lane) into sb
+    for j in range(w):
+        oh = _onehot(cam_ref[j, :].reshape(1, gt), nb)
+        ohs.append(oh)
+        zc = _gather_table(z_ref, oh)  # [12, gt]
+        xh = [x_ref[j, :], x_ref[w + j, :], x_ref[2 * w + j, :]]
+        y = []
+        for a in range(3):
+            acc = zc[4 * a + 3, :]
+            for i in range(3):
+                acc += xh[i] * zc[4 * a + i, :]
+            y.append(acc)
+        for c in range(3):
+            u = (h_ref[(c * 3 + 0) * w + j, :] * y[0]
+                 + h_ref[(c * 3 + 1) * w + j, :] * y[1]
+                 + h_ref[(c * 3 + 2) * w + j, :] * y[2])
+            sb[c] = u if sb[c] is None else sb[c] + u
+    # pass B: scatter (H^T sb) (x) xh per slot row back to cameras
+    acc_out = None
+    for j in range(w):
+        xh = [x_ref[j, :], x_ref[w + j, :], x_ref[2 * w + j, :]]
+        tt = []
+        for a in range(3):
+            tt.append(h_ref[a * w + j, :] * sb[0]
+                      + h_ref[(3 + a) * w + j, :] * sb[1]
+                      + h_ref[(6 + a) * w + j, :] * sb[2])
+        rows = []
+        for a in range(3):
+            for i in range(4):
+                rows.append(tt[a] if i == 3 else tt[a] * xh[i])
+        contrib = _scatter_rows(jnp.stack(rows, axis=0), ohs[j])
+        acc_out = contrib if acc_out is None else acc_out + contrib
+    out_ref[:] += acc_out
+
+
+# Per-part VMEM operand budget for the fused term kernel: 13 rows of
+# f32 per slot element ((1 cam + 3 x + 9 h) * w * gt * 4 B), plus the
+# transient one-hot. Kept well under the scoped VMEM frame.
+_E0_TERM_VMEM = 2 << 20
+# Unrolled slot loops: parts wider than this fall back to the composed
+# kernels (program size grows linearly in w).
+E0_TERM_MAX_W = 16
+
+
+def e0_term_geometry(w: int, g: int):
+    """(landmark-axis tile, padded landmark count) for a (g landmarks,
+    width w) part: the tile fits the VMEM budget and the part pads its
+    landmark axis (zero-weight lanes) to a whole number of tiles."""
+    from povar_tpu.ops.pallas_cam import _round_up
+
+    cap = max(128, (_E0_TERM_VMEM // (13 * 4 * w)) // 128 * 128)
+    gt = min(2048, cap, _round_up(g, 128))
+    return gt, _round_up(g, gt)
+
+
+def e0_term_parts(parts, z_table, n_cams):
+    """Fused E0 matvec over pre-reshaped slot parts.
+
+    parts: tuple of (cam2 [w, G] i32, x2 [3w, G] f32, h2 [9w, G] f32,
+    w, gt) with G a multiple of gt (zero-weight pads have h == 0 and
+    contribute exactly zero). z_table [12, N]: the gathered camera
+    vector (pose scale folded by the caller). Returns [12, n_cams]
+    per-camera sums, exact bf16-split products like the composed path.
+    """
+    n_pad = _n_pad(n_cams)
+    if z_table.shape[-1] != n_pad:
+        z_table = jnp.pad(
+            z_table, ((0, 0), (0, n_pad - z_table.shape[-1]))
+        )
+    out = None
+    for cam2, x2, h2, w, gt in parts:
+        g = cam2.shape[-1]
+        r = pl.pallas_call(
+            functools.partial(_e0_term_kernel, w=w),
+            out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+            grid=(g // gt,),
+            in_specs=[
+                pl.BlockSpec((w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                _fixed_spec(12, n_pad),
+            ],
+            out_specs=_fixed_spec(12, n_pad),
+            interpret=_interpret(),
+        )(cam2, x2, h2, z_table)
+        out = r if out is None else out + r
+    return out[:, :n_cams]
+
+
 # --------------------------------------------------------------- K6
 # Model-cost decrease for the VarProj apply
 # (back_substitute_pOSE, sc/landmark_block.hpp:670-707):
