@@ -152,6 +152,15 @@ class SolverOptions:
     # off-TPU — slow, for tests); "off": always use the XLA lowering.
     pallas_kernels: str = "auto"
 
+    # Fully fused power-series E0 term (ops/pallas_pose.e0_term_parts):
+    # one kernel per slot-width part computes gather, per-landmark
+    # reduce, re-expand AND scatter of a power term in a single pass
+    # (the composed three-step pipeline pays two extra kernel launches
+    # per obs tile plus an HBM round trip per term). Applies on the
+    # small-N structured path when the slot parts are narrow enough
+    # to unroll; wide-part suffixes fall back to the composed kernels.
+    fused_power_term: bool = True
+
     # Staged execution with per-stage timing: split each LM iteration's
     # fused device programs at the reference's timing boundaries
     # (jacobian eval / scaling / Hll / prepare / solve / back-sub /
@@ -291,6 +300,8 @@ OPTION_META: Dict[type, Dict[str, tuple]] = {
                                    "under the f64 LM loop (TPU has no "
                                    "native f64)"),
         "pallas_kernels": (None, "fused Pallas kernels: auto, on, off"),
+        "fused_power_term": (None, "single-kernel fused power-series "
+                             "E0 term on the small-N structured path"),
         "detailed_timing": (None, "staged execution with per-stage "
                             "wall times in the iteration log"),
     },

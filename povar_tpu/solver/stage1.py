@@ -656,6 +656,16 @@ class Stage1Solver(StagedTiming, CamWindows):
             else int(_np.sum(_np.asarray(self.obs.weight) > 0))
         )
 
+        # fused single-kernel power-series E0 term (small-N structured
+        # path): per-part operands reshaped landmark-major so one
+        # pallas_call runs gather + per-landmark reduce + re-expand +
+        # scatter of a term in a single pass (pallas_pose.e0_term_parts)
+        self._e0_meta = None
+        self._e0_cam2 = None
+        self._e0_suffix = None
+        if self.use_pallas and not self.n_win and options.fused_power_term:
+            self._plan_e0_fused()
+
         self._jit_compute_error = jax.jit(self._compute_error)
         self._jit_initialize_varproj = jax.jit(self._initialize_varproj)
         self._jit_linearize = jax.jit(self._linearize)
@@ -1698,11 +1708,114 @@ class Stage1Solver(StagedTiming, CamWindows):
         )
         return hpp, b_raw * ps
 
+    def _plan_e0_fused(self) -> None:
+        """Static planning for the fused E0 term kernel: the prefix of
+        slot parts narrow enough to unroll (w <= E0_TERM_MAX_W) runs the
+        single-pass kernel; any wide-part suffix falls back to the
+        composed kernels on its (padded) obs slice. All-dead suffixes
+        (the pad tail build_slot_plan appends) are skipped outright."""
+        import numpy as np
+
+        metas = []
+        ofs = 0
+        n_parts = 0
+        for g, w in self.lm_shapes:
+            if w > pallas_pose.E0_TERM_MAX_W:
+                break
+            gt, gp = pallas_pose.e0_term_geometry(w, g)
+            metas.append((ofs, g, w, gt, gp))
+            ofs += g * w
+            n_parts += 1
+        if not metas:
+            return
+        o_pad = int(self.obs.cam.shape[0])
+        cut = ofs
+        w_np = (
+            None if self.obs.weight is None
+            else np.asarray(self.obs.weight)
+        )
+        live_total = o_pad if w_np is None else int((w_np > 0).sum())
+        if cut == o_pad:
+            live_suffix = 0
+        elif w_np is None:
+            live_suffix = o_pad - cut
+        else:
+            live_suffix = int((w_np[cut:] > 0).sum())
+        # the fused prefix must carry the bulk of the live work
+        if live_total and (live_total - live_suffix) / live_total < 0.5:
+            return
+        cam_np = np.asarray(self.obs.cam)
+        cam2 = []
+        for ofs_p, g, w, gt, gp in metas:
+            c2 = cam_np[ofs_p : ofs_p + g * w].reshape(w, g)
+            if gp != g:
+                c2 = np.pad(c2, ((0, 0), (0, gp - g)))
+            cam2.append(jnp.asarray(c2, jnp.int32))
+        self._e0_meta = tuple(metas)
+        self._e0_cam2 = tuple(cam2)
+        if live_suffix:
+            from povar_tpu.ops.pallas_cam import _round_up
+
+            self._e0_suffix = (
+                cut,
+                tuple(self.lm_shapes[n_parts:]),
+                _round_up(o_pad - cut, 512),
+            )
+
+    def _e0_fused_parts(self, lin: Lin1S, h: jnp.ndarray):
+        """Per-solve traced operand views for e0_term_parts: [3w, g] /
+        [9w, g] landmark-major reshapes of the slot-element-major obs
+        arrays (pure views; lane pads carry h == 0, contributing zero)."""
+        parts = []
+        for (ofs, g, w, gt, gp), c2 in zip(self._e0_meta, self._e0_cam2):
+            x2 = lin.x[:, ofs : ofs + g * w].reshape(3 * w, g)
+            h2 = h[:, ofs : ofs + g * w].reshape(9 * w, g)
+            if gp != g:
+                x2 = jnp.pad(x2, ((0, 0), (0, gp - g)))
+                h2 = jnp.pad(h2, ((0, 0), (0, gp - g)))
+            parts.append((c2, x2, h2, w, gt))
+        return tuple(parts)
+
+    def _e0_suffix_apply(self, obs: Obs, lin: Lin1S, h, z):
+        """Composed-kernel E0 on the wide-part suffix slice (rare:
+        landmarks with > E0_TERM_MAX_W observations)."""
+        from povar_tpu.solver.segments import (
+            slot_part_sums,
+            slot_row_expand,
+        )
+
+        cut, suf_shapes, o_sp = self._e0_suffix
+        o_suf = int(obs.cam.shape[0]) - cut
+        pad = o_sp - o_suf
+        cam_s = jnp.pad(obs.cam[cut:], (0, pad))
+        x_s = jnp.pad(lin.x[:, cut:], ((0, 0), (0, pad)))
+        h_s = jnp.pad(h[:, cut:], ((0, 0), (0, pad)))
+        u = pallas_pose.e0_u_structured(cam_s, x_s, h_s, z)
+        rows = slot_part_sums(u[:, :o_suf], suf_shapes)
+        sb = jnp.pad(
+            slot_row_expand(rows, suf_shapes), ((0, 0), (0, pad))
+        )
+        return pallas_pose.e0_scatter_structured(
+            cam_s, x_s, h_s, sb, self.n_cams
+        )
+
     def _e0_apply_s(self, obs: Obs, lin: Lin1S, h: jnp.ndarray):
         """Matrix-free structured E0 = W^T(seg_lm(W gather .)) closure."""
         ps = lin.pose_scale
         win = self._winargs(obs)
         kcam = self._kcam(obs)
+
+        if self._e0_meta is not None and win is None:
+            parts = self._e0_fused_parts(lin, h)
+
+            def e0_fused(v):
+                z = ps * v
+                out = pallas_pose.e0_term_parts(parts, z, self.n_cams)
+                if self._e0_suffix is not None:
+                    out = out + self._e0_suffix_apply(obs, lin, h, z)
+                return ps * self._combine_cam_win(obs, out)
+
+            return e0_fused
 
         def e0(v):
             u = pallas_pose.e0_u_structured(

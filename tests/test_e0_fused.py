@@ -1,0 +1,113 @@
+"""Fused single-kernel power-series E0 term (pallas_pose.e0_term_parts).
+
+The fused kernel computes gather + per-landmark slot reduce + re-expand
++ scatter of one E0 power term in a single pass; it must produce the
+same per-camera sums (up to f32 summation-order noise) and the same
+power-series solves as the composed three-step pipeline
+(e0_u_structured -> _seg_lm_reexpand -> e0_scatter_structured), on both
+narrow-part-only layouts and layouts with a wide-part suffix falling
+back to the composed kernels (stage1._e0_suffix_apply).
+
+Reference semantics being reproduced: right_mul_e0
+(sc/linearization_power_varproj.hpp:364-453).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from povar_tpu.options import SolverOptions
+from povar_tpu.problem.synthetic import synthetic_bal_problem_fast
+from povar_tpu.solver.stage1 import Stage1Solver
+
+
+def _build(p, fused, obs=None):
+    o = SolverOptions()
+    o.pallas_kernels = "on"  # interpreter mode on CPU
+    o.fused_power_term = fused
+    o.power_sc_iterations = 4
+    o.eta = 0.0
+    o.r_tolerance = -1.0
+    oc, ol, uv = obs if obs is not None else (
+        p.obs_cam, p.obs_lm, p.obs_uv
+    )
+    return Stage1Solver(
+        oc, ol, uv, p.num_cameras, p.num_landmarks, o
+    )
+
+
+def _compare_solvers(p, s0, s1):
+    cams = jnp.asarray(p.cam_space)
+    lms = s0.initialize_varproj(cams)
+    lam = jnp.asarray(1e-4, lms.dtype)
+    lin0 = s0.linearize(cams, lms)
+    lin1 = s1.linearize(cams, lms)
+
+    # the E0 operator itself
+    e0_0 = s0._e0_apply_s  # noqa: SLF001 - white-box equivalence test
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(
+        rng.standard_normal((12, p.num_cameras)), jnp.float32
+    )
+    h0 = s0._h_factor_s(
+        s0.obs, lin0, *_hll_pieces(s0, lin0, lam)
+    )
+    h1 = s1._h_factor_s(
+        s1.obs, lin1, *_hll_pieces(s1, lin1, lam)
+    )
+    y0 = e0_0(s0.obs, lin0, h0)(v)
+    y1 = s1._e0_apply_s(s1.obs, lin1, h1)(v)
+    scale = float(jnp.max(jnp.abs(y0))) + 1e-30
+    assert float(jnp.max(jnp.abs(y0 - y1))) / scale < 1e-5
+
+    # the full power solve
+    i0, n0 = s0.solve_power(lin0, lam)
+    i1, n1 = s1.solve_power(lin1, lam)
+    assert int(n0) == int(n1)
+    rel = float(
+        jnp.max(jnp.abs(i0 - i1)) / (jnp.max(jnp.abs(i0)) + 1e-30)
+    )
+    assert rel < 1e-5, rel
+
+
+def _hll_pieces(s, lin, lam):
+    pieces = s._hll_pieces_s(s.obs, lin, lam.astype(jnp.float32), False)
+    _hll_inv, _hib, jls_obs, lh_obs = pieces
+    return jls_obs, lh_obs
+
+
+def test_fused_term_matches_composed_narrow():
+    """All real parts narrow (w <= E0_TERM_MAX_W): the fused kernel
+    covers every live observation; the pad tail is statically dead."""
+    p = synthetic_bal_problem_fast(23, 400, 4, seed=1)
+    s1 = _build(p, True)
+    s0 = _build(p, False)
+    assert s1._e0_meta is not None
+    assert s1._e0_suffix is None  # the pad tail carries zero weight
+    assert s0._e0_meta is None
+    _compare_solvers(p, s0, s1)
+
+
+def test_fused_term_matches_composed_wide_suffix():
+    """A landmark with more observations than the unroll cap routes
+    through the composed-kernel suffix; sums must still agree."""
+    from povar_tpu.ops.pallas_pose import E0_TERM_MAX_W
+
+    p = synthetic_bal_problem_fast(23, 300, 4, seed=2)
+    rng = np.random.default_rng(3)
+    extra = 2 * E0_TERM_MAX_W + 5  # width 64 part (> cap)
+    oc = np.concatenate(
+        [np.asarray(p.obs_cam), rng.integers(0, 23, extra)]
+    )
+    ol = np.concatenate(
+        [np.asarray(p.obs_lm), np.zeros(extra, np.int64)]
+    )
+    uv = np.concatenate(
+        [np.asarray(p.obs_uv), rng.standard_normal((extra, 2)) * 0.3]
+    )
+    s1 = _build(p, True, obs=(oc, ol, uv))
+    s0 = _build(p, False, obs=(oc, ol, uv))
+    assert s1._e0_meta is not None
+    assert s1._e0_suffix is not None
+    widths = [w for _, w in s1.lm_shapes]
+    assert max(widths) > E0_TERM_MAX_W
+    _compare_solvers(p, s0, s1)
