@@ -693,13 +693,17 @@ _E0_TERM_VMEM = 2 << 20
 E0_TERM_MAX_W = 16
 
 
-def e0_term_geometry(w: int, g: int):
+def e0_term_geometry(w: int, g: int, rows_per_lane: int = 13):
     """(landmark-axis tile, padded landmark count) for a (g landmarks,
     width w) part: the tile fits the VMEM budget and the part pads its
-    landmark axis (zero-weight lanes) to a whole number of tiles."""
+    landmark axis (zero-weight lanes) to a whole number of tiles.
+    rows_per_lane: f32 operand rows per slot element (13 for the
+    stage-1 kernel: cam+x+h; 15 for stage-2: cam+x4+mm+sw+mat6)."""
     from povar_tpu.ops.pallas_cam import _round_up
 
-    cap = max(128, (_E0_TERM_VMEM // (13 * 4 * w)) // 128 * 128)
+    cap = max(
+        128, (_E0_TERM_VMEM // (rows_per_lane * 4 * w)) // 128 * 128
+    )
     gt = min(2048, cap, _round_up(g, 128))
     return gt, _round_up(g, gt)
 

@@ -412,6 +412,120 @@ def scatter2(cam, x4, mm, sw, mat6, sb, n_cams, win=None):
     return out if win is not None else out[:, :n_cams]
 
 
+# ----------------------------------------------------------- S2-K4b
+# Fully fused power-series E0 term (right_mul_e0_joint,
+# sc/linearization_power_varproj.hpp:409-453): one kernel computes
+#   out12[:, n] = seg_cam( swz (C^T (M sb)) (x) x4 ),
+#   sb = seg_lm( M^T jp_x ),  jp_x = swz [q~0 - mx q~2, q~1 - my q~2]
+# i.e. the mat_dot2 gather, the per-landmark slot reduction, the
+# re-expansion AND the scatter2 in a single pass — the stage-2
+# analogue of pallas_pose._e0_term_kernel (see the layout contract
+# there: [w, gt] landmark-major blocks per fixed-width slot part,
+# caller reshapes the slot-element-major obs arrays and sums the
+# per-part [12, Npad] outputs).
+
+
+def _e0_term2_kernel(
+    cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, z_ref, out_ref, *, w
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    nb = z_ref.shape[-1]
+    gt = cam_ref.shape[-1]
+    ohs = []
+    swz_j = []
+    sb = [None, None, None]
+    # pass A: u3 per slot row, accumulated per landmark (lane) into sb
+    for j in range(w):
+        oh = _onehot(cam_ref[j, :].reshape(1, gt), nb)
+        ohs.append(oh)
+        zc = _gather_table(z_ref, oh)  # [12, gt]
+        x4 = [x4_ref[c * w + j, :] for c in range(4)]
+        q = []
+        for a in range(3):
+            acc = zc[4 * a, :] * x4[0]
+            for c in range(1, 4):
+                acc += zc[4 * a + c, :] * x4[c]
+            q.append(acc)
+        mx, my = mm_ref[j, :], mm_ref[w + j, :]
+        swz = sw_ref[j, :] * mm_ref[2 * w + j, :]
+        swz_j.append(swz)
+        jx0 = swz * (q[0] - mx * q[2])
+        jx1 = swz * (q[1] - my * q[2])
+        for i in range(3):
+            u = (mat_ref[i * w + j, :] * jx0
+                 + mat_ref[(3 + i) * w + j, :] * jx1)
+            sb[i] = u if sb[i] is None else sb[i] + u
+    # pass B: scatter swz (C^T (M sb)) (x) x4 per slot row to cameras
+    acc_out = None
+    for j in range(w):
+        v0 = (mat_ref[j, :] * sb[0] + mat_ref[w + j, :] * sb[1]
+              + mat_ref[2 * w + j, :] * sb[2])
+        v1 = (mat_ref[3 * w + j, :] * sb[0] + mat_ref[4 * w + j, :] * sb[1]
+              + mat_ref[5 * w + j, :] * sb[2])
+        mx, my = mm_ref[j, :], mm_ref[w + j, :]
+        swz = swz_j[j]
+        ctv = [swz * v0, swz * v1, -swz * (mx * v0 + my * v1)]
+        x4 = [x4_ref[c * w + j, :] for c in range(4)]
+        rows = []
+        for a in range(3):
+            for c in range(4):
+                rows.append(ctv[a] * x4[c])
+        contrib = _scatter_rows(jnp.stack(rows, axis=0), ohs[j])
+        acc_out = contrib if acc_out is None else acc_out + contrib
+    out_ref[:] += acc_out
+
+
+# f32 operand rows per slot element: 1 cam + 4 x4 + 3 mm + 1 sw + 6 mat
+E0_TERM2_ROWS = 15
+
+
+def e0_term2_parts(parts, z_table, n_cams):
+    """Fused stage-2 E0 matvec over pre-reshaped slot parts.
+
+    parts: tuple of (cam2 [w, G] i32, x42 [4w, G], mm2 [3w, G],
+    sw2 [w, G], mat2 [6w, G], w, gt) with G a multiple of gt (pads
+    carry sw == 0 and contribute exactly zero). z_table [12, N] is the
+    per-term camera table zt = Kps v11. Returns [12, n_cams] raw
+    per-camera sums (caller folds Kps^T)."""
+    n_pad = _n_pad(n_cams)
+    if z_table.shape[-1] != n_pad:
+        z_table = jnp.pad(
+            z_table, ((0, 0), (0, n_pad - z_table.shape[-1]))
+        )
+    from povar_tpu.ops.pallas_cam import _interpret
+    from jax.experimental.pallas import tpu as pltpu
+
+    _I0 = np.int32(0)
+    out = None
+    for cam2, x42, mm2, sw2, mat2, w, gt in parts:
+        g = cam2.shape[-1]
+        r = pl.pallas_call(
+            functools.partial(_e0_term2_kernel, w=w),
+            out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+            grid=(g // gt,),
+            in_specs=[
+                pl.BlockSpec((w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6 * w, gt), lambda i: (_I0, i),
+                             memory_space=pltpu.VMEM),
+                _fixed_spec(12, n_pad),
+            ],
+            out_specs=_fixed_spec(12, n_pad),
+            interpret=_interpret(),
+        )(cam2, x42, mm2, sw2, mat2, z_table)
+        out = r if out is None else out + r
+    return out[:, :n_cams]
+
+
 # -------------------------------------------------------------- S2-K5
 # Structured tangent Schur-Jacobi diagonal correction (one obs couples
 # a camera only with itself):

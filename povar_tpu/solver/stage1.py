@@ -537,6 +537,74 @@ class CamWindows:
         )
         return self._psum(out[: self.n_cams].T)
 
+    # ---- fused single-kernel power-series E0 term (small-N path):
+    # static planning shared by the stage solvers. The prefix of slot
+    # parts narrow enough to unroll (w <= E0_TERM_MAX_W) runs the
+    # single-pass kernel (pallas_pose.e0_term_parts / pallas_pose2.
+    # e0_term2_parts); any wide-part suffix falls back to the composed
+    # kernels on its (padded) obs slice. All-dead suffixes (the pad
+    # tail build_slot_plan appends) are skipped outright.
+
+    # f32 operand rows per slot element in the fused kernel's VMEM
+    # frame (stage 1: cam+x+h = 13; stage 2 overrides with 15)
+    _E0_TERM_ROWS = 13
+    _e0_meta = None
+    _e0_cam2 = None
+    _e0_suffix = None
+
+    def _plan_e0_fused(self) -> None:
+        import numpy as np
+
+        from povar_tpu.ops import pallas_pose
+
+        metas = []
+        ofs = 0
+        n_parts = 0
+        for g, w in self.lm_shapes:
+            if w > pallas_pose.E0_TERM_MAX_W:
+                break
+            gt, gp = pallas_pose.e0_term_geometry(
+                w, g, rows_per_lane=self._E0_TERM_ROWS
+            )
+            metas.append((ofs, g, w, gt, gp))
+            ofs += g * w
+            n_parts += 1
+        if not metas:
+            return
+        o_pad = int(self.obs.cam.shape[0])
+        cut = ofs
+        w_np = (
+            None if self.obs.weight is None
+            else np.asarray(self.obs.weight)
+        )
+        live_total = o_pad if w_np is None else int((w_np > 0).sum())
+        if cut == o_pad:
+            live_suffix = 0
+        elif w_np is None:
+            live_suffix = o_pad - cut
+        else:
+            live_suffix = int((w_np[cut:] > 0).sum())
+        # the fused prefix must carry the bulk of the live work
+        if live_total and (live_total - live_suffix) / live_total < 0.5:
+            return
+        cam_np = np.asarray(self.obs.cam)
+        cam2 = []
+        for ofs_p, g, w, gt, gp in metas:
+            c2 = cam_np[ofs_p : ofs_p + g * w].reshape(w, g)
+            if gp != g:
+                c2 = np.pad(c2, ((0, 0), (0, gp - g)))
+            cam2.append(jnp.asarray(c2, jnp.int32))
+        self._e0_meta = tuple(metas)
+        self._e0_cam2 = tuple(cam2)
+        if live_suffix:
+            from povar_tpu.ops.pallas_cam import _round_up
+
+            self._e0_suffix = (
+                cut,
+                tuple(self.lm_shapes[n_parts:]),
+                _round_up(o_pad - cut, 512),
+            )
+
 
 class Stage1Solver(StagedTiming, CamWindows):
     def __init__(
@@ -1707,60 +1775,6 @@ class Stage1Solver(StagedTiming, CamWindows):
             ps[:, None, :] * ps[None, :, :]
         )
         return hpp, b_raw * ps
-
-    def _plan_e0_fused(self) -> None:
-        """Static planning for the fused E0 term kernel: the prefix of
-        slot parts narrow enough to unroll (w <= E0_TERM_MAX_W) runs the
-        single-pass kernel; any wide-part suffix falls back to the
-        composed kernels on its (padded) obs slice. All-dead suffixes
-        (the pad tail build_slot_plan appends) are skipped outright."""
-        import numpy as np
-
-        metas = []
-        ofs = 0
-        n_parts = 0
-        for g, w in self.lm_shapes:
-            if w > pallas_pose.E0_TERM_MAX_W:
-                break
-            gt, gp = pallas_pose.e0_term_geometry(w, g)
-            metas.append((ofs, g, w, gt, gp))
-            ofs += g * w
-            n_parts += 1
-        if not metas:
-            return
-        o_pad = int(self.obs.cam.shape[0])
-        cut = ofs
-        w_np = (
-            None if self.obs.weight is None
-            else np.asarray(self.obs.weight)
-        )
-        live_total = o_pad if w_np is None else int((w_np > 0).sum())
-        if cut == o_pad:
-            live_suffix = 0
-        elif w_np is None:
-            live_suffix = o_pad - cut
-        else:
-            live_suffix = int((w_np[cut:] > 0).sum())
-        # the fused prefix must carry the bulk of the live work
-        if live_total and (live_total - live_suffix) / live_total < 0.5:
-            return
-        cam_np = np.asarray(self.obs.cam)
-        cam2 = []
-        for ofs_p, g, w, gt, gp in metas:
-            c2 = cam_np[ofs_p : ofs_p + g * w].reshape(w, g)
-            if gp != g:
-                c2 = np.pad(c2, ((0, 0), (0, gp - g)))
-            cam2.append(jnp.asarray(c2, jnp.int32))
-        self._e0_meta = tuple(metas)
-        self._e0_cam2 = tuple(cam2)
-        if live_suffix:
-            from povar_tpu.ops.pallas_cam import _round_up
-
-            self._e0_suffix = (
-                cut,
-                tuple(self.lm_shapes[n_parts:]),
-                _round_up(o_pad - cut, 512),
-            )
 
     def _e0_fused_parts(self, lin: Lin1S, h: jnp.ndarray):
         """Per-solve traced operand views for e0_term_parts: [3w, g] /

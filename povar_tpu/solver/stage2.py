@@ -46,6 +46,7 @@ from povar_tpu.solver.segments import (
     padded_segment_sum,
     slot_expand,
     slot_part_sums,
+    slot_row_expand,
     slot_segment_sum,
 )
 from povar_tpu.solver.stage1 import (
@@ -122,6 +123,9 @@ def create_homogeneous(
 
 
 class Stage2Solver(StagedTiming, CamWindows):
+    # fused-term VMEM rows per slot element (pallas_pose2.E0_TERM2_ROWS)
+    _E0_TERM_ROWS = 15
+
     def __init__(
         self,
         obs_cam: jnp.ndarray,
@@ -198,6 +202,15 @@ class Stage2Solver(StagedTiming, CamWindows):
             if self.obs.weight is None
             else int(_np.sum(_np.asarray(self.obs.weight) > 0))
         )
+
+        # fused single-kernel power-series E0 term (small-N structured
+        # path): shared static planning from CamWindows; the stage-2
+        # kernel streams 15 operand rows per slot element
+        self._e0_meta = None
+        self._e0_cam2 = None
+        self._e0_suffix = None
+        if self.use_pallas and not self.n_win and options.fused_power_term:
+            self._plan_e0_fused()
 
         self._jit_compute_error = jax.jit(self._compute_error)
         self._jit_linearize = jax.jit(self._linearize)
@@ -1048,10 +1061,69 @@ class Stage2Solver(StagedTiming, CamWindows):
         hpp11, b11 = self._fold_kps(lin, hpp12, b12)
         return b11, hpp11, b6
 
+    def _e0_fused_parts2(self, lin: Lin2S, b6):
+        """Per-solve traced operand views for e0_term2_parts: [kw, g]
+        landmark-major reshapes of the slot-element-major obs arrays
+        (lane pads carry sw == 0, contributing zero)."""
+        parts = []
+        for (ofs, g, w, gt, gp), c2 in zip(self._e0_meta, self._e0_cam2):
+            sl = slice(ofs, ofs + g * w)
+            x42 = lin.x4[:, sl].reshape(4 * w, g)
+            mm2 = lin.mm[:, sl].reshape(3 * w, g)
+            sw2 = lin.sw[:, sl].reshape(w, g)
+            mat2 = b6[:, sl].reshape(6 * w, g)
+            if gp != g:
+                pad = ((0, 0), (0, gp - g))
+                x42 = jnp.pad(x42, pad)
+                mm2 = jnp.pad(mm2, pad)
+                sw2 = jnp.pad(sw2, pad)
+                mat2 = jnp.pad(mat2, pad)
+            parts.append((c2, x42, mm2, sw2, mat2, w, gt))
+        return tuple(parts)
+
+    def _e0_suffix_apply2(self, obs: Obs, lin: Lin2S, b6, zt):
+        """Composed-kernel stage-2 E0 on the wide-part suffix slice."""
+        cut, suf_shapes, o_sp = self._e0_suffix
+        o_suf = int(obs.cam.shape[0]) - cut
+        pad = o_sp - o_suf
+        cam_s = jnp.pad(obs.cam[cut:], (0, pad))
+        x4_s = jnp.pad(lin.x4[:, cut:], ((0, 0), (0, pad)))
+        mm_s = jnp.pad(lin.mm[:, cut:], ((0, 0), (0, pad)))
+        sw_s = jnp.pad(lin.sw[:, cut:], ((0, 0), (0, pad)))
+        b6_s = jnp.pad(b6[:, cut:], ((0, 0), (0, pad)))
+        u3 = pallas_pose2.mat_dot2(
+            cam_s, x4_s, mm_s, sw_s, b6_s, None, zt, add_r=False
+        )
+        rows = slot_part_sums(u3[:, :o_suf], suf_shapes)
+        sb = jnp.pad(
+            slot_row_expand(rows, suf_shapes), ((0, 0), (0, pad))
+        )
+        return pallas_pose2.scatter2(
+            cam_s, x4_s, mm_s, sw_s, b6_s, sb, self.n_cams
+        )
+
     def _e0_apply_s(self, obs: Obs, lin: Lin2S, b6):
         """Matrix-free tangent E0 closure through the zt-table trick."""
         win = self._winargs(obs)
         kcam = self._kcam(obs)
+
+        if self._e0_meta is not None and win is None:
+            parts = self._e0_fused_parts2(lin, b6)
+
+            def e0_fused(v11):
+                zt = small_einsum("abn,bn->an", lin.kps, v11)
+                out12 = pallas_pose2.e0_term2_parts(
+                    parts, zt, self.n_cams
+                )
+                if self._e0_suffix is not None:
+                    out12 = out12 + self._e0_suffix_apply2(
+                        obs, lin, b6, zt
+                    )
+                out12 = self._combine_cam_win(obs, out12)
+                _, out11 = self._fold_kps(lin, None, out12)
+                return out11
+
+            return e0_fused
 
         def e0(v11):
             zt = small_einsum("abn,bn->an", lin.kps, v11)  # [12, N]

@@ -87,6 +87,76 @@ def test_fused_term_matches_composed_narrow():
     _compare_solvers(p, s0, s1)
 
 
+def _build2(p, fused, obs=None):
+    from povar_tpu.solver.stage2 import Stage2Solver
+
+    o = SolverOptions()
+    o.pallas_kernels = "on"
+    o.fused_power_term = fused
+    o.power_sc_iterations = 4
+    o.eta = 0.0
+    o.r_tolerance = -1.0
+    oc, ol, uv = obs if obs is not None else (
+        p.obs_cam, p.obs_lm, p.obs_uv
+    )
+    return Stage2Solver(
+        oc, ol, uv, p.num_cameras, p.num_landmarks, o
+    )
+
+
+def _compare_solvers2(p, s0, s1):
+    from povar_tpu.solver.stage2 import create_homogeneous
+
+    cams, lmh = create_homogeneous(
+        jnp.asarray(p.cam_space), jnp.asarray(p.lm_p)
+    )
+    lam = jnp.asarray(1e-4, jnp.float64)
+    lin0 = s0.linearize(cams, lmh)
+    lin1 = s1.linearize(cams, lmh)
+    i0, n0 = s0.solve_power(lin0, lam)
+    i1, n1 = s1.solve_power(lin1, lam)
+    assert int(n0) == int(n1)
+    rel = float(
+        jnp.max(jnp.abs(i0 - i1)) / (jnp.max(jnp.abs(i0)) + 1e-30)
+    )
+    assert rel < 1e-5, rel
+
+
+def test_fused_term2_matches_composed_narrow():
+    """Stage-2 fused term (pallas_pose2.e0_term2_parts) on an
+    all-narrow layout."""
+    p = synthetic_bal_problem_fast(23, 400, 4, seed=1)
+    s1 = _build2(p, True)
+    s0 = _build2(p, False)
+    assert s1._e0_meta is not None
+    assert s1._e0_suffix is None
+    _compare_solvers2(p, s0, s1)
+
+
+def test_fused_term2_matches_composed_wide_suffix():
+    """Stage-2 hybrid: a wide landmark routes through the composed
+    suffix (stage2._e0_suffix_apply2)."""
+    from povar_tpu.ops.pallas_pose import E0_TERM_MAX_W
+
+    p = synthetic_bal_problem_fast(23, 300, 4, seed=2)
+    rng = np.random.default_rng(3)
+    extra = 2 * E0_TERM_MAX_W + 5
+    oc = np.concatenate(
+        [np.asarray(p.obs_cam), rng.integers(0, 23, extra)]
+    )
+    ol = np.concatenate(
+        [np.asarray(p.obs_lm), np.zeros(extra, np.int64)]
+    )
+    uv = np.concatenate(
+        [np.asarray(p.obs_uv), rng.standard_normal((extra, 2)) * 0.3]
+    )
+    s1 = _build2(p, True, obs=(oc, ol, uv))
+    s0 = _build2(p, False, obs=(oc, ol, uv))
+    assert s1._e0_meta is not None
+    assert s1._e0_suffix is not None
+    _compare_solvers2(p, s0, s1)
+
+
 def test_fused_term_matches_composed_wide_suffix():
     """A landmark with more observations than the unroll cap routes
     through the composed-kernel suffix; sums must still agree."""
