@@ -96,7 +96,9 @@ def _prepare2_kernel(
         for c in range(1, 4):
             acc += P[4 * r + c] * x4[c]
         p.append(acc)
-    eps = np.float32(np.sqrt(np.finfo(np.float32).eps))
+    # Sophus epsilonSqrt for the f64 solve this kernel emulates:
+    # sqrt(1e-10) = 1e-5 (bal_camera.hpp:147), exactly representable
+    eps = np.float32(1e-5)
     valid = jnp.abs(p[2]) >= eps
     tiny = np.float32(1e-30)
     # f32 constants throughout: weak python floats turn the select f64
@@ -721,7 +723,8 @@ def _error2_kernel(
             term = _df_mul((Ph[4 * r + c], Pl[4 * r + c]), x4[c])
             acc = term if acc is None else _df_add(acc, term)
         p.append(acc)
-    eps_sqrt = np.float32(np.sqrt(np.finfo(np.float64).eps))
+    # Sophus epsilonSqrt (double) = sqrt(1e-10) = 1e-5, bal_camera.hpp:147
+    eps_sqrt = np.float32(1e-5)
     valid = (jnp.abs(p[2][0]) >= eps_sqrt) & mask
 
     r0 = _df_add(_df_div(p[0], p[2]),

@@ -23,6 +23,16 @@ from typing import Tuple
 import jax.numpy as jnp
 from povar_tpu.ops.small_einsum import small_einsum
 
+
+def sophus_eps_sqrt(dtype) -> jnp.ndarray:
+    """Sophus::Constants<Scalar>::epsilonSqrt() (Sophus common.hpp):
+    sqrt(1e-10) = 1e-5 for double, sqrt(1e-5f) for float. The reference
+    uses it as the |z| projection-validity threshold
+    (bal_camera.hpp:147). NOT the machine epsilon."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return jnp.sqrt(jnp.float32(1e-5))
+    return jnp.sqrt(jnp.asarray(1e-10, dtype))
+
 # robust norm codes (BalResidualOptions::RobustNorm, bal_residual_options.hpp)
 ROBUST_NONE = 0
 ROBUST_HUBER = 1
@@ -203,7 +213,7 @@ def homogeneous_residual_t(
     p = small_einsum("ijo,jo->io", P, xh)  # [3, O]
     z = p[2]
     proj = p[:2] / z[None]
-    eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
+    eps_sqrt = sophus_eps_sqrt(xh.dtype)
     return proj - uv, jnp.abs(z) >= eps_sqrt
 
 
@@ -215,7 +225,7 @@ def homogeneous_jacobians_t(
     x_, y_, z_ = p[0], p[1], p[2]
     inv_z = 1.0 / z_
     r = jnp.stack([x_ * inv_z, y_ * inv_z], axis=0) - uv
-    eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
+    eps_sqrt = sophus_eps_sqrt(xh.dtype)
     valid = jnp.abs(z_) >= eps_sqrt
 
     xh_z = xh * inv_z[None]  # [4, O]
@@ -276,13 +286,14 @@ def homogeneous_residual(
     (helper.cpp:315-344 with
     BalCamera::project_projective_refinement_matrix_space_without_distortion,
     basalt_custom/camera/bal_camera.hpp:120-167 — no distortion applied).
-    valid: |p_z| >= sqrt(float eps) (Sophus::Constants::epsilonSqrt).
+    valid: |p_z| >= Sophus::Constants::epsilonSqrt() (bal_camera.hpp:147)
+    — sqrt(1e-10) = 1e-5 in double, sqrt(1e-5f) in float (the Sophus
+    constants, not the machine epsilon).
     """
     p = small_einsum("...ij,...j->...i", P, xh)  # [O, 3]; 4th row not needed
     z = p[..., 2]
     proj = p[..., :2] / z[..., None]
-    eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
-    valid = jnp.abs(z) >= eps_sqrt
+    valid = jnp.abs(z) >= sophus_eps_sqrt(xh.dtype)
     return proj - uv, valid
 
 
@@ -299,7 +310,7 @@ def homogeneous_jacobians(
     x_, y_, z_ = p[..., 0], p[..., 1], p[..., 2]
     inv_z = 1.0 / z_
     r = jnp.stack([x_ * inv_z, y_ * inv_z], axis=-1) - uv
-    eps_sqrt = jnp.sqrt(jnp.finfo(xh.dtype).eps)
+    eps_sqrt = sophus_eps_sqrt(xh.dtype)
     valid = jnp.abs(z_) >= eps_sqrt
 
     # Jp: row k of the projection touches only the k-th camera-matrix row

@@ -179,12 +179,28 @@ class SolverOptions:
         return self.optimized_cost != OptimizedCost.ERROR
 
     def effective_jacobi_scaling_epsilon(self, dtype) -> float:
-        """linearizor_base.cpp:94-100: explicit epsilon, or sqrt(float eps)."""
+        """linearizor_base.cpp:94-100: explicit epsilon, or
+        Sophus::Constants<Scalar>::epsilonSqrt() — sqrt(1e-10) = 1e-5
+        for double, sqrt(1e-5) for float (Sophus common.hpp constants,
+        NOT the machine epsilon; the reference's help text says
+        'floating point epsilon' but the code calls Sophus)."""
         import numpy as np
 
         if self.jacobi_scaling_epsilon > 0:
             return float(self.jacobi_scaling_epsilon)
-        return float(np.sqrt(np.finfo(dtype).eps))
+        return sophus_epsilon_sqrt(dtype)
+
+
+def sophus_epsilon_sqrt(dtype) -> float:
+    """Sophus::Constants<Scalar>::epsilonSqrt(): sqrt(1e-10) for double,
+    sqrt(1e-5f) for float (Sophus common.hpp). Used by the reference for
+    jacobi-scaling epsilon (linearizor_base.cpp:94-100) and the
+    projection validity z-threshold (bal_camera.hpp:147)."""
+    import numpy as np
+
+    if np.dtype(dtype) == np.float32:
+        return float(np.sqrt(np.float32(1e-5)))
+    return float(np.sqrt(1e-10))
 
 
 @dataclass

