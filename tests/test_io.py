@@ -240,3 +240,52 @@ def test_option_validate_ranges():
     errs = validate_options(opts)
     assert len(errs) == 2
     assert any("alpha" in e for e in errs)
+
+
+def test_autodetect_input_type(bal_file, tmp_path, monkeypatch):
+    """AUTO resolves by camera-block arity: 9 -> original BAL,
+    15 -> data_custom/ECCV (VERDICT r3 #4; the reference's own
+    autodetect, bal_problem.cpp:131-133, always returns BAL and
+    misparses mismatched files — we error instead)."""
+    path, _ = bal_file
+    monkeypatch.chdir(tmp_path)
+    assert bal_io.autodetect_input_type(path) == "BAL"
+    out = bal_io.create_dataset(path, seed=7)
+    assert bal_io.autodetect_input_type(out) == "ECCV"
+
+    # an original BAL file without --create-dataset errors clearly
+    opts = BalDatasetOptions(input=path)
+    with pytest.raises(ValueError, match="create-dataset"):
+        bal_io.load_normalized_bal_problem(opts)
+
+    # explicit ECCV on a 9-number file: arity mismatch error
+    opts = BalDatasetOptions(input=path, input_type="ECCV")
+    with pytest.raises(ValueError, match="arity"):
+        bal_io.load_normalized_bal_problem(opts)
+
+    # --create-dataset on an already-randomized file errors
+    opts = BalDatasetOptions(input=out, create_dataset=True)
+    with pytest.raises(ValueError, match="already randomized"):
+        bal_io.load_normalized_bal_problem(opts)
+
+    # the valid paths still work
+    opts = BalDatasetOptions(input=out)
+    p = bal_io.load_normalized_bal_problem(opts)
+    assert p.num_cameras == 5
+    opts = BalDatasetOptions(input=out, input_type="ECCV")
+    p = bal_io.load_normalized_bal_problem(opts)
+    assert p.num_cameras == 5
+    opts = BalDatasetOptions(input=path, create_dataset=True)
+    with pytest.raises(SystemExit):
+        bal_io.load_normalized_bal_problem(opts)
+
+    # garbage token count: clear error naming both grammars
+    bad = tmp_path / "bad.txt"
+    bad.write_text("2 3 4\n1 2 3 4\n")
+    with pytest.raises(ValueError, match="neither"):
+        bal_io.autodetect_input_type(str(bad))
+
+    # unknown explicit type
+    opts = BalDatasetOptions(input=out, input_type="CEREAL")
+    with pytest.raises(ValueError, match="input_type"):
+        bal_io.load_normalized_bal_problem(opts)
