@@ -28,6 +28,7 @@ from povar_tpu.options import (
     BalAppOptions,
     load_toml,
     options_to_dict,
+    options_to_toml,
 )
 from povar_tpu.problem.bal_io import load_normalized_bal_problem
 from povar_tpu.problem.problem import DatasetSummary
@@ -160,7 +161,9 @@ def main(argv=None) -> int:
         opts.dataset.create_dataset = True
 
     if args.dump_config:
-        print(json.dumps(options_to_dict(opts), indent=2))
+        # reloadable TOML, like the reference's effective-config print
+        # (bal_cli_utils.cpp:118-126): dump -> rerun round-trips
+        print(options_to_toml(opts), end="")
         return 0
 
     if not opts.dataset.input:

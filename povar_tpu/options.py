@@ -419,3 +419,47 @@ def options_to_dict(obj: Any) -> Dict[str, Any]:
         else:
             out[f.name] = v
     return out
+
+
+def _toml_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)  # repr round-trips floats exactly
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise TypeError(f"cannot TOML-serialize {type(v)}")
+
+
+def options_to_toml(opts: "BalAppOptions") -> str:
+    """Serialize options as a reloadable rootba_config.toml — the
+    reference's --dump-config prints its effective config in the same
+    format it loads (bal_cli_utils.cpp:118-126 via options._print), so
+    dump -> rerun round-trips. load_toml(dump(opts)) == opts is pinned
+    by test_io.test_dump_config_toml_roundtrip."""
+    lines: list = []
+
+    def emit(d: Dict[str, Any], prefix: str):
+        scalars = {k: v for k, v in d.items() if not isinstance(v, dict)}
+        tables = {k: v for k, v in d.items() if isinstance(v, dict)}
+        if prefix:
+            lines.append(f"[{prefix}]")
+        for k, v in scalars.items():
+            lines.append(f"{k} = {_toml_value(v)}")
+        for k, v in tables.items():
+            lines.append("")
+            emit(v, f"{prefix}.{k}" if prefix else k)
+
+    d = options_to_dict(opts)
+    first = True
+    for section, body in d.items():
+        if not first:
+            lines.append("")
+        first = False
+        if isinstance(body, dict):
+            emit(body, section)
+        else:
+            lines.append(f"{section} = {_toml_value(body)}")
+    return "\n".join(lines) + "\n"
