@@ -9,6 +9,8 @@ import pytest
 from povar_tpu import SolverOptions, bundle_adjust
 from povar_tpu.problem.synthetic import synthetic_bal_problem
 
+pytestmark = pytest.mark.quick
+
 # regenerated in round 4 after fixing the jacobi-scaling epsilon to the
 # reference's Sophus::Constants<double>::epsilonSqrt() = 1e-5 (the old
 # value used sqrt(machine eps); the step-1 trajectory shifts ~1e-5

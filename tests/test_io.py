@@ -18,6 +18,8 @@ from povar_tpu.utils import native
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture
 def bal_file(tmp_path):

@@ -114,6 +114,7 @@ def _solve_framework(problem, mixed: bool):
     return np.asarray(cams), np.asarray(lms), summary
 
 
+@pytest.mark.quick
 def test_step1_trajectory_matches_reference(problem, ref_run):
     """Decision-for-decision + cost parity of the pure-f64 mode."""
     cams, lms, summary = _solve_framework(problem, mixed=False)
