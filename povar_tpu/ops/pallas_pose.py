@@ -684,26 +684,33 @@ def _e0_term_kernel(cam_ref, x_ref, h_ref, z_ref, out_ref, *, w):
     out_ref[:] += acc_out
 
 
-# Per-part VMEM operand budget for the fused term kernel: 13 rows of
-# f32 per slot element ((1 cam + 3 x + 9 h) * w * gt * 4 B), plus the
-# transient one-hot. Kept well under the scoped VMEM frame.
-_E0_TERM_VMEM = 2 << 20
+# Per-part VMEM frame budget for the fused term kernel. Footprint per
+# landmark lane: rows_per_lane operand rows ((1 cam + 3 x + 9 h) * w *
+# 4 B for stage 1) PLUS the w one-hot matrices [gt, n_pad] that pass A
+# builds and pass B reuses for the scatter — the retained one-hots
+# dominate at larger camera counts and MUST be budgeted, not left to
+# compiler spilling (advisor r3).
+_E0_TERM_VMEM = 8 << 20
 # Unrolled slot loops: parts wider than this fall back to the composed
 # kernels (program size grows linearly in w).
 E0_TERM_MAX_W = 16
 
 
-def e0_term_geometry(w: int, g: int, rows_per_lane: int = 13):
+def e0_term_geometry(w: int, g: int, n_cams: int, rows_per_lane: int = 13):
     """(landmark-axis tile, padded landmark count) for a (g landmarks,
-    width w) part: the tile fits the VMEM budget and the part pads its
-    landmark axis (zero-weight lanes) to a whole number of tiles.
-    rows_per_lane: f32 operand rows per slot element (13 for the
-    stage-1 kernel: cam+x+h; 15 for stage-2: cam+x4+mm+sw+mat6)."""
-    from povar_tpu.ops.pallas_cam import _round_up
+    width w) part, or None when even the minimum 128-lane tile blows
+    the VMEM frame (large camera counts: the retained one-hots are
+    w * gt * n_pad * 4 B). The part pads its landmark axis (zero-weight
+    lanes) to a whole number of tiles. rows_per_lane: f32 operand rows
+    per slot element (13 for the stage-1 kernel: cam+x+h; 15 for
+    stage-2: cam+x4+mm+sw+mat6)."""
+    from povar_tpu.ops.pallas_cam import _n_pad, _round_up
 
-    cap = max(
-        128, (_E0_TERM_VMEM // (rows_per_lane * 4 * w)) // 128 * 128
-    )
+    n_pad = _n_pad(n_cams)
+    per_gt = 4 * w * (rows_per_lane + n_pad)
+    cap = (_E0_TERM_VMEM // per_gt) // 128 * 128
+    if cap < 128:
+        return None
     gt = min(2048, cap, _round_up(g, 128))
     return gt, _round_up(g, gt)
 

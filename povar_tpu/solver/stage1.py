@@ -563,9 +563,14 @@ class CamWindows:
         for g, w in self.lm_shapes:
             if w > pallas_pose.E0_TERM_MAX_W:
                 break
-            gt, gp = pallas_pose.e0_term_geometry(
-                w, g, rows_per_lane=self._E0_TERM_ROWS
+            geo = pallas_pose.e0_term_geometry(
+                w, g, self.n_cams, rows_per_lane=self._E0_TERM_ROWS
             )
+            if geo is None:
+                # retained one-hots [gt, n_pad] x w don't fit the VMEM
+                # frame at this camera count: composed kernels instead
+                break
+            gt, gp = geo
             metas.append((ofs, g, w, gt, gp))
             ofs += g * w
             n_parts += 1
@@ -584,8 +589,12 @@ class CamWindows:
             live_suffix = o_pad - cut
         else:
             live_suffix = int((w_np[cut:] > 0).sum())
-        # the fused prefix must carry the bulk of the live work
-        if live_total and (live_total - live_suffix) / live_total < 0.5:
+        # the fused prefix must carry the bulk of the live work; a
+        # degenerate all-dead layout keeps the composed path too (the
+        # fused kernels would only compute zeros)
+        if live_total == 0:
+            return
+        if (live_total - live_suffix) / live_total < 0.5:
             return
         cam_np = np.asarray(self.obs.cam)
         cam2 = []

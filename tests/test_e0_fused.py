@@ -181,3 +181,71 @@ def test_fused_term_matches_composed_wide_suffix():
     widths = [w for _, w in s1.lm_shapes]
     assert max(widths) > E0_TERM_MAX_W
     _compare_solvers(p, s0, s1)
+
+
+def test_fused_plan_declined_when_suffix_dominates():
+    """If the wide-part suffix carries >= 50% of the live work, the
+    fused path is disabled entirely (_e0_meta is None) and the composed
+    path still computes the same solve (advisor r3: pin the planning
+    cutoff)."""
+    from povar_tpu.ops.pallas_pose import E0_TERM_MAX_W
+
+    p = synthetic_bal_problem_fast(23, 50, 4, seed=4)  # 200 narrow obs
+    rng = np.random.default_rng(5)
+    extra = 300  # one wide landmark dominating the live work
+    oc = np.concatenate(
+        [np.asarray(p.obs_cam), rng.integers(0, 23, extra)]
+    )
+    ol = np.concatenate(
+        [np.asarray(p.obs_lm), np.zeros(extra, np.int64)]
+    )
+    uv = np.concatenate(
+        [np.asarray(p.obs_uv), rng.standard_normal((extra, 2)) * 0.3]
+    )
+    s1 = _build(p, True, obs=(oc, ol, uv))
+    s0 = _build(p, False, obs=(oc, ol, uv))
+    assert max(w for _, w in s1.lm_shapes) > E0_TERM_MAX_W
+    assert s1._e0_meta is None  # heuristic declined the fused plan
+    _compare_solvers(p, s0, s1)
+
+
+def test_fused_plan_degenerate_all_dead():
+    """An all-dead layout (every observation weight zero) keeps the
+    composed path instead of planning kernels that compute only zeros
+    (advisor r3)."""
+    import jax.numpy as jnp
+
+    p = synthetic_bal_problem_fast(8, 60, 4, seed=5)
+    s = _build(p, True)
+    assert s._e0_meta is not None
+    w = (
+        jnp.zeros(s.obs.cam.shape[0], jnp.float32)
+        if s.obs.weight is None
+        else jnp.zeros_like(s.obs.weight)
+    )
+    s.obs = s.obs._replace(weight=w)
+    s._e0_meta = s._e0_cam2 = s._e0_suffix = None
+    s._plan_e0_fused()
+    assert s._e0_meta is None
+
+
+def test_e0_term_geometry_budgets_retained_onehots():
+    """The geometry accounts for the w retained one-hot matrices
+    [gt, n_pad]: tiles shrink as the camera count grows, and the
+    fused path is declined outright when even a 128-lane tile would
+    blow the VMEM frame (advisor r3)."""
+    from povar_tpu.ops.pallas_pose import _E0_TERM_VMEM, e0_term_geometry
+    from povar_tpu.ops.pallas_cam import _n_pad
+
+    gt_small, _ = e0_term_geometry(16, 4096, 89)
+    gt_large, _ = e0_term_geometry(16, 4096, 500)
+    assert gt_large < gt_small
+    for w, n_cams in [(4, 89), (16, 89), (4, 1000), (16, 500)]:
+        geo = e0_term_geometry(w, 4096, n_cams)
+        assert geo is not None
+        gt, _ = geo
+        assert 4 * w * gt * (13 + _n_pad(n_cams)) <= _E0_TERM_VMEM
+    # wide slots at a large camera count: even gt=128 cannot fit the
+    # w retained one-hots -> decline (composed kernels take over)
+    assert e0_term_geometry(16, 4096, 1000) is None
+    assert e0_term_geometry(4, 4096, 16000) is None
