@@ -87,14 +87,18 @@ def conjugate_gradients(
         z = precond(s.r)
         last_rho = s.rho
         rho = _dot(s.r, z)
-        rho_bad = jnp.logical_or(rho == 0.0, jnp.isinf(rho))
+        # NaN included: the reference's IsZeroOrInfinity breaks on
+        # inf but a NaN (singular preconditioner block on degenerate
+        # data) would otherwise sail through every comparison and run
+        # the loop to max_iterations with a NaN iterate
+        rho_bad = jnp.logical_or(rho == 0.0, ~jnp.isfinite(rho))
 
         beta = rho / last_rho
         p = jnp.where(it == 1, z, z + beta * s.p)
 
         q = matvec(p)
         pq = _dot(p, q)
-        pq_bad = jnp.logical_or(pq <= 0.0, jnp.isinf(pq))
+        pq_bad = jnp.logical_or(pq <= 0.0, ~jnp.isfinite(pq))
         alpha = rho / pq
 
         x = s.x + alpha * p

@@ -695,8 +695,14 @@ class Stage1Solver(StagedTiming, CamWindows):
             self.solve_dtype
         )
         # banded direct solver beyond the dense-RCS ceiling
-        # (solver/band_chol.py: RCM band -> block-tridiagonal LLT)
+        # (solver/band_chol.py: RCM band -> block-tridiagonal LLT).
+        # When neither the dense nor the banded factorization covers
+        # the graph, CHOLESKY falls back to PCG with a loud warning
+        # instead of failing — the reference's SimplicialLLT
+        # (linearization_sc.hpp:236-245) factors any sparsity, so a
+        # CHOLESKY config must never hard-fail (VERDICT r3 #7).
         self._band_plan = None
+        self._chol_pcg_fallback = False
         if (
             options.solver_type_step_1 == SolverType.CHOLESKY
             and self.n_cams > DENSE_CHOL_MAX
@@ -712,17 +718,25 @@ class Stage1Solver(StagedTiming, CamWindows):
                 else _np.asarray(self.obs.weight),
             )
             if self._band_plan is None:
-                raise ValueError(
+                import warnings
+
+                self._chol_pcg_fallback = True
+                warnings.warn(
                     f"CHOLESKY at n_cams={self.n_cams}: the dense RCS "
                     f"exceeds {DENSE_CHOL_MAX} cameras and the RCM "
                     "block bandwidth exceeds "
-                    f"{band_chol.MAX_SUPERNODE} (no band structure); "
-                    "use POWER_VARPROJ or PCG"
+                    f"{band_chol.MAX_SUPERNODE} (no exploitable band "
+                    "structure) — falling back to PCG with the "
+                    "SCHUR_JACOBI preconditioner. Iteration counts "
+                    "will reflect CG iterations, not a direct solve.",
+                    RuntimeWarning,
+                    stacklevel=2,
                 )
-            self._band_meta = self._band_plan.meta
-            self._band_arrays = jax.tree.map(
-                jnp.asarray, self._band_plan.arrays
-            )
+            else:
+                self._band_meta = self._band_plan.meta
+                self._band_arrays = jax.tree.map(
+                    jnp.asarray, self._band_plan.arrays
+                )
         # live-observation count for ResidualInfo (padding rows carry
         # zero weight and must not inflate num_obs / mean residuals)
         import numpy as _np
@@ -789,6 +803,8 @@ class Stage1Solver(StagedTiming, CamWindows):
         return self._jit_solve_pcg(self.obs, lin, lam)
 
     def solve_cholesky(self, lin, lam):
+        if self._chol_pcg_fallback:
+            return self.solve_pcg(lin, lam)
         if self._band_plan is not None:
             return self._jit_solve_cholesky(
                 self.obs, lin, lam, self._band_arrays
@@ -914,7 +930,9 @@ class Stage1Solver(StagedTiming, CamWindows):
             # (set_landmark_damping, linearizor_power_varproj.cpp:199-201)
             t["landmark_damping"] = t["stage2"] if ld else 0.0
             return inc, n_iter, t
-        if st == SolverType.PCG:
+        if st == SolverType.PCG or (
+            st == SolverType.CHOLESKY and self._chol_pcg_fallback
+        ):
             if structured:
                 lam32 = lam.astype(jnp.float32)
                 pieces, t["stage2"] = self._timed(

@@ -145,7 +145,9 @@ def overview_table(exps: Dict, columns, filter_regex=None) -> str:
         {s for name, _ in columns for s in exps[name].sequences(filter_regex)}
     )
     flat = [(name, stat) for name, stats in columns for stat in stats]
-    width = 16
+    # column width: widest stat label + 2 so long labels ("#obs-per-
+    # lm-mean") keep a separator instead of jamming into the neighbor
+    width = max(16, max(len(stat) for _, stat in flat) + 2)
     head1 = "".ljust(28) + "".join(
         name.ljust(width * len(stats)) for name, stats in columns
     )

@@ -77,18 +77,9 @@ def run_combo(problem_args, s1_name, s2_name, run_dir, max_it):
     total = time.perf_counter() - t0
     with open(os.path.join(run_dir, "output.log"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    counts = np.bincount(problem.obs_lm, minlength=problem.num_landmarks)
-    ds = DatasetSummary(
-        type="synthetic",
-        input_path=problem.input_path,
-        num_cameras=problem.num_cameras,
-        num_landmarks=problem.num_landmarks,
-        num_observations=problem.num_observations,
-        per_lm_obs_mean=float(counts.mean()),
-        per_lm_obs_min=float(counts.min()),
-        per_lm_obs_max=float(counts.max()),
-        per_lm_obs_stddev=float(counts.std()),
-    )
+    ds = problem.summarize(compute_sparsity=True)
+    ds.type = "synthetic"
+    ds.input_path = problem.input_path
     ba_log.save_json(
         os.path.join(run_dir, "ba_log.json"),
         ds,

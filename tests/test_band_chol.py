@@ -156,3 +156,46 @@ def test_band_plan_pair_count(banded_solver):
     assert pairs >= base  # same-position duplicates add a few
     assert pairs <= base + int(np.sum(counts * (counts - 1) // 2))
     assert s._band_plan.meta.S >= 2  # exercises supernode coupling
+
+
+def test_cholesky_unbanded_falls_back_to_pcg():
+    """CHOLESKY on a graph with no exploitable band structure at
+    n_cams > DENSE_CHOL_MAX must warn and run via PCG instead of
+    hard-failing (VERDICT r3 #7; the reference's SimplicialLLT factors
+    any sparsity, linearization_sc.hpp:236-245)."""
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from povar_tpu.options import SolverOptions, SolverType
+    from povar_tpu.problem.synthetic import (
+        synthetic_bal_problem_adversarial,
+    )
+    from povar_tpu.solver.stage1 import Stage1Solver
+
+    p = synthetic_bal_problem_adversarial(
+        4096, 6000, mean_obs_per_lm=5.0, loop_closure_frac=0.3, seed=11
+    )
+    o = SolverOptions()
+    o.solver_type_step_1 = SolverType.CHOLESKY
+    o.pallas_kernels = "off"
+    with pytest.warns(RuntimeWarning, match="falling back to PCG"):
+        s = Stage1Solver(
+            p.obs_cam, p.obs_lm, p.obs_uv,
+            p.num_cameras, p.num_landmarks, o,
+        )
+    assert s._chol_pcg_fallback
+    assert s._band_plan is None
+
+    cams = jnp.asarray(p.cam_space)
+    lms = s.initialize_varproj(cams)
+    lin = s.linearize(cams, lms)
+    inc, n_iter = s.solve(lin, jnp.asarray(1e-4, jnp.float64))
+    assert int(n_iter) >= 1  # CG iterations, not a direct solve
+    assert bool(jnp.all(jnp.isfinite(inc)))
+    # staged/timed dispatch takes the same fallback
+    inc_t, n_t, t = s.solve_timed(lin, jnp.asarray(1e-4, jnp.float64))
+    assert "solve_reduced_system" in t
+    assert bool(jnp.all(jnp.isfinite(inc_t)))
