@@ -91,8 +91,33 @@ def _make_solver(solver_cls, problem, options, dtype, mesh):
                 mesh,
                 dtype=dtype,
             )
+        import warnings
+
         from povar_tpu.parallel.mesh import make_sharded_solver
 
+        reasons = []
+        if dtype != jnp.float64:
+            reasons.append("dtype != float64")
+        if not options.mixed_precision_solves:
+            reasons.append("mixed_precision_solves=False")
+        if options.detailed_timing:
+            reasons.append("detailed_timing=True")
+        if options.pallas_kernels == "off":
+            reasons.append("pallas_kernels='off'")
+        from povar_tpu.options import SolverType
+
+        if options.solver_type_step_1 == SolverType.CHOLESKY:
+            reasons.append("solver_type_step_1=CHOLESKY")
+        warnings.warn(
+            "multi-chip run falls back to the GSPMD XLA lowering "
+            "(~20x slower per observation than the windowed shard_map "
+            "fast path, docs/PERFORMANCE.md) because: "
+            + ", ".join(reasons or ["unknown configuration"])
+            + ". Use f64 LM + mixed-precision solves + fused timing "
+            "with an iterative step-1 solver for the fast path.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return make_sharded_solver(
             solver_cls, problem, options, mesh, dtype=dtype
         )

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh
 
-from povar_tpu.options import SolverOptions
+from povar_tpu.options import SolverOptions, SolverType
 from povar_tpu.ops.pallas_pose import PART_ALIGN
 from povar_tpu.parallel.spmd import (
     build_spmd_plan,
@@ -400,3 +400,82 @@ def test_spmd_step1_lm_trajectory_parity():
     assert np.all(np.isfinite(p1.cam_space))
     assert np.all(np.isfinite(p1.lm_p_h))
     assert s2a.num_successful_steps > 0
+
+
+@pytest.mark.slow
+def test_spmd_stage1_pcg_matches_single_chip():
+    """PCG step-1 under shard_map (VERDICT r3 #6: the fast path covers
+    the iterative non-power solver too): solve via the explicit-SC CG
+    matches the single-chip structured solver."""
+    opts = SolverOptions()
+    opts.solver_type_step_1 = SolverType.PCG
+    opts.pallas_kernels = "on"
+    s, ref, cams = _stage1_pair(opts)
+    lam = jnp.asarray(1e-3, s.dtype)
+
+    lp = s.initialize_varproj(cams)
+    lin = s.linearize(cams, lp)
+    inc, n = s.solve_pcg(lin, lam)
+
+    lr = ref.initialize_varproj(cams)
+    lin_r = ref.linearize(cams, lr)
+    inc_r, n_r = ref.solve_pcg(lin_r, lam)
+
+    # same CG iteration count (identical operator up to f32 order)
+    assert abs(int(n) - int(n_r)) <= 1
+    d = np.abs(np.asarray(inc) - np.asarray(inc_r)).max() / (
+        np.abs(np.asarray(inc_r)).max() + 1e-12
+    )
+    assert d < 3e-3, d
+
+
+def test_spmd_pcg_takes_fast_path_and_no_warning():
+    """A PCG mesh run uses the windowed shard_map solvers (not the
+    GSPMD fallback) and completes the full pipeline without the
+    fallback warning."""
+    import copy
+    import warnings
+
+    from povar_tpu.problem.synthetic import synthetic_bal_problem
+    from povar_tpu.solver.pipeline import bundle_adjust
+
+    problem, _ = synthetic_bal_problem(
+        n_cams=10, n_lms=60, obs_per_lm=4, seed=7
+    )
+    opts = SolverOptions()
+    opts.solver_type_step_1 = SolverType.PCG
+    opts.max_num_iterations_step_1 = 3
+    opts.max_num_iterations_step_2 = 2
+    opts.pallas_kernels = "on"
+    mesh = _mesh()
+    p1 = copy.deepcopy(problem)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        _, s1, s2 = bundle_adjust(
+            p1, opts, log=lambda s: None, mesh=mesh
+        )
+    assert s1.num_successful_steps > 0
+    assert np.all(np.isfinite(p1.cam_space))
+
+
+def test_spmd_fallback_warns_loudly():
+    """Configurations outside the fast path (detailed_timing, pure
+    f64) fall back to the GSPMD lowering WITH a RuntimeWarning naming
+    the reason (VERDICT r3 #6: no silent order-of-magnitude loss)."""
+    import copy
+
+    from povar_tpu.problem.synthetic import synthetic_bal_problem
+    from povar_tpu.solver.pipeline import bundle_adjust
+
+    problem, _ = synthetic_bal_problem(
+        n_cams=8, n_lms=40, obs_per_lm=4, seed=9
+    )
+    opts = SolverOptions()
+    opts.max_num_iterations_step_1 = 2
+    opts.max_num_iterations_step_2 = 2
+    opts.detailed_timing = True
+    mesh = _mesh()
+    p1 = copy.deepcopy(problem)
+    with pytest.warns(RuntimeWarning, match="detailed_timing"):
+        bundle_adjust(p1, opts, log=lambda s: None, mesh=mesh)
+    assert np.all(np.isfinite(p1.cam_space))
