@@ -83,15 +83,18 @@ def main() -> None:
         opts,
     )
 
+    @jax.jit
     def step(cams, lms, lam):
-        # the same four device calls the LM driver makes per iteration,
-        # INCLUDING the f64 cost evaluation that gates accept/reject
-        # (solver/lm.py compute_error per trial,
-        # bal_bundle_adjustment.cpp:406)
-        lin = solver.linearize(cams, lms)
-        inc, _ = solver.solve_power(lin, lam, landmark_damping=False)
-        new_cams, new_lms, l_diff = solver.apply(cams, lms, lin, inc)
-        err = solver.compute_error(new_cams, new_lms)
+        # one full LM iteration as ONE executable: linearize + the
+        # fused trial (solve + apply + f64 cost) — the same graphs the
+        # LM driver dispatches per accepted iteration
+        # (solver/lm.py: linearize() then trial(); the fused trial is
+        # the driver's default backtracking path,
+        # bal_bundle_adjustment.cpp:337-448)
+        lin = solver._linearize(solver.obs, cams, lms)
+        new_cams, new_lms, _ok, _it, _ld, err = solver._trial(
+            solver.obs, cams, lms, lin, lam
+        )
         return new_cams, new_lms, err["error_all"]
 
     cams = jnp.asarray(problem.cam_space)
@@ -113,7 +116,7 @@ def main() -> None:
     # remote-tunnel round trip (~30 ms on tunneled backends — which a
     # production host does not pay per iteration). eta=0/r_tol<0 pin
     # the work per iteration regardless of the evolving state.
-    reps = 20
+    reps = 50
     t0 = time.perf_counter()
     c, l = cams, lms
     for _ in range(reps):

@@ -977,6 +977,16 @@ def _make_spmd_class():
                 out_specs=(P(), P(d, None), P()),
             ))
 
+            # fused LM trial (solve+apply+cost, stage1.Stage1Solver
+            # ._trial) under ONE shard_map region: one multi-chip
+            # dispatch per backtracking trial, collectives identical to
+            # the staged pieces it composes
+            self._jit_trial = jax.jit(sm(
+                self._trial,
+                in_specs=(ospec, P(), P(d, None), lin_spec, P()),
+                out_specs=(P(), P(d, None), P(), P(), P(), err_spec),
+            ))
+
             def no_chol(*_a, **_k):
                 raise ValueError("CHOLESKY unsupported on SPMD path")
 

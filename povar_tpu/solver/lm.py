@@ -117,6 +117,7 @@ def _optimize_lm_loop(
     timer_total: Timer,
     log: Callable[[str], None],
     initialize: Optional[Callable[[], None]] = None,
+    trial: Optional[Callable] = None,
 ) -> None:
     """Shared LM loop skeleton for both steps (the reference duplicates
     this ~300-line loop twice; the accept rule and stage callbacks are
@@ -180,18 +181,33 @@ def _optimize_lm_loop(
                 timer_iteration = Timer()
             j += 1
 
-            t_solve = Timer()
-            inc, lin_iters, t_sol = solve(lam)
-            if t_sol is None:
+            if trial is not None:
+                # fused path: solve + apply + cost in ONE device
+                # executable (stage1.Stage1Solver.trial) — one dispatch
+                # and one host sync per backtracking trial instead of
+                # three dispatches with a [12, N] increment round-trip.
+                # The whole span lands in solve_reduced_system_time
+                # (the stages are one device program; detailed_timing
+                # gives the per-stage split on the staged path).
+                t_solve = Timer()
+                step_ok, lin_iters, l_diff, ri2 = trial(lam)
                 it_summary.solve_reduced_system_time_in_seconds = (
                     t_solve.elapsed()
                 )
             else:
-                _set_timings(it_summary, t_sol)
+                t_solve = Timer()
+                inc, lin_iters, t_sol = solve(lam)
+                if t_sol is None:
+                    it_summary.solve_reduced_system_time_in_seconds = (
+                        t_solve.elapsed()
+                    )
+                else:
+                    _set_timings(it_summary, t_sol)
+                step_ok = bool(np.all(np.isfinite(inc)))
             it_summary.linear_solver_iterations = int(lin_iters)
             summary.num_linear_solves += 1
 
-            if not bool(np.all(np.isfinite(inc))):
+            if not step_ok:
                 # NaN increment: invalid step (cpp:362-401)
                 it_summary.step_is_valid = False
                 it_summary.step_is_successful = False
@@ -217,18 +233,21 @@ def _optimize_lm_loop(
                     )
                 continue
 
-            t_bsub = Timer()
-            l_diff, t_app = apply_step(inc)
-            if t_app is None:
-                it_summary.back_substitution_time_in_seconds = (
-                    t_bsub.elapsed()
-                )
-            else:
-                _set_timings(it_summary, t_app)
+            if trial is None:
+                t_bsub = Timer()
+                l_diff, t_app = apply_step(inc)
+                if t_app is None:
+                    it_summary.back_substitution_time_in_seconds = (
+                        t_bsub.elapsed()
+                    )
+                else:
+                    _set_timings(it_summary, t_app)
 
-            t_res = Timer()
-            ri2 = compute_error()
-            it_summary.residual_evaluation_time_in_seconds = t_res.elapsed()
+                t_res = Timer()
+                ri2 = compute_error()
+                it_summary.residual_evaluation_time_in_seconds = (
+                    t_res.elapsed()
+                )
             summary.num_residual_evaluations += 1
             it_summary.cost = ri2
 
@@ -441,6 +460,24 @@ def optimize_step1(
         state.stage(new_cams, new_lms)
         return float(l_diff), None
 
+    def trial_step(lam):
+        # fused solve+apply+cost (stage1.Stage1Solver.trial); stage the
+        # new state only when the increment is finite — a NaN trial is
+        # discarded exactly like the staged path's pre-apply check
+        new_cams, new_lms, ok, iters, l_diff, err = solver.trial(
+            state.cams, state.lms, lin_box["lin"],
+            jnp.asarray(lam, solver.dtype),
+        )
+        ok = bool(ok)
+        ri2 = ResidualInfo.from_device(
+            {k: np.asarray(v) for k, v in err.items()}
+        )
+        if ok:
+            state.stage(new_cams, new_lms)
+        return ok, int(iters), float(l_diff), ri2
+
+    use_trial = (not detailed) and solver.supports_trial
+
     _optimize_lm_loop(
         options=options,
         max_lm_iter=options.max_num_iterations_step_1,
@@ -455,6 +492,7 @@ def optimize_step1(
         timer_total=timer_total,
         log=log,
         initialize=initialize,
+        trial=trial_step if use_trial else None,
     )
     summary.minimizer_time_in_seconds = timer_total.elapsed()
     finish_solve(summary, _SOLVER_TYPE_NAMES[options.solver_type_step_1])

@@ -767,6 +767,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         self._jit_solve_cholesky = jax.jit(self._solve_cholesky)
         self._jit_apply = jax.jit(self._apply)
         self._jit_apply_poba = jax.jit(self._apply_poba)
+        self._jit_trial = jax.jit(self._trial)
 
     # convenience aliases (tests, tools)
     @property
@@ -833,6 +834,67 @@ class Stage1Solver(StagedTiming, CamWindows):
         if st == SolverType.CHOLESKY:
             return self.solve_cholesky(lin, lam)
         raise ValueError(f"unknown step-1 solver type {st}")
+
+    @property
+    def supports_trial(self) -> bool:
+        """True when the fused LM trial (one executable per
+        backtracking trial) is available for this solver config.
+        CHOLESKY stays on the staged path: its banded factorization
+        threads host-side plan arrays through the jit boundary."""
+        return self.opts.solver_type_step_1 in (
+            SolverType.POWER_VARPROJ,
+            SolverType.POWER_SCHUR_COMPLEMENT,
+            SolverType.PCG,
+        )
+
+    def trial(self, cam_space, lm_p, lin, lam):
+        """One fused LM backtracking trial: solve + apply +
+        f64 cost evaluation in a SINGLE jit executable.
+
+        The staged solve/apply/compute_error sequence makes three
+        dispatches and two full device->host syncs per trial (the
+        [12, N] increment round-trips through the host between solve
+        and apply). One LM trial is one logical device step — fusing
+        it removes the inter-module scheduling gaps (~1.5 ms/iter at
+        venice-89) and the increment round-trip; only the scalars the
+        accept/reject rule needs (finiteness, l_diff, cost) ever reach
+        the host. The reference's driver has the same structure
+        host-side (bal_bundle_adjustment.cpp:337-448: solve, apply,
+        compute_error, then the f_diff test); on TPU the whole trial
+        belongs in one executable.
+
+        Returns (new_cams, new_lms, inc_finite, num_inner_iters,
+        l_diff, err_dict). When the increment is non-finite, the
+        staged caller must discard the trial state (same contract as
+        the reference's NaN check, cpp:362-401)."""
+        return self._jit_trial(self.obs, cam_space, lm_p, lin, lam)
+
+    def _trial(self, obs: Obs, cam_space, lm_p, lin: Lin1, lam):
+        st = self.opts.solver_type_step_1
+        if st == SolverType.POWER_VARPROJ:
+            inc, n_iter = self._solve_power(
+                obs, lin, lam, landmark_damping=False
+            )
+        elif st == SolverType.POWER_SCHUR_COMPLEMENT:
+            inc, n_iter = self._solve_power(
+                obs, lin, lam, landmark_damping=True
+            )
+        elif st == SolverType.PCG:
+            inc, n_iter = self._solve_pcg(obs, lin, lam)
+        else:  # pragma: no cover - guarded by supports_trial
+            raise ValueError(f"fused trial unsupported for {st}")
+        inc_finite = jnp.all(jnp.isfinite(inc))
+        if st == SolverType.POWER_SCHUR_COMPLEMENT:
+            new_cams, new_lms, l_diff = self._apply_poba(
+                obs, cam_space, lm_p, lin, inc,
+                lam.astype(self.dtype),
+            )
+        else:
+            new_cams, new_lms, l_diff = self._apply(
+                obs, cam_space, lm_p, lin, inc
+            )
+        err = self._compute_error(obs, new_cams, new_lms)
+        return new_cams, new_lms, inc_finite, n_iter, l_diff, err
 
     # ----------------------------------------------- staged (timed) API
     # The same compute graphs as linearize/solve/apply, split at the

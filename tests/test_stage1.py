@@ -306,3 +306,82 @@ def test_pcg_preconditioner_types_agree():
         np.testing.assert_allclose(
             inc, ref, rtol=0, atol=1e-2, err_msg=str(pt)
         )
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize(
+    "st",
+    [
+        SolverType.POWER_VARPROJ,
+        SolverType.POWER_SCHUR_COMPLEMENT,
+        SolverType.PCG,
+    ],
+)
+def test_fused_trial_matches_staged_sequence(st):
+    """Stage1Solver.trial (solve+apply+cost in ONE executable, the
+    default LM backtracking path) must reproduce the staged
+    solve/apply/compute_error sequence bit-for-bit at the same state:
+    it composes the identical private graphs under one jit."""
+    problem, solver, opts = _make(seed=4)
+    opts.solver_type_step_1 = st
+    lam = jnp.asarray(1e-3, solver.dtype)
+
+    cams = jnp.asarray(problem.cam_space)
+    lms = solver.lm_pack(solver.initialize_varproj(cams))
+    lin = solver.linearize(cams, lms)
+
+    assert solver.supports_trial
+    nc_f, nl_f, ok, iters, ld_f, err_f = solver.trial(cams, lms, lin, lam)
+
+    inc, iters_s = solver.solve(lin, lam)
+    if st == SolverType.POWER_SCHUR_COMPLEMENT:
+        nc_s, nl_s, ld_s = solver.apply_poba(cams, lms, lin, inc, lam)
+    else:
+        nc_s, nl_s, ld_s = solver.apply(cams, lms, lin, inc)
+    err_s = solver.compute_error(nc_s, nl_s)
+
+    assert bool(ok)
+    assert int(iters) == int(iters_s)
+    np.testing.assert_allclose(
+        np.asarray(nc_f), np.asarray(nc_s), rtol=1e-12, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(solver.lm_unpack(nl_f)),
+        np.asarray(solver.lm_unpack(nl_s)),
+        rtol=1e-12,
+        atol=0,
+    )
+    assert abs(float(ld_f) - float(ld_s)) <= 1e-12 * abs(float(ld_s))
+    for k in err_s:
+        a, b = float(err_f[k]), float(err_s[k])
+        assert abs(a - b) <= 1e-12 * max(abs(b), 1.0), k
+
+
+@pytest.mark.quick
+def test_fused_trial_lm_trajectory_matches_staged():
+    """optimize_step1 with the fused trial (detailed_timing=False,
+    the default) must walk the same LM trajectory as the staged path
+    (detailed_timing=True): same per-iteration costs and accept flags."""
+    summaries = {}
+    for detailed in (False, True):
+        problem, solver, opts = _make(seed=7)
+        opts.detailed_timing = detailed
+        opts.max_num_iterations_step_1 = 8
+        summary = SolverSummary()
+        optimize_step1(
+            solver,
+            jnp.asarray(problem.cam_space),
+            jnp.asarray(problem.lm_p),
+            opts,
+            summary,
+            Timer(),
+            log=lambda s: None,
+        )
+        summaries[detailed] = summary
+    a, b = summaries[False], summaries[True]
+    assert len(a.iterations) == len(b.iterations)
+    for ia, ib in zip(a.iterations, b.iterations):
+        assert ia.step_is_successful == ib.step_is_successful
+        assert np.isclose(
+            ia.cost.all.error, ib.cost.all.error, rtol=1e-12, atol=0
+        )
