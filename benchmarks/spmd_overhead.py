@@ -137,7 +137,8 @@ def _measure_plain(problem, opts, args):
         err = plain.compute_error(nc, nl)
         return nc, nl, err["error_all"]
 
-    lms0 = plain.initialize_varproj(cams)
+    # thread the landmark state in L space, like the LM driver
+    lms0 = plain.lm_pack(plain.initialize_varproj(cams))
     t_plain = _time_steps(step_plain, (cams, lms0), lam, args.reps)
     print(f"plain windowed: {t_plain * 1e3:.1f} ms/iter "
           f"({problem.num_observations / t_plain / 1e6:.1f} Mobs/s)")
@@ -168,7 +169,8 @@ def _measure_spmd(problem, opts, args):
         err = spmd.compute_error(nc, nl)
         return nc, nl, err["error_all"]
 
-    lms0s = spmd.initialize_varproj(cams)
+    # thread the landmark state in L space, like the LM driver
+    lms0s = spmd.lm_pack(spmd.initialize_varproj(cams))
     t_spmd = _time_steps(step_spmd, (cams, lms0s), lam, args.reps)
     print(f"spmd layout (1 dev): {t_spmd * 1e3:.1f} ms/iter "
           f"({problem.num_observations / t_spmd / 1e6:.1f} Mobs/s)")

@@ -778,15 +778,28 @@ class _SpmdCommon:
     def _lm_rowspace(self, obs):
         return not self.plan.has_duplicates
 
-    # the sharded state already lives in the padded device order
-    # (pad_landmarks/unpad_landmarks); L-space packing would need the
-    # device-local take to run inside shard_map, so the state threads
-    # canonically here
+    # L-space state threading under shard_map: unique-row plans keep
+    # the landmark state in device-local ROW order (stage1.LmState)
+    # across the whole LM stage — the per-entry canonical<->row
+    # conversions (three ~1M-element gathers per iteration, the bulk
+    # of the measured 1.24x layout overhead) collapse to one take in
+    # lm_pack and one combine in lm_unpack per STAGE. Duplicate-row
+    # plans (overflow landmarks cloned across devices) stay canonical:
+    # their per-landmark reduces produce canonical-order increments,
+    # so a rows-resident state would diverge across clones.
     def lm_pack(self, lm_p):
-        return lm_p
+        from povar_tpu.solver.stage1 import LmState
+
+        if isinstance(lm_p, LmState) or self.plan.has_duplicates:
+            return lm_p
+        return LmState(rows=self._jit_lm_pack(self.obs, lm_p))
 
     def lm_unpack(self, lm_p):
-        return lm_p
+        from povar_tpu.solver.stage1 import LmState
+
+        if not isinstance(lm_p, LmState):
+            return lm_p
+        return self._jit_lm_unpack(self.obs, lm_p.rows)
 
     def _seg_L(self, obs, x):
         rows = spmd_part_sums(x, self.spmd_layout)
@@ -850,10 +863,21 @@ def _make_spmd_class():
 
     from povar_tpu.ops.pallas_pose import PART_ALIGN
     from povar_tpu.options import SolverType
-    from povar_tpu.solver.stage1 import Lin1S, Stage1Solver
+    from povar_tpu.solver.stage1 import Lin1S, LmState, Stage1Solver
     from povar_tpu.solver.stage2 import Lin2S, Stage2Solver
 
     d = AXIS
+
+    def _dispatch_state(canon, rows, argpos):
+        """Pick the canonical- or rows-state jit per call based on the
+        landmark argument's representation (mirrors the single-chip
+        trace-time pytree branch in stage1.CamWindows)."""
+
+        def f(*a):
+            sel = rows if isinstance(a[argpos], LmState) else canon
+            return sel(*a)
+
+        return f
 
     def _common_scalars(self, options, dtype):
         if dtype != jnp.float64 or not options.mixed_precision_solves:
@@ -987,6 +1011,77 @@ def _make_spmd_class():
                 out_specs=(P(), P(d, None), P(), P(), P(), err_spec),
             ))
 
+            # L-space (row-order) state variants: every state-taking
+            # entry gets a twin whose landmark argument is
+            # LmState(rows=[K, L]) sharded on the row axis, plus the
+            # per-stage pack/unpack conversions (see _SpmdCommon
+            # .lm_pack). Dispatch per representation at call time, like
+            # the single-chip trace-time pytree branch.
+            if not self.plan.has_duplicates:
+                rows_in = LmState(rows=P(None, d))
+                self._jit_lm_pack = jax.jit(sm(
+                    self._lm_pack_rows,
+                    in_specs=(ospec, P(d, None)),
+                    out_specs=P(None, d),
+                ))
+                self._jit_lm_unpack = jax.jit(sm(
+                    self._lm_unpack_rows,
+                    in_specs=(ospec, P(None, d)),
+                    out_specs=P(d, None),
+                ))
+
+                dispatch = _dispatch_state
+
+                self._jit_compute_error = dispatch(
+                    self._jit_compute_error,
+                    jax.jit(sm(
+                        self._compute_error,
+                        in_specs=(ospec, P(), rows_in),
+                        out_specs=err_spec,
+                    )),
+                    2,
+                )
+                self._jit_linearize = dispatch(
+                    self._jit_linearize,
+                    jax.jit(sm(
+                        self._linearize,
+                        in_specs=(ospec, P(), rows_in),
+                        out_specs=lin_spec,
+                    )),
+                    2,
+                )
+                self._jit_apply = dispatch(
+                    self._jit_apply,
+                    jax.jit(sm(
+                        self._apply,
+                        in_specs=(ospec, P(), rows_in, lin_spec, P()),
+                        out_specs=(P(), rows_in, P()),
+                    )),
+                    2,
+                )
+                self._jit_apply_poba = dispatch(
+                    self._jit_apply_poba,
+                    jax.jit(sm(
+                        self._apply_poba,
+                        in_specs=(
+                            ospec, P(), rows_in, lin_spec, P(), P(),
+                        ),
+                        out_specs=(P(), rows_in, P()),
+                    )),
+                    2,
+                )
+                self._jit_trial = dispatch(
+                    self._jit_trial,
+                    jax.jit(sm(
+                        self._trial,
+                        in_specs=(ospec, P(), rows_in, lin_spec, P()),
+                        out_specs=(
+                            P(), rows_in, P(), P(), P(), err_spec,
+                        ),
+                    )),
+                    2,
+                )
+
             def no_chol(*_a, **_k):
                 raise ValueError("CHOLESKY unsupported on SPMD path")
 
@@ -1062,6 +1157,51 @@ def _make_spmd_class():
                 ),
                 out_specs=(P(), P(d, None), P()),
             ))
+
+            # L-space (row-order) state variants — same treatment as
+            # SpmdStage1Solver (the step-2 state is the homogeneous
+            # [M, 4], rows [4, L])
+            if not self.plan.has_duplicates:
+                rows_in = LmState(rows=P(None, d))
+                self._jit_lm_pack = jax.jit(sm(
+                    self._lm_pack_rows,
+                    in_specs=(ospec, P(d, None)),
+                    out_specs=P(None, d),
+                ))
+                self._jit_lm_unpack = jax.jit(sm(
+                    self._lm_unpack_rows,
+                    in_specs=(ospec, P(None, d)),
+                    out_specs=P(d, None),
+                ))
+                self._jit_compute_error = _dispatch_state(
+                    self._jit_compute_error,
+                    jax.jit(sm(
+                        self._compute_error,
+                        in_specs=(ospec, P(), rows_in),
+                        out_specs=err_spec,
+                    )),
+                    2,
+                )
+                self._jit_linearize = _dispatch_state(
+                    self._jit_linearize,
+                    jax.jit(sm(
+                        self._linearize,
+                        in_specs=(ospec, P(), rows_in),
+                        out_specs=lin_spec,
+                    )),
+                    2,
+                )
+                self._jit_apply = _dispatch_state(
+                    self._jit_apply,
+                    jax.jit(sm(
+                        self._apply,
+                        in_specs=(
+                            ospec, P(), rows_in, lin_spec, P(), P(),
+                        ),
+                        out_specs=(P(), rows_in, P()),
+                    )),
+                    2,
+                )
 
     return SpmdStage1Solver, SpmdStage2Solver
 
