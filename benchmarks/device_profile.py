@@ -87,6 +87,11 @@ def _device_tracks(trace_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage2", action="store_true")
+    ap.add_argument(
+        "--spmd", action="store_true",
+        help="profile the D=1-mesh SPMD stage-1 solver instead of the "
+        "plain windowed one (layout-overhead attribution)",
+    )
     ap.add_argument("--cams", type=int, default=N_CAMS)
     ap.add_argument("--lms", type=int, default=N_LMS)
     ap.add_argument("--obs-per-lm", type=int, default=OBS)
@@ -134,6 +139,35 @@ def main():
             return nc, nl, err["error_all"]
 
         state = (cams, lms_h)
+    elif args.spmd:
+        from jax.sharding import Mesh
+        from povar_tpu.ops.pallas_pose import PART_ALIGN
+        from povar_tpu.parallel.spmd import (
+            build_spmd_plan,
+            get_spmd_solver_classes,
+        )
+
+        plan = build_spmd_plan(
+            problem.obs_cam, problem.obs_lm, n_cams, n_lms, 1,
+            PART_ALIGN,
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("obs",))
+        S1, _ = get_spmd_solver_classes()
+        solver = S1(
+            plan, problem.obs_uv, n_cams, n_lms, opts, mesh,
+        )
+        cams = jnp.asarray(problem.cam_space)
+        lms = solver.lm_pack(solver.initialize_varproj(cams))
+        lam = jnp.asarray(1e-4, solver.dtype)
+
+        def step(c, l):
+            lin = solver.linearize(c, l)
+            inc, _ = solver.solve_power(lin, lam)
+            nc, nl, _ld = solver.apply(c, l, lin, inc)
+            err = solver.compute_error(nc, nl)
+            return nc, nl, err["error_all"]
+
+        state = (cams, lms)
     else:
         from povar_tpu.solver.stage1 import Stage1Solver
 
@@ -155,10 +189,12 @@ def main():
 
         state = (cams, lms)
 
-    # warmup/compile
+    # warmup/compile (sharded programs: the first 1-2 EXECUTIONS are
+    # tens of seconds on the tunneled platform — see spmd_overhead.py)
     c, l = state
-    c, l, e = step(c, l)
-    _ = float(np.asarray(e))
+    for _ in range(3 if args.spmd else 1):
+        c, l, e = step(c, l)
+        _ = float(np.asarray(e))
 
     trace_dir = args.out or tempfile.mkdtemp(prefix="povar-trace-")
     t0 = time.perf_counter()

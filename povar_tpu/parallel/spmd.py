@@ -51,6 +51,11 @@ from povar_tpu.solver.segments import (
 )
 
 
+# per-part row caps are padded to this so the [w, cap] reshape in
+# spmd_part_sums / spmd_expand_rows keeps cap on the 128-lane tile
+ROW_ALIGN = 128
+
+
 def _width(c: int) -> int:
     if c <= SLOT_EXACT_MAX:
         return int(c) if c > 0 else 1
@@ -194,12 +199,23 @@ def build_spmd_plan(
             w: min(max(1, int(np.ceil(c * budget / total))), c)
             for w, c in R.items()
         }
+        # ALIGN each cap to the lane tile (128): spmd_part_sums /
+        # spmd_expand_rows reshape every part to [n_win, w, cap] and
+        # reduce/broadcast over w. With cap % 128 == 0 that reshape is
+        # a tile-preserving bitcast and the reduce a native sublane
+        # sum; an unaligned cap forces XLA to relayout the whole lane
+        # array per call (measured ~4.5x the copy floor at venice-89,
+        # cap=1638). The extra rows are zero-weight fakes.
+        caps = {
+            w: -(-c // ROW_ALIGN) * ROW_ALIGN for w, c in caps.items()
+        }
         # absorb the block-alignment pad into the dominant width so
-        # full clones carry real rows in those lanes instead of pad
+        # full clones carry real rows in those lanes instead of pad —
+        # in ROW_ALIGN steps so the cap stays tile-aligned
         lanes = sum(c * w for w, c in caps.items())
         pad = (-lanes) % block_align
         wd = max(R, key=R.get)
-        caps[wd] += pad // wd
+        caps[wd] += (pad // wd) // ROW_ALIGN * ROW_ALIGN
         return caps
 
     caps0 = make_caps(norm_rows, 256)
