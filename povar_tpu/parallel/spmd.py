@@ -475,67 +475,158 @@ def build_spmd_plan(
 # ---------------------------------------------------------------------
 
 
-def spmd_part_sums(x, layout):
-    """x [..., o_dev] -> per-slot-row sums [..., n_rows_dev]."""
+def _part_sums_xla(x, cl, lofs):
+    """XLA reshape formulation for one class (fallback: f64 operands
+    or oversized window blocks). Returns the per-part row sums."""
+    n, lanes = cl.n_windows, cl.win_lanes
+    blk = x[..., lofs : lofs + n * lanes].reshape(
+        x.shape[:-1] + (n, lanes)
+    )
+    outs = []
+    p = 0
+    for cap, w in cl.parts:
+        seg = blk[..., p : p + cap * w].reshape(
+            x.shape[:-1] + (n, w, cap)
+        )
+        outs.append(
+            seg.sum(axis=-2).reshape(x.shape[:-1] + (n * cap,))
+        )
+        p += cap * w
+    return outs
+
+
+def _expand_rows_xla(s_rows, cl, rofs):
+    """XLA broadcast formulation for one class (fallback). Returns the
+    class's lane array [..., n_win * win_lanes]."""
     import jax.numpy as jnp
 
+    n = cl.n_windows
+    win_parts = []
+    used = 0
+    for cap, w in cl.parts:
+        seg = s_rows[..., rofs : rofs + n * cap].reshape(
+            s_rows.shape[:-1] + (n, cap)
+        )
+        e = jnp.broadcast_to(
+            seg[..., :, None, :],
+            seg.shape[:-2] + (n, w, cap),
+        ).reshape(s_rows.shape[:-1] + (n, w * cap))
+        win_parts.append(e)
+        rofs += n * cap
+        used += w * cap
+    win = (
+        win_parts[0]
+        if len(win_parts) == 1
+        else jnp.concatenate(win_parts, axis=-1)
+    )
+    tail = cl.win_lanes - used
+    if tail:
+        pad = [(0, 0)] * (win.ndim - 1) + [(0, tail)]
+        win = jnp.pad(win, pad)
+    return win.reshape(s_rows.shape[:-1] + (n * cl.win_lanes,))
+
+
+def _flat2(x):
+    """[..., L] -> ([K, L], leading shape). Leading-dim merges keep
+    the minor axis, so the reshape is layout-free."""
+    lead = x.shape[:-1]
+    k = 1
+    for s in lead:
+        k *= int(s)
+    return x.reshape((max(k, 1), x.shape[-1])), lead
+
+
+def spmd_part_sums(x, layout):
+    """x [..., o_dev] -> per-slot-row sums [..., n_rows_dev].
+
+    Streaming Pallas per class on TPU (ops/pallas_spmd.py: strided
+    lane slices, no layout-hostile [n, w, cap] reshapes); XLA reshape
+    fallback per class for f64 / oversized blocks."""
+    import jax.numpy as jnp
+
+    from povar_tpu.ops import pallas_spmd
+
+    x2, lead = _flat2(x)
+    k = x2.shape[0]
     outs = []
     lofs = 0
     for cl in layout:
         n, lanes = cl.n_windows, cl.win_lanes
-        blk = x[..., lofs : lofs + n * lanes].reshape(
-            x.shape[:-1] + (n, lanes)
-        )
-        p = 0
-        for cap, w in cl.parts:
-            seg = blk[..., p : p + cap * w].reshape(
-                x.shape[:-1] + (n, w, cap)
+        if pallas_spmd._class_eligible(k, cl, x2.dtype):
+            xc = (
+                x2
+                if lofs == 0 and n * lanes == x2.shape[-1]
+                else x2[:, lofs : lofs + n * lanes]
             )
-            outs.append(
-                seg.sum(axis=-2).reshape(x.shape[:-1] + (n * cap,))
-            )
-            p += cap * w
+            outs.extend(pallas_spmd.class_part_sums(xc, cl))
+        else:
+            outs.extend(_part_sums_xla(x2, cl, lofs))
         lofs += n * lanes
-    return (
-        outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-    )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out.reshape(lead + out.shape[-1:])
 
 
 def spmd_expand_rows(s_rows, layout):
     """Per-slot-row values [..., n_rows_dev] -> per-lane [..., o_dev]
-    (window tail pad lanes get zeros)."""
+    (window tail pad lanes get zeros). Pallas per class with XLA
+    fallback, like spmd_part_sums."""
     import jax.numpy as jnp
 
+    from povar_tpu.ops import pallas_spmd
+
+    s2, lead = _flat2(s_rows)
+    k = s2.shape[0]
     outs = []
     rofs = 0
     for cl in layout:
         n = cl.n_windows
-        win_parts = []
-        used = 0
-        for cap, w in cl.parts:
-            seg = s_rows[..., rofs : rofs + n * cap].reshape(
-                s_rows.shape[:-1] + (n, cap)
+        if pallas_spmd._class_eligible(k, cl, s2.dtype):
+            parts = []
+            for cap, _w in cl.parts:
+                parts.append(s2[:, rofs : rofs + n * cap])
+                rofs += n * cap
+            outs.append(pallas_spmd.class_expand_rows(parts, cl))
+        else:
+            outs.append(_expand_rows_xla(s2, cl, rofs))
+            rofs += n * sum(cap for cap, _w in cl.parts)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out.reshape(lead + out.shape[-1:])
+
+
+def spmd_reduce_reexpand(x, layout):
+    """Fused per-slot-row reduce-then-broadcast [..., o_dev] ->
+    [..., o_dev] (the E0 power-term inner op with unique rows): one
+    streaming read + write per class instead of the part_sums +
+    expand_rows pair. Tail pad lanes come back zero, matching
+    expand_rows(part_sums(x))."""
+    import jax.numpy as jnp
+
+    from povar_tpu.ops import pallas_spmd
+
+    x2, lead = _flat2(x)
+    k = x2.shape[0]
+    outs = []
+    lofs = 0
+    for cl in layout:
+        n, lanes = cl.n_windows, cl.win_lanes
+        if pallas_spmd._class_eligible(k, cl, x2.dtype):
+            xc = (
+                x2
+                if lofs == 0 and n * lanes == x2.shape[-1]
+                else x2[:, lofs : lofs + n * lanes]
             )
-            e = jnp.broadcast_to(
-                seg[..., :, None, :],
-                seg.shape[:-2] + (n, w, cap),
-            ).reshape(s_rows.shape[:-1] + (n, w * cap))
-            win_parts.append(e)
-            rofs += n * cap
-            used += w * cap
-        win = (
-            win_parts[0]
-            if len(win_parts) == 1
-            else jnp.concatenate(win_parts, axis=-1)
-        )
-        tail = cl.win_lanes - used
-        if tail:
-            pad = [(0, 0)] * (win.ndim - 1) + [(0, tail)]
-            win = jnp.pad(win, pad)
-        outs.append(win.reshape(s_rows.shape[:-1] + (n * cl.win_lanes,)))
-    return (
-        outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-    )
+            outs.append(pallas_spmd.class_reduce_reexpand(xc, cl))
+        else:
+            rows = _part_sums_xla(x2, cl, lofs)
+            rows = (
+                rows[0]
+                if len(rows) == 1
+                else jnp.concatenate(rows, axis=-1)
+            )
+            outs.append(_expand_rows_xla(rows, cl, 0))
+        lofs += n * lanes
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out.reshape(lead + out.shape[-1:])
 
 
 def build_uniform_combine(row_lm_ext, n_dev, n_rows_dev, m_dev):
@@ -773,9 +864,9 @@ class _SpmdCommon:
         """Reduce-then-re-expand per landmark (E0 inner op) in slot
         ROW space — no canonical-order takes unless overflow rows
         duplicate landmarks (see stage1._seg_lm_reexpand)."""
-        rows = spmd_part_sums(u, self.spmd_layout)
         if not self.plan.has_duplicates:
-            return spmd_expand_rows(rows, self.spmd_layout)
+            return spmd_reduce_reexpand(u, self.spmd_layout)
+        rows = spmd_part_sums(u, self.spmd_layout)
         from povar_tpu.solver.segments import padded_segment_sum
         import jax.numpy as jnp
 
