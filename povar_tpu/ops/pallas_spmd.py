@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from povar_tpu.ops.pallas_cam import _interpret
+from povar_tpu.ops.pallas_cam import _I0, _interpret
 
 # per-operand VMEM block budget (double-buffered by the pipeline; the
 # frame is ~16 MB/core)
@@ -57,7 +57,7 @@ def _class_eligible(k: int, cl, dtype) -> bool:
 
 def _fixed(k: int, lanes: int):
     return pl.BlockSpec(
-        (k, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+        (k, lanes), lambda i: (_I0, i), memory_space=pltpu.VMEM
     )
 
 
