@@ -258,6 +258,50 @@ def write_state_dump(
     return path
 
 
+def write_state_dump_homogeneous(
+    cam_space,
+    lm_p_h,
+    obs_lm,
+    obs_cam,
+    obs_uv,
+    path: str,
+    *,
+    power_sc_iterations: int = 10,
+    max_iters: int = 50,
+    eta: float = 1e-2,
+    function_tolerance: float = 1e-6,
+    min_relative_decrease: float = 0.0,
+) -> str:
+    """Step-2 companion of write_state_dump: the post-boundary joint
+    state (homogenized landmarks + Frobenius-normalized cameras,
+    bal_bundle_adjustment.cpp:544-553) plus the step-2 solver
+    configuration, as consumed by csrc/ref_step2_solver.cpp."""
+    import numpy as _np
+
+    cam_space = _np.asarray(cam_space, dtype=_np.float64)
+    lm_p_h = _np.asarray(lm_p_h, dtype=_np.float64)
+    with open(path, "w") as f:
+        f.write("POVAR_STATE2 1\n")
+        f.write(
+            f"{cam_space.reshape(-1, 12).shape[0]} {lm_p_h.shape[0]} "
+            f"{len(obs_lm)}\n"
+        )
+        f.write(
+            f"{power_sc_iterations} {max_iters} {eta!r} "
+            f"{function_tolerance!r} {min_relative_decrease!r}\n"
+        )
+        for c in cam_space.reshape(-1, 12):
+            f.write(" ".join(repr(float(v)) for v in c) + "\n")
+        for p in lm_p_h.reshape(-1, 4):
+            f.write(" ".join(repr(float(v)) for v in p) + "\n")
+        for lm, cam, uv in zip(obs_lm, obs_cam, obs_uv):
+            f.write(
+                f"{int(lm)} {int(cam)} "
+                f"{float(uv[0])!r} {float(uv[1])!r}\n"
+            )
+    return path
+
+
 def load_normalized_bal_problem(
     options: BalDatasetOptions,
     dataset_summary: Optional[DatasetSummary] = None,

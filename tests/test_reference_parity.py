@@ -1,5 +1,6 @@
-"""Executed reference parity (VERDICT r3 #1): the framework's step-1
-trajectory against the Eigen f64 reference harness.
+"""Executed reference parity (VERDICT r3 #1 + stretch): the
+framework's step-1 AND step-2 trajectories against Eigen f64
+reference harnesses.
 
 csrc/ref_step1_solver.cpp re-implements the reference's step-1 pOSE
 Power-VarProj LM solver (bal_bundle_adjustment.cpp:252-542 +
@@ -18,6 +19,19 @@ comparison, not parity-by-reading:
 The framework side runs pure f64 with Pallas off (the bitwise-strict
 configuration); a second test checks the default mixed-precision mode
 lands on the same final cost.
+
+csrc/ref_step2_solver.cpp is the step-2 companion (joint Riemannian
+homogeneous refinement, bal_bundle_adjustment.cpp:557-843). The
+framework's Householder tangent bases differ from the reference's
+Eigen-COD bases, but the joint trajectory is invariant to the choice
+of orthonormal kernel basis in exact arithmetic (damping is
+Proj^T lambda Proj = lambda I in tangent coordinates; all tangent
+norms in the zeta test are preserved by per-block orthogonal
+re-parameterizations; every ambient quantity composes as
+Proj f(Proj^T A Proj) Proj^T). So step 2 is ALSO checked
+decision-for-decision; only the per-iteration cost tolerance is
+looser (f64 rounding drifts under the basis change — measured ~1e-7
+relative mid-trajectory, ~2e-6 by iteration 15).
 """
 
 import json
@@ -225,3 +239,143 @@ def test_step1_mixed_mode_final_cost_matches_reference(
         f"{ref['final_cost']}"
     )
     assert fw_cost == pytest.approx(ref["final_cost"], rel=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# step 2: joint Riemannian homogeneous refinement
+
+HARNESS2 = os.path.join(CSRC, "ref_step2_solver")
+
+MAX_ITERS_2 = 15
+
+
+def _build_harness2():
+    if not os.path.exists(HARNESS2):
+        r = subprocess.run(
+            ["make", "-C", CSRC, "ref_step2_solver"],
+            capture_output=True,
+            timeout=300,
+        )
+        if r.returncode != 0 or not os.path.exists(HARNESS2):
+            pytest.skip(
+                "cannot build Eigen step-2 reference harness: "
+                + r.stderr.decode()[-500:]
+            )
+
+
+@pytest.fixture(scope="module")
+def joint_state(problem):
+    """Post-boundary joint state: a short pure-f64 step-1 run, then
+    the homogenize+normalize boundary (create_homogeneous_landmark,
+    cpp:544-553) — the exact state step 2 starts from."""
+    from povar_tpu.solver.stage2 import create_homogeneous
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_1 = 8
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    cams, lms = optimize_step1(
+        s1,
+        jnp.asarray(problem.cam_space, jnp.float64),
+        jnp.asarray(problem.lm_p, jnp.float64),
+        opts,
+        SolverSummary(),
+        Timer(),
+        log=lambda s: None,
+    )
+    return create_homogeneous(cams, lms)
+
+
+@pytest.fixture(scope="module")
+def ref_run2(problem, joint_state, tmp_path_factory):
+    from povar_tpu.problem.bal_io import write_state_dump_homogeneous
+
+    _build_harness2()
+    cams_h, lms_h = joint_state
+    state = str(tmp_path_factory.mktemp("ref2") / "state2.txt")
+    write_state_dump_homogeneous(
+        np.asarray(cams_h),
+        np.asarray(lms_h),
+        problem.obs_lm,
+        problem.obs_cam,
+        problem.obs_uv,
+        state,
+        power_sc_iterations=10,
+        max_iters=MAX_ITERS_2,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    r = subprocess.run(
+        [HARNESS2, state], capture_output=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    return json.loads(r.stdout.decode())
+
+
+def test_step2_trajectory_matches_reference(problem, joint_state, ref_run2):
+    """Step-2 decision-for-decision parity (see module docstring for
+    why the Householder-vs-COD basis difference does not break it)."""
+    from povar_tpu.solver.lm import optimize_step2
+    from povar_tpu.solver.stage2 import Stage2Solver
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_2 = MAX_ITERS_2
+    s2 = Stage2Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    cams_h, lms_h = joint_state
+    optimize_step2(
+        s2, cams_h, lms_h, opts, summary, Timer(), log=lambda s: None
+    )
+
+    ref_iters = ref_run2["iterations"]
+    fw_iters = summary.iterations
+    assert len(fw_iters) == len(ref_iters), (
+        f"iteration counts differ: framework {len(fw_iters)} vs "
+        f"reference {len(ref_iters)}"
+    )
+    accepts = [r["accept"] for r in ref_iters[1:]]
+    rejects = [not a for a in accepts]
+    # the trajectory must contain real dynamics: accepts AND rejects
+    assert sum(accepts) >= 5 and sum(rejects) >= 2
+
+    for k, (fw, ref) in enumerate(zip(fw_iters, ref_iters)):
+        assert fw.step_is_successful == ref["accept"], f"iteration {k}"
+        assert fw.step_is_valid == ref["valid"], f"iteration {k}"
+        if k == 0:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-12
+            )
+            continue
+        assert fw.linear_solver_iterations == ref["lin_iters"], (
+            f"iteration {k}: power-series terms "
+            f"{fw.linear_solver_iterations} vs {ref['lin_iters']}"
+        )
+        if ref["valid"]:
+            # basis-change f64 drift: measured ~1e-9 early, ~2e-6 by
+            # iteration 15; gate at 1e-4
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-4
+            ), f"iteration {k}"
+
+    assert summary.final_cost.all.error == pytest.approx(
+        ref_run2["final_cost"], rel=1e-4
+    )
