@@ -271,6 +271,13 @@ int main(int argc, char** argv) {
   bool terminated = false;
   bool initialization_varproj = true;
   double ri = 0.0;  // current cost
+  // cost of the previous RECORDED trial: finish_iteration computes
+  // cost_change against summary.iterations.back()
+  // (bal_bundle_adjustment.cpp:74-78), so after backtracking the ftol
+  // check compares the accept against the last REJECTED trial's cost;
+  // a NaN-increment record carries a default-constructed ResidualInfo
+  // (cost 0, residual_info.hpp:59-62)
+  double last_recorded_cost = 0.0;
 
   for (int it = 0; it <= p.max_iters && !terminated;) {
     if (initialization_varproj) {
@@ -282,6 +289,7 @@ int main(int argc, char** argv) {
     if (it == 0) {
       records.push_back({it, ri, true, true, 0, 1.0 / lambda, 0.0, 0.0,
                          0.0});
+      last_recorded_cost = ri;
       ++it;
       continue;
     }
@@ -400,6 +408,11 @@ int main(int argc, char** argv) {
           }
         }
       }
+      // the reference clears the flag at the END of solve
+      // (linearizor_power_varproj.cpp:240 `new_linearization_point_ =
+      // false`), BEFORE the driver's NaN check — so a NaN-increment
+      // trial must not re-scale Jp on the next trial
+      new_linearization_point = false;
 
       const bool inc_finite = accum.array().isFinite().all();
       if (!inc_finite) {
@@ -409,6 +422,7 @@ int main(int argc, char** argv) {
         records.push_back({it, std::numeric_limits<double>::quiet_NaN(),
                            false, false, lin_iters, 1.0 / lambda, 0.0,
                            0.0, 0.0});
+        last_recorded_cost = 0.0;  // default-constructed ResidualInfo
         ++it;
         if (lambda > max_lambda) {
           terminated = true;
@@ -470,11 +484,15 @@ int main(int argc, char** argv) {
                            1 - std::pow(2 * step_quality - 1, 3));
         lambda = std::max(min_lambda, lambda);
         lambda_vee = initial_vee;
+        const double prev_rec = last_recorded_cost;
         records.push_back({it, ri2, true, true, lin_iters, 1.0 / lambda,
                            step_quality, l_diff, f_diff});
+        last_recorded_cost = ri2;
         ++it;
-        // function_tolerance_reached (cpp:179-205)
-        if (std::abs(ri - ri2) <= p.ftol * ri2) {
+        // function_tolerance_reached (cpp:179-205) against the cost of
+        // the previous RECORDED trial (cpp:476 + 74-78), which after
+        // backtracking is the last rejected trial, not ri
+        if (std::abs(prev_rec - ri2) <= p.ftol * ri2) {
           terminated = true;
           termination = "CONVERGENCE";
         }
@@ -484,6 +502,7 @@ int main(int argc, char** argv) {
         lambda_vee *= vee_factor;
         records.push_back({it, ri2, false, true, lin_iters, 1.0 / lambda,
                            step_quality, l_diff, f_diff});
+        last_recorded_cost = ri2;
         p.cams = cams_backup;  // restore_pOSE
         p.lms = lms_backup;
         ++it;
@@ -492,7 +511,6 @@ int main(int argc, char** argv) {
           termination = "NO_CONVERGENCE";
         }
       }
-      new_linearization_point = false;
     }
   }
 

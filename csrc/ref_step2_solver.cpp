@@ -277,6 +277,12 @@ int main(int argc, char** argv) {
 
   bool terminated = false;
   double ri = 0.0;
+  // cost of the previous RECORDED trial: finish_iteration computes
+  // cost_change against summary.iterations.back() (cpp:74-78), so the
+  // ftol check after backtracking compares against the last REJECTED
+  // trial's cost; a NaN-increment record carries a default-constructed
+  // ResidualInfo (cost 0, residual_info.hpp:59-62)
+  double last_recorded_cost = 0.0;
 
   for (int it = 0; it <= p.max_iters && !terminated;) {
     ri = compute_error(p);
@@ -284,6 +290,7 @@ int main(int argc, char** argv) {
     if (it == 0) {
       records.push_back(
           {it, ri, true, true, 0, 1.0 / lambda, 0.0, 0.0, 0.0});
+      last_recorded_cost = ri;
       ++it;
       continue;
     }
@@ -418,6 +425,11 @@ int main(int argc, char** argv) {
           }
         }
       }
+      // the reference clears the flag at the END of solve_joint
+      // (linearizor_power_varproj.cpp:174), BEFORE the driver's NaN
+      // check — a NaN trial must not re-scale Jp / rebuild nullspace
+      // storage on the next trial
+      new_linearization_point = false;
 
       if (!accum.array().isFinite().all()) {
         lambda = lambda_vee * lambda;
@@ -425,6 +437,7 @@ int main(int argc, char** argv) {
         records.push_back({it, std::numeric_limits<double>::quiet_NaN(),
                            false, false, lin_iters, 1.0 / lambda, 0.0,
                            0.0, 0.0});
+        last_recorded_cost = 0.0;  // default-constructed ResidualInfo
         ++it;
         if (lambda > max_lambda) {
           terminated = true;
@@ -452,14 +465,12 @@ int main(int argc, char** argv) {
           auto jp = blk.storage.block<2, 12>(2 * i, 0);
           auto jl = blk.storage.block<2, 4>(2 * i, 12);
           Vec2 r = blk.storage.block<2, 1>(2 * i, 16);
-          Mat24 jl_projT;  // 2x3 actually; use block ops below
           Eigen::Matrix<double, 2, 3> jl_proj = jl * blk.proj;
           H_ll += jl_proj.transpose() * jl_proj;
           Vec2 jp_inc =
               jp * (proj_pose[cam] * accum.segment<11>(11 * cam));
           tmp3 += jl_proj.transpose() * (r + jp_inc);
           J_inc.segment<2>(2 * i) += jp_inc;
-          (void)jl_projT;
         }
         H_ll += blk.proj.transpose() * lambda * blk.proj;
         const Vec3 inc3 = -H_ll.inverse() * tmp3;
@@ -495,10 +506,14 @@ int main(int argc, char** argv) {
                            1 - std::pow(2 * step_quality - 1, 3));
         lambda = std::max(min_lambda, lambda);
         lambda_vee = initial_vee;
+        const double prev_rec = last_recorded_cost;
         records.push_back({it, ri2, true, true, lin_iters, 1.0 / lambda,
                            step_quality, l_diff, f_diff});
+        last_recorded_cost = ri2;
         ++it;
-        if (std::abs(ri - ri2) <= p.ftol * ri2) {
+        // function_tolerance_reached (cpp:179-205) against the cost of
+        // the previous RECORDED trial (cpp:776 + 74-78)
+        if (std::abs(prev_rec - ri2) <= p.ftol * ri2) {
           terminated = true;
           termination = "CONVERGENCE";
         }
@@ -508,6 +523,7 @@ int main(int argc, char** argv) {
         lambda_vee *= vee_factor;
         records.push_back({it, ri2, false, valid, lin_iters,
                            1.0 / lambda, step_quality, l_diff, f_diff});
+        last_recorded_cost = ri2;
         p.cams = cams_backup;  // restore_joint
         p.lms = lms_backup;
         ++it;
@@ -516,7 +532,6 @@ int main(int argc, char** argv) {
           termination = "NO_CONVERGENCE";
         }
       }
-      new_linearization_point = false;
     }
   }
 

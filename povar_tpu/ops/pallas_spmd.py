@@ -38,21 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from povar_tpu.ops.pallas_cam import _I0, _interpret
 
-# per-operand VMEM block budget (double-buffered by the pipeline; the
-# frame is ~16 MB/core)
-_BLOCK_BUDGET = 4 * 1024 * 1024
+# total VMEM budget for one kernel's blocks: every operand block is
+# double-buffered by the Pallas pipeline, so the footprint of a call
+# is 2 * 4 bytes * k * (in_lanes + out_lanes). Half the ~16 MB frame
+# leaves room for accumulators/semaphores/scratch.
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _class_eligible(k: int, cl, dtype) -> bool:
     """Pallas path per class: f32 lanes, tile-aligned geometry, and a
-    window block that fits the VMEM budget."""
+    total double-buffered block footprint that fits the VMEM budget.
+    The worst of the three kernels is class_reduce_reexpand (in + out
+    both win_lanes wide), so that footprint gates all of them —
+    keeping eligibility a single per-(k, class) predicate."""
     if dtype != jnp.float32:
         return False
     if cl.win_lanes % 128 or cl.n_windows <= 0:
         return False
     if any(cap % 128 for cap, _w in cl.parts):
         return False
-    return 4 * k * cl.win_lanes <= _BLOCK_BUDGET
+    return 2 * 4 * k * (2 * cl.win_lanes) <= _VMEM_BUDGET
 
 
 def _fixed(k: int, lanes: int):

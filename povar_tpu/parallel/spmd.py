@@ -39,6 +39,7 @@ is exposed for the LM driver boundary.
 
 from __future__ import annotations
 
+from collections import defaultdict
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -159,11 +160,6 @@ def build_spmd_plan(
     lm_nrows = np.bincount(row_lm, minlength=num_landmarks)
     is_ovf_lm = lm_nrows > 1
     row_is_grid = is_ovf_lm[row_lm]
-    n_norm_win = (
-        int(row_window[~row_is_grid].max()) + 1
-        if (~row_is_grid).any()
-        else 0
-    )
 
     # ---- clone construction ------------------------------------------
     # Natural windows vary wildly in row count; padding every window to
@@ -266,22 +262,25 @@ def build_spmd_plan(
     clones1_by_dev = {d: [] for d in range(n_dev)}
     ovf_lms = np.nonzero(is_ovf_lm)[0]
     if len(ovf_lms):
-        ovf_counts = np.array(
-            [np.sum(row_counts[row_lm == m]) for m in ovf_lms]
-        )
+        ovf_counts = np.bincount(
+            row_lm, weights=row_counts.astype(np.float64),
+            minlength=num_landmarks,
+        )[ovf_lms].astype(np.int64)
         assign = _assign_overflow(ovf_lms, ovf_counts, n_dev)
         for m, d in assign.items():
             lm_dev[m] = d
-        for d in range(n_dev):
-            cell_rows = {}
-            for rr in grid_rows_idx:
-                if lm_dev[row_lm[rr]] != d:
-                    continue
-                cell = int(win_start[row_window[rr]] // width)
-                cell_rows.setdefault(cell, []).append(rr)
-            for cell in sorted(cell_rows):
-                for rows in split_clones(cell_rows[cell], caps1):
-                    clones1_by_dev[d].append((cell * width, rows))
+        # one pass over grid rows grouped by (device, cell) — not a
+        # per-device rescan of all grid rows
+        grid_dev = lm_dev[row_lm[grid_rows_idx]]
+        grid_cell = win_start[row_window[grid_rows_idx]] // width
+        by_dev_cell = defaultdict(list)
+        for rr, gd, cell in zip(
+            grid_rows_idx, grid_dev, grid_cell
+        ):
+            by_dev_cell[(int(gd), int(cell))].append(rr)
+        for (d, cell) in sorted(by_dev_cell):
+            for rows in split_clones(by_dev_cell[(d, cell)], caps1):
+                clones1_by_dev[d].append((cell * width, rows))
 
     n_norm_dev = (
         int(np.bincount(clone0_dev, minlength=n_dev).max()) if n0 else 0
@@ -395,7 +394,10 @@ def build_spmd_plan(
                         + np.arange(w) * cap + i
                     )
                     perm[lanes[:c]] = po
-                    perm[lanes[c:]] = po[0]
+                    # pad lanes carry zero weight; any in-bounds obs
+                    # index works (c == 0: an unobserved landmark's
+                    # row, which the single-chip plan also keeps)
+                    perm[lanes[c:]] = po[0] if c else 0
                     pad_w[lanes[:c]] = 1.0
                     real_lanes += c
                     cam_lane[lanes[:c]] = obs_cam[po]

@@ -60,16 +60,24 @@ def _compute_cost_decrease(
 
 def _function_tolerance_reached(
     cost: ResidualInfo,
-    prev_cost: ResidualInfo,
+    prev_cost: Optional[ResidualInfo],
     options: SolverOptions,
 ) -> Tuple[bool, str]:
-    """bal_bundle_adjustment.cpp:179-205."""
+    """bal_bundle_adjustment.cpp:179-205. `prev_cost` is the cost of
+    the previous RECORDED trial (finish_iteration computes cost_change
+    against summary.iterations.back(), cpp:74-78) — after backtracking
+    that is the last rejected trial's evaluated cost, NOT the
+    linearization-point cost. A NaN-increment record carries no cost
+    (the reference default-constructs ResidualInfo to zeros), mapped
+    here to prev_cost=None -> change = cost itself."""
+    prev_all = prev_cost.all.error if prev_cost is not None else 0.0
+    prev_valid = prev_cost.valid.error if prev_cost is not None else 0.0
     if options.optimized_cost == OptimizedCost.ERROR:
         c = cost.all.error
-        change = abs(prev_cost.all.error - cost.all.error)
+        change = abs(prev_all - cost.all.error)
     else:
         c = cost.valid.error
-        change = abs(prev_cost.valid.error - cost.valid.error)
+        change = abs(prev_valid - cost.valid.error)
     if change <= options.function_tolerance * c:
         return True, (
             f"Function tolerance reached. |cost_change|/cost: "
@@ -302,11 +310,24 @@ def _optimize_lm_loop(
                     timer_iteration.elapsed()
                 )
                 it_summary.cumulative_time_in_seconds = timer_total.elapsed()
+                # the ftol check compares against the cost of the
+                # previous RECORDED trial (cpp:476/776 pass
+                # summary.iterations.back() whose cost_change was
+                # computed in finish_iteration, cpp:74-78) — after
+                # backtracking that is the last rejected trial, not
+                # the linearization point ri
+                prev_rec_cost = (
+                    summary.iterations[-1].cost
+                    if summary.iterations
+                    else None
+                )
                 finish_iteration(summary, it_summary)
                 it += 1
 
                 cached_ri = ri2
-                reached, msg = _function_tolerance_reached(ri2, ri, options)
+                reached, msg = _function_tolerance_reached(
+                    ri2, prev_rec_cost, options
+                )
                 if reached:
                     terminated = True
                     summary.termination_type = CONVERGENCE

@@ -142,6 +142,41 @@ def test_spmd_plan_and_reduces():
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
 
 
+def test_spmd_plan_unobserved_landmark():
+    """Landmarks with zero observations still get a (fully fake) slot
+    row — the plan must build instead of crashing on the empty
+    per-row observation list (the single-chip plan also keeps them),
+    and reductions must leave their sums at zero."""
+    rng = np.random.default_rng(3)
+    n_cams = 200
+    obs_cam, obs_lm, _uv, n_lms = _local_problem(rng, n_cams, 60)
+    # append two unobserved landmarks (ids n_lms, n_lms + 1)
+    n_lms_ext = n_lms + 2
+    plan = build_spmd_plan(
+        obs_cam, obs_lm, n_cams, n_lms_ext, D, block_align=4096
+    )
+    x = rng.standard_normal(len(obs_cam))
+    combine = build_uniform_combine(
+        plan.row_lm_ext, D, plan.n_rows_dev, plan.m_dev
+    )
+    got = np.zeros(n_lms_ext)
+    lane_vals = np.where(plan.pad_weight > 0, x[plan.perm], 0.0)
+    for d in range(D):
+        lanes = slice(d * plan.o_dev, (d + 1) * plan.o_dev)
+        rows = spmd_part_sums(
+            jnp.asarray(lane_vals[lanes][None]), plan.layout
+        )
+        per_lm = np.asarray(
+            padded_segment_sum(rows, _dev_combine(combine, d))
+        )[0][:-1]
+        mine = plan.lm_perm // plan.m_dev == d
+        got[mine] = per_lm[plan.lm_perm[mine] % plan.m_dev]
+    ref = np.zeros(n_lms_ext)
+    np.add.at(ref, obs_lm, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+    assert got[n_lms] == 0.0 and got[n_lms + 1] == 0.0
+
+
 def _as_jaxpr(p):
     if hasattr(p, "eqns"):
         return p
