@@ -378,37 +378,57 @@ def build_spmd_plan(
             )
             p = 0  # lane offset within the window
             part_rows = 0  # rows of earlier parts (whole class)
+            rows_np = np.asarray(rows_of_win, dtype=np.int64)
             for cap, w in cl.parts:
-                rows_w = [r for r in rows_of_win if row_width[r] == w]
-                assert len(rows_w) <= cap, (len(rows_w), cap, w)
+                rows_w = (
+                    rows_np[row_width[rows_np] == w]
+                    if len(rows_np)
+                    else rows_np
+                )
+                n_r = len(rows_w)
+                assert n_r <= cap, (n_r, cap, w)
                 rbase = (
                     row_base + class_row_ofs
                     + part_rows * cl.n_windows + wi_c * cap
                 )
-                for i, rr in enumerate(rows_w):
-                    c = row_counts[rr]
-                    po = order[row_obs_start[rr] : row_obs_end[rr]]
-                    # slot-element-major: lane = part_ofs + k*cap + i
+                if n_r:
+                    # vectorized over the part's rows (the plan builds
+                    # ~1M rows at venice-1778; a per-row Python loop
+                    # here was 60% of plan-build time)
+                    counts = row_counts[rows_w]  # [R]
+                    offs = row_obs_start[rows_w]  # [R]
+                    j = np.arange(w)
+                    # slot-element-major: lane = part_ofs + j*cap + i
                     lanes = (
                         lane_base + lane_ofs + p
-                        + np.arange(w) * cap + i
-                    )
-                    perm[lanes[:c]] = po
+                        + j[None, :] * cap
+                        + np.arange(n_r)[:, None]
+                    )  # [R, w]
+                    live = j[None, :] < counts[:, None]
                     # pad lanes carry zero weight; any in-bounds obs
-                    # index works (c == 0: an unobserved landmark's
+                    # index works (count 0: an unobserved landmark's
                     # row, which the single-chip plan also keeps)
-                    perm[lanes[c:]] = po[0] if c else 0
-                    pad_w[lanes[:c]] = 1.0
-                    real_lanes += c
-                    cam_lane[lanes[:c]] = obs_cam[po]
-                    cam_local[lanes[:c]] = (
-                        cam_plan[po] - start_plan
+                    safe_j = np.minimum(
+                        j[None, :], np.maximum(counts[:, None] - 1, 0)
+                    )
+                    po_mat = order[offs[:, None] + safe_j]  # [R, w]
+                    po_mat[counts == 0] = 0
+                    perm[lanes] = po_mat
+                    pad_w[lanes] = live.astype(pad_w.dtype)
+                    real_lanes += int(counts.sum())
+                    cam_lane[lanes] = np.where(
+                        live, obs_cam[po_mat], 0
+                    )
+                    cam_local[lanes] = np.where(
+                        live, cam_plan[po_mat] - start_plan, 0
                     ).astype(np.int32)
-                    lm_lane[lanes] = local_of[row_lm[rr]]
-                    lm_order[rbase + i] = local_of[row_lm[rr]]
-                    row_lm_ext_all[rbase + i] = local_of[row_lm[rr]]
-                for i in range(len(rows_w), cap):  # fake rows
-                    row_lm_ext_all[rbase + i] = m_dev
+                    lm_loc = local_of[row_lm[rows_w]]  # [R]
+                    lm_lane[lanes] = np.broadcast_to(
+                        lm_loc[:, None], lanes.shape
+                    ).astype(np.int32)
+                    lm_order[rbase : rbase + n_r] = lm_loc
+                    row_lm_ext_all[rbase : rbase + n_r] = lm_loc
+                row_lm_ext_all[rbase + n_r : rbase + cap] = m_dev
                 p += cap * w
                 part_rows += cap
             lane_ofs += cl.win_lanes
