@@ -690,7 +690,7 @@ def _e0_term_kernel(cam_ref, x_ref, h_ref, z_ref, out_ref, *, w):
 # builds and pass B reuses for the scatter — the retained one-hots
 # dominate at larger camera counts and MUST be budgeted, not left to
 # compiler spilling (advisor r3).
-_E0_TERM_VMEM = 8 << 20
+_E0_TERM_VMEM = 14 << 20
 # Unrolled slot loops: parts wider than this fall back to the composed
 # kernels (program size grows linearly in w).
 E0_TERM_MAX_W = 16
