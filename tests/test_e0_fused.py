@@ -245,7 +245,11 @@ def test_e0_term_geometry_budgets_retained_onehots():
         assert geo is not None
         gt, _ = geo
         assert 4 * w * gt * (13 + _n_pad(n_cams)) <= _E0_TERM_VMEM
-    # wide slots at a large camera count: even gt=128 cannot fit the
-    # w retained one-hots -> decline (composed kernels take over)
-    assert e0_term_geometry(16, 4096, 1000) is None
+    # w=16 at n_cams=1000 fits in a gt=128 tile (measured on a real
+    # v5e chip, round 5: compiles and runs at 2.2 ms/term; the 14 MiB
+    # frame is well under the 128 MiB VMEM) -> accepted, minimum tile
+    geo = e0_term_geometry(16, 4096, 1000)
+    assert geo is not None and geo[0] == 128
+    # wide slots at a very large camera count: even gt=128 cannot fit
+    # the w retained one-hots -> decline (composed kernels take over)
     assert e0_term_geometry(4, 4096, 16000) is None
