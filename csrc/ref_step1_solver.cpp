@@ -1,5 +1,6 @@
 // Executable reference-trajectory harness: the reference's step-1
-// (pOSE Power-VarProj) LM solver, re-implemented in Eigen f64.
+// (pOSE) LM solver, re-implemented in Eigen f64 — ALL FOUR linear
+// solvers plus robust norms.
 //
 // The upstream binary (tum-vision/povar) cannot be built here (its
 // vendored submodules are empty checkouts, no network), so this
@@ -13,21 +14,50 @@
 //   * VarProj init:   helper.cpp:75-99 (per-landmark thin-SVD v*(u0))
 //   * pOSE residual:  helper.cpp:243-313 (affine sqrt(a) rows +
 //                     projective sqrt(1-a) rows)
+//   * robust norms:   helper.cpp:50-74 compute_error_weight
+//                     (HUBER weight t/|r| beyond t, error
+//                     0.5(2-w)w r^2; CAUCHY error log(1+r^2) with
+//                     weight 1 — the reference's quirk) applied as
+//                     sqrt(weight) on stored Jp/Jl/res rows
+//                     (landmark_block.hpp:160-170)
 //   * Jacobi scaling: linearizor_power_varproj.cpp:62-70 +
 //                     landmark_block.hpp:284-334; epsilon =
 //                     Sophus::Constants<double>::epsilonSqrt()
-//                     = sqrt(1e-10) = 1e-5 (linearizor_base.cpp:94-100)
-//   * prepare_Hb:     linearization_power_varproj.hpp:124-155
+//                     = sqrt(1e-10) = 1e-5 (linearizor_base.cpp:94-100).
+//                     QUIRK preserved: the SC linearizor (PCG/CHOLESKY)
+//                     does NOT scale Jl columns (linearizor_sc.cpp:
+//                     linearize_pOSE has no scale_Jl_cols_pOSE call),
+//                     only the power linearizor does.
+//   * prepare_Hb:     linearization_power_varproj.hpp:124-188
 //                     (Hll^-1 via .inverse(), per-camera 12x12 LLT of
-//                     the damped block diagonal)
+//                     the damped block diagonal); poBA variant damps
+//                     Hll with +lambda I (landmark_block.hpp:548-556
+//                     get_Hll_inv_add_Hpp_b_pOSE_poBA)
 //   * power series:   linearization_power_varproj.hpp:191-237
 //                     (x = sum_i (B^-1 E0)^i B^-1 (-b), q-tolerance
 //                     zeta = i*|tmp|/|accum| < eta early exit)
+//   * explicit SC:    linearization_sc.hpp:403-450 get_hb_f_pOSE +
+//                     landmark_block.hpp:360-413 add_Hb_pOSE (all
+//                     camera-pair blocks -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j,
+//                     diag blocks Jp'Jp, +lambda I via add_diag)
+//   * PCG:            cg/conjugate_gradient.hpp:114-301 Ceres CG with
+//                     Nash q-tolerance, residual refresh every 10,
+//                     rho/pq failure codes; SCHUR_JACOBI = per-camera
+//                     LLT inverse of the SC diagonal blocks
+//                     (cg/preconditioner.hpp:70-144); solves Hx = b
+//                     then negates (linearizor_base.cpp:102-125)
+//   * CHOLESKY:       linearization_sc.hpp:236-245 solve_direct_pOSE
+//                     (Eigen SimplicialLLT of the sparse RCS, -b rhs)
 //   * apply/back-sub: linearizor_power_varproj.cpp:245-259 +
-//                     landmark_block.hpp:670-707 (fresh Jl/res at the
-//                     updated cameras, exact VarProj landmark step,
-//                     model cost decrease from mixed fresh/stored terms
-//                     exactly as the reference computes it)
+//                     landmark_block.hpp:670-707 (fresh UNWEIGHTED
+//                     Jl/res at the updated cameras, exact VarProj
+//                     landmark step, model cost decrease from mixed
+//                     fresh/stored terms exactly as the reference
+//                     computes it); poBA variant back_substitute_poBA
+//                     (landmark_block.hpp:627-657: stored scaled
+//                     storage only, damped Hll, landmark step scaled
+//                     by Jl_col_scale, runs BEFORE the camera update
+//                     on the scaled increment)
 //
 // This is an independent implementation from the algorithm's public
 // description and the file/line citations above (no reference code
@@ -45,6 +75,10 @@
 //   <3 numbers per landmark>                             x n_lms
 //   <lm_id cam_id u v>                                   x n_obs
 //
+// Usage: ref_step1_solver state.txt [solver] [robust] [huber_param]
+//   solver: power_varproj (default) | power_sc | pcg | cholesky
+//   robust: none (default) | huber | cauchy
+//
 // Output: one JSON object on stdout:
 //   {"iterations": [{"it":..,"cost":..,"accept":..,"lin_iters":..,
 //                    "trust_region_radius":..,"relative_decrease":..,
@@ -56,11 +90,15 @@
 
 #include <Eigen/Dense>
 #include <Eigen/SVD>
+#include <Eigen/Sparse>
+#include <Eigen/SparseCholesky>
 
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
+#include <functional>
 #include <limits>
 #include <string>
 #include <vector>
@@ -75,11 +113,15 @@ using Vec4 = Eigen::Vector4d;
 using Vec3 = Eigen::Vector3d;
 using Vec2 = Eigen::Vector2d;
 using VecX = Eigen::VectorXd;
+using MatX = Eigen::MatrixXd;
 
 namespace {
 
 // Sophus::Constants<double>::epsilonSqrt() (Sophus common.hpp)
 const double kJacobiEps = std::sqrt(1e-10);
+
+enum class SolverType { POWER_VARPROJ, POWER_SC, PCG, CHOLESKY };
+enum class RobustNorm { NONE, HUBER, CAUCHY };
 
 struct Obs {
   int cam;
@@ -104,7 +146,35 @@ struct Problem {
   double eta = 1e-2;    // q-tolerance
   double ftol = 1e-6;   // function_tolerance
   int n_obs = 0;
+  SolverType solver = SolverType::POWER_VARPROJ;
+  RobustNorm robust = RobustNorm::NONE;
+  double huber_param = 1.0;
+  int max_cg_iters = 500;       // max_linear_solver_iterations default
+  int residual_reset_period = 10;
 };
+
+// compute_error_weight (helper.cpp:50-74): {error, weight}
+void error_weight(const Problem& p, double res_squared, double& error,
+                  double& weight) {
+  switch (p.robust) {
+    case RobustNorm::HUBER: {
+      const double t = p.huber_param;
+      weight = res_squared < t * t ? 1.0 : t / std::sqrt(res_squared);
+      error = 0.5 * (2 - weight) * weight * res_squared;
+      return;
+    }
+    case RobustNorm::CAUCHY:
+      // the reference's CAUCHY only reweights the ERROR, weight stays 1
+      error = std::log(1.0 + res_squared);
+      weight = 1.0;
+      return;
+    case RobustNorm::NONE:
+    default:
+      error = 0.5 * res_squared;
+      weight = 1.0;
+      return;
+  }
+}
 
 // pOSE residual (helper.cpp:243-262): 4-vector
 // [sp*((Px)_0 - u (Px)_2), sp*((Px)_1 - v (Px)_2),
@@ -147,14 +217,16 @@ void pose_jacobians(double alpha, const Mat34& P, const Vec3& X,
   }
 }
 
-// 0.5 ||r||^2 summed over all observations (compute_error_pOSE,
-// helper.cpp:116-154; robust norm NONE)
+// robust error summed over all observations (compute_error_pOSE,
+// helper.cpp:116-154)
 double compute_error(const Problem& p) {
   double err = 0.0;
   for (size_t l = 0; l < p.blocks.size(); ++l) {
     for (const auto& o : p.blocks[l].obs) {
       Vec4 r = pose_residual(p.alpha, p.cams[o.cam], p.lms[l], o.uv);
-      err += 0.5 * r.squaredNorm();
+      double e, w;
+      error_weight(p, r.squaredNorm(), e, w);
+      err += e;
     }
   }
   return err;
@@ -163,7 +235,8 @@ double compute_error(const Problem& p) {
 // closed-form VarProj landmark init v*(u0) via thin SVD
 // (helper.cpp:75-99 initialize_varproj_lm_pOSE + 220-241
 // initialize_varproj_pOSE: G rows use only the rotation part, z the
-// translation part)
+// translation part; NO robust weighting here — the reference's init
+// is unweighted)
 void initialize_varproj(Problem& p) {
   const double sa = std::sqrt(p.alpha), sp = std::sqrt(1.0 - p.alpha);
   for (size_t l = 0; l < p.blocks.size(); ++l) {
@@ -201,11 +274,76 @@ struct IterRecord {
   double f_diff;
 };
 
+inline bool is_zero_or_inf(double x) {
+  return x == 0.0 || std::isinf(x);
+}
+
+// Ceres-derived CG (cg/conjugate_gradient.hpp:114-301): q-tolerance
+// (Nash truncated-Newton zeta test), r_tolerance = -1 (disabled, the
+// reference's pcg wrapper), residual refresh every
+// residual_reset_period iterations. Solves H x = b from x = 0;
+// `precond` is the SCHUR_JACOBI block inverse. Returns iterations.
+int ceres_cg(const std::vector<Mat12>& precond,
+             const std::function<VecX(const VecX&)>& mul_h, const VecX& b,
+             VecX& x, double q_tolerance, int max_iterations,
+             int residual_reset_period) {
+  const int n_cams = (int)precond.size();
+  const double norm_b = b.norm();
+  x.setZero(b.size());
+  if (norm_b == 0.0) return 0;
+
+  auto apply_precond = [&](const VecX& r) {
+    VecX z(r.size());
+    for (int c = 0; c < n_cams; ++c)
+      z.segment<12>(12 * c) = precond[c] * r.segment<12>(12 * c);
+    return z;
+  };
+
+  VecX r = b - mul_h(x);
+  double rho = 1.0;
+  double q0 = -1.0 * x.dot(b + r);
+  VecX p, z, q;
+  int iters = 0;
+  for (iters = 1;; ++iters) {
+    z = apply_precond(r);
+    const double last_rho = rho;
+    rho = r.dot(z);
+    if (is_zero_or_inf(rho)) break;  // LINEAR_SOLVER_FAILURE
+    if (iters == 1) {
+      p = z;
+    } else {
+      const double beta = rho / last_rho;
+      if (is_zero_or_inf(beta)) break;
+      p = z + beta * p;
+    }
+    q = mul_h(p);
+    const double pq = p.dot(q);
+    if (pq <= 0 || std::isinf(pq)) break;  // indefinite
+    const double alpha = rho / pq;
+    if (std::isinf(alpha)) break;
+    x = x + alpha * p;
+    if (iters % residual_reset_period == 0) {
+      r = b - mul_h(x);
+    } else {
+      r = r - alpha * q;
+    }
+    const double q1 = -1.0 * x.dot(b + r);
+    const double zeta = iters * (q1 - q0) / q1;
+    if (zeta < q_tolerance) break;  // SUCCESS (min_num_iterations = 0)
+    q0 = q1;
+    if (iters >= max_iterations) break;
+  }
+  return iters;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc < 2) {
-    fprintf(stderr, "usage: %s state.txt\n", argv[0]);
+    fprintf(stderr,
+            "usage: %s state.txt [power_varproj|power_sc|pcg|cholesky] "
+            "[none|huber|cauchy] [huber_param]\n",
+            argv[0]);
     return 2;
   }
   FILE* f = fopen(argv[1], "r");
@@ -243,12 +381,48 @@ int main(int argc, char** argv) {
     p.blocks[lm].obs.push_back({cam, Vec2(u, v)});
   }
   fclose(f);
+
+  if (argc >= 3) {
+    const std::string s = argv[2];
+    if (s == "power_varproj")
+      p.solver = SolverType::POWER_VARPROJ;
+    else if (s == "power_sc" || s == "power_schur_complement")
+      p.solver = SolverType::POWER_SC;
+    else if (s == "pcg")
+      p.solver = SolverType::PCG;
+    else if (s == "cholesky")
+      p.solver = SolverType::CHOLESKY;
+    else {
+      fprintf(stderr, "unknown solver %s\n", argv[2]);
+      return 2;
+    }
+  }
+  if (argc >= 4) {
+    const std::string s = argv[3];
+    if (s == "none")
+      p.robust = RobustNorm::NONE;
+    else if (s == "huber")
+      p.robust = RobustNorm::HUBER;
+    else if (s == "cauchy")
+      p.robust = RobustNorm::CAUCHY;
+    else {
+      fprintf(stderr, "unknown robust norm %s\n", argv[3]);
+      return 2;
+    }
+  }
+  if (argc >= 5) p.huber_param = atof(argv[4]);
+
+  const bool is_power = p.solver == SolverType::POWER_VARPROJ ||
+                        p.solver == SolverType::POWER_SC;
+  const bool is_poba = p.solver == SolverType::POWER_SC;
+
   // obs per landmark in ascending camera order, like the reference's
   // std::map<FrameIdx, Observation> (bal_problem.hpp:93)
   for (auto& blk : p.blocks) {
     std::sort(blk.obs.begin(), blk.obs.end(),
               [](const Obs& a, const Obs& b) { return a.cam < b.cam; });
     blk.storage.setZero(4 * blk.obs.size(), 16);
+    blk.jl_col_scale.setOnes();
   }
 
   // ---- LM loop state (bal_bundle_adjustment.cpp:264-293)
@@ -294,7 +468,9 @@ int main(int argc, char** argv) {
       continue;
     }
 
-    // ---- linearize_pOSE (linearizor_power_varproj.cpp:44-76)
+    // ---- linearize_pOSE (linearizor_power_varproj.cpp:44-76 /
+    // linearizor_sc.cpp:174-203 — identical except the SC variant
+    // SKIPS the Jl column scaling)
     VecX jp_diag2 = VecX::Zero(12 * n_cams);
     for (size_t l = 0; l < p.blocks.size(); ++l) {
       auto& blk = p.blocks[l];
@@ -305,18 +481,27 @@ int main(int argc, char** argv) {
                        blk.obs[i].uv, Jp, Jl);
         Vec4 r = pose_residual(p.alpha, p.cams[blk.obs[i].cam], p.lms[l],
                                blk.obs[i].uv);
-        blk.storage.block<4, 12>(4 * i, 0) = Jp;
-        blk.storage.block<4, 3>(4 * i, 12) = Jl;
-        blk.storage.block<4, 1>(4 * i, 15) = r;
-        // add_Jp_diag2_pOSE (landmark_block.hpp:272-282)
+        // robust sqrt-weighting on the stored rows
+        // (landmark_block.hpp:160-170)
+        double e, w;
+        error_weight(p, r.squaredNorm(), e, w);
+        const double sw = std::sqrt(w);
+        blk.storage.block<4, 12>(4 * i, 0) = sw * Jp;
+        blk.storage.block<4, 3>(4 * i, 12) = sw * Jl;
+        blk.storage.block<4, 1>(4 * i, 15) = sw * r;
+        // add_Jp_diag2_pOSE (landmark_block.hpp:272-282) reads the
+        // (weighted) storage
         jp_diag2.segment<12>(12 * blk.obs[i].cam) +=
-            Jp.colwise().squaredNorm();
+            blk.storage.block<4, 12>(4 * i, 0).colwise().squaredNorm();
       }
-      // scale_Jl_cols_pOSE (landmark_block.hpp:284-295)
-      auto jl_block = blk.storage.middleCols<3>(12);
-      blk.jl_col_scale =
-          (kJacobiEps + jl_block.colwise().norm().array()).inverse();
-      jl_block *= blk.jl_col_scale.asDiagonal();
+      if (is_power) {
+        // scale_Jl_cols_pOSE (landmark_block.hpp:284-295) — only the
+        // power linearizor does this (linearizor_power_varproj.cpp:64)
+        auto jl_block = blk.storage.middleCols<3>(12);
+        blk.jl_col_scale =
+            (kJacobiEps + jl_block.colwise().norm().array()).inverse();
+        jl_block *= blk.jl_col_scale.asDiagonal();
+      }
     }
     pose_scale = (kJacobiEps + jp_diag2.array().sqrt()).inverse();
 
@@ -324,7 +509,8 @@ int main(int argc, char** argv) {
 
     // ---- inner backtracking loop (cpp:337-519)
     for (int j = 0; it <= p.max_iters && !terminated; ++j) {
-      // solve (linearizor_power_varproj.cpp:177-243)
+      // solve (linearizor_power_varproj.cpp:177-243 /
+      // linearizor_sc.cpp:91-172)
       if (new_linearization_point) {
         // scale_Jp_cols_pOSE (landmark_block.hpp:324-334)
         for (size_t l = 0; l < p.blocks.size(); ++l) {
@@ -335,79 +521,155 @@ int main(int argc, char** argv) {
           }
         }
       }
-      // prepare_Hb_pOSE (linearization_power_varproj.hpp:124-155,
-      // landmark_block.hpp:511-539)
-      std::vector<Mat12> hpp(n_cams, Mat12::Zero());
-      bvec.setZero();
-      for (size_t l = 0; l < p.blocks.size(); ++l) {
-        auto& blk = p.blocks[l];
-        int rows = 4 * (int)blk.obs.size();
-        auto jl = blk.storage.middleCols<3>(12).topRows(rows);
-        auto r = blk.storage.col(15).head(rows);
-        Mat3 hll = jl.transpose() * jl;
-        hll_inv[l] = hll.inverse();  // .inverse(), not LLT (hpp:518)
-        const Vec3 hll_inv_bl = hll_inv[l] * (jl.transpose() * r);
-        for (size_t i = 0; i < blk.obs.size(); ++i) {
-          const int cam = blk.obs[i].cam;
-          auto jp = blk.storage.block<4, 12>(4 * i, 0);
-          auto jlo = blk.storage.block<4, 3>(4 * i, 12);
-          Vec4 ro = blk.storage.block<4, 1>(4 * i, 15);
-          bvec.segment<12>(12 * cam) +=
-              jp.transpose() * (ro - jlo * hll_inv_bl);
-          hpp[cam].noalias() += jp.transpose() * jp;
-        }
-      }
-      for (int c = 0; c < n_cams; ++c) {
-        Mat12 damped = hpp[c];
-        damped.diagonal().array() += lambda;
-        b_inv[c] = damped.selfadjointView<Eigen::Upper>().llt().solve(
-            Mat12::Identity());
-      }
 
-      // solve_pOSE power series (hpp:191-237)
-      auto mul_b_inv = [&](const VecX& x) {
-        VecX res(12 * n_cams);
-        for (int c = 0; c < n_cams; ++c)
-          res.segment<12>(12 * c) = b_inv[c] * x.segment<12>(12 * c);
-        return res;
-      };
-      auto mul_e0 = [&](const VecX& x) {
-        VecX res = VecX::Zero(12 * n_cams);
+      VecX accum;
+      int lin_iters = 0;
+
+      if (is_power) {
+        // prepare_Hb_pOSE[_poBA] (linearization_power_varproj.hpp:
+        // 124-188, landmark_block.hpp:511-572); poBA damps Hll with
+        // +lambda I (set_landmark_damping, landmark_block.hpp:548-556)
+        std::vector<Mat12> hpp(n_cams, Mat12::Zero());
+        bvec.setZero();
+        for (size_t l = 0; l < p.blocks.size(); ++l) {
+          auto& blk = p.blocks[l];
+          int rows = 4 * (int)blk.obs.size();
+          auto jl = blk.storage.middleCols<3>(12).topRows(rows);
+          auto r = blk.storage.col(15).head(rows);
+          Mat3 hll = jl.transpose() * jl;
+          if (is_poba) hll.diagonal().array() += lambda;
+          hll_inv[l] = hll.inverse();  // .inverse(), not LLT (hpp:518)
+          const Vec3 hll_inv_bl = hll_inv[l] * (jl.transpose() * r);
+          for (size_t i = 0; i < blk.obs.size(); ++i) {
+            const int cam = blk.obs[i].cam;
+            auto jp = blk.storage.block<4, 12>(4 * i, 0);
+            auto jlo = blk.storage.block<4, 3>(4 * i, 12);
+            Vec4 ro = blk.storage.block<4, 1>(4 * i, 15);
+            bvec.segment<12>(12 * cam) +=
+                jp.transpose() * (ro - jlo * hll_inv_bl);
+            hpp[cam].noalias() += jp.transpose() * jp;
+          }
+        }
+        for (int c = 0; c < n_cams; ++c) {
+          Mat12 damped = hpp[c];
+          damped.diagonal().array() += lambda;
+          b_inv[c] = damped.selfadjointView<Eigen::Upper>().llt().solve(
+              Mat12::Identity());
+        }
+
+        // solve_pOSE power series (hpp:191-237)
+        auto mul_b_inv = [&](const VecX& x) {
+          VecX res(12 * n_cams);
+          for (int c = 0; c < n_cams; ++c)
+            res.segment<12>(12 * c) = b_inv[c] * x.segment<12>(12 * c);
+          return res;
+        };
+        auto mul_e0 = [&](const VecX& x) {
+          VecX res = VecX::Zero(12 * n_cams);
+          for (size_t l = 0; l < p.blocks.size(); ++l) {
+            auto& blk = p.blocks[l];
+            const int k = (int)blk.obs.size();
+            VecX jp_x(4 * k);
+            for (int i = 0; i < k; ++i) {
+              jp_x.segment<4>(4 * i) =
+                  blk.storage.block<4, 12>(4 * i, 0) *
+                  x.segment<12>(12 * blk.obs[i].cam);
+            }
+            auto jl = blk.storage.middleCols<3>(12).topRows(4 * k);
+            const VecX tmp = jl * (hll_inv[l] * (jl.transpose() * jp_x));
+            for (int i = 0; i < k; ++i) {
+              res.segment<12>(12 * blk.obs[i].cam) +=
+                  blk.storage.block<4, 12>(4 * i, 0).transpose() *
+                  tmp.segment<4>(4 * i);
+            }
+          }
+          return res;
+        };
+
+        accum = mul_b_inv(-bvec);
+        lin_iters = p.m;
+        {
+          VecX tmp = accum;
+          for (int i = 1; i <= p.m; ++i) {
+            tmp = mul_b_inv(mul_e0(tmp));
+            accum += tmp;
+            const double iter_norm = tmp.norm();
+            const double zeta = i * iter_norm / accum.norm();
+            if (zeta < p.eta) {
+              lin_iters = i;
+              break;
+            }
+          }
+        }
+      } else {
+        // ---- explicit RCS assembly (get_hb_f_pOSE,
+        // linearization_sc.hpp:403-430 + landmark_block.hpp:360-413):
+        // per-landmark diag blocks Jp_i'Jp_i and ALL camera-pair SC
+        // blocks -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j, then +lambda I
+        // (add_diag). Toy/mid-scale => dense [12N, 12N] is exact.
+        MatX H = MatX::Zero(12 * n_cams, 12 * n_cams);
+        bvec.setZero();
         for (size_t l = 0; l < p.blocks.size(); ++l) {
           auto& blk = p.blocks[l];
           const int k = (int)blk.obs.size();
-          VecX jp_x(4 * k);
-          for (int i = 0; i < k; ++i) {
-            jp_x.segment<4>(4 * i) =
-                blk.storage.block<4, 12>(4 * i, 0) *
-                x.segment<12>(12 * blk.obs[i].cam);
-          }
           auto jl = blk.storage.middleCols<3>(12).topRows(4 * k);
-          const VecX tmp = jl * (hll_inv[l] * (jl.transpose() * jp_x));
+          auto r = blk.storage.col(15).head(4 * k);
+          Mat3 hll = jl.transpose() * jl;
+          const Mat3 hll_i = hll.inverse();
+          const Vec3 hll_inv_bl = hll_i * (jl.transpose() * r);
           for (int i = 0; i < k; ++i) {
-            res.segment<12>(12 * blk.obs[i].cam) +=
-                blk.storage.block<4, 12>(4 * i, 0).transpose() *
-                tmp.segment<4>(4 * i);
+            const int ci = blk.obs[i].cam;
+            auto jp_i = blk.storage.block<4, 12>(4 * i, 0);
+            auto jl_i = blk.storage.block<4, 3>(4 * i, 12);
+            Vec4 r_i = blk.storage.block<4, 1>(4 * i, 15);
+            H.block<12, 12>(12 * ci, 12 * ci).noalias() +=
+                jp_i.transpose() * jp_i;
+            for (int jj = 0; jj < k; ++jj) {
+              const int cj = blk.obs[jj].cam;
+              auto jp_j = blk.storage.block<4, 12>(4 * jj, 0);
+              auto jl_j = blk.storage.block<4, 3>(4 * jj, 12);
+              H.block<12, 12>(12 * ci, 12 * cj).noalias() -=
+                  jp_i.transpose() *
+                  (jl_i * (hll_i * (jl_j.transpose() * jp_j)));
+            }
+            bvec.segment<12>(12 * ci) +=
+                jp_i.transpose() * (r_i - jl_i * hll_inv_bl);
           }
         }
-        return res;
-      };
+        H.diagonal().array() += lambda;  // add_diag (has_pose_damping)
 
-      VecX accum = mul_b_inv(-bvec);
-      int lin_iters = p.m;
-      {
-        VecX tmp = accum;
-        for (int i = 1; i <= p.m; ++i) {
-          tmp = mul_b_inv(mul_e0(tmp));
-          accum += tmp;
-          const double iter_norm = tmp.norm();
-          const double zeta = i * iter_norm / accum.norm();
-          if (zeta < p.eta) {
-            lin_iters = i;
-            break;
-          }
+        if (p.solver == SolverType::CHOLESKY) {
+          // solve_direct_pOSE (linearization_sc.hpp:236-245):
+          // SimplicialLLT of the sparse RCS, rhs -b. num_iterations
+          // stays 0 (the reference's Summary is default-constructed).
+          Eigen::SparseMatrix<double, Eigen::RowMajor> Hs =
+              H.sparseView().pruned();
+          Eigen::SimplicialLLT<
+              Eigen::SparseMatrix<double, Eigen::RowMajor>>
+              solver;
+          accum = solver.compute(Hs).solve(-bvec);
+          lin_iters = 0;
+        } else {
+          // PCG: SCHUR_JACOBI preconditioner = LLT inverse of the
+          // (damped) SC diagonal blocks (preconditioner.hpp:70-144,
+          // built from H_pp.block_storage AFTER assembly+damping);
+          // Ceres CG solves Hx = b then inc = -x
+          // (linearizor_base.cpp:102-125)
+          std::vector<Mat12> precond(n_cams);
+          for (int c = 0; c < n_cams; ++c)
+            precond[c] = H.block<12, 12>(12 * c, 12 * c)
+                             .selfadjointView<Eigen::Upper>()
+                             .llt()
+                             .solve(Mat12::Identity());
+          auto mul_h = [&](const VecX& x) -> VecX { return H * x; };
+          VecX x;
+          lin_iters =
+              ceres_cg(precond, mul_h, bvec, x, p.eta, p.max_cg_iters,
+                       p.residual_reset_period);
+          accum = -x;
         }
       }
+
       // the reference clears the flag at the END of solve
       // (linearizor_power_varproj.cpp:240 `new_linearization_point_ =
       // false`), BEFORE the driver's NaN check — so a NaN-increment
@@ -435,43 +697,85 @@ int main(int argc, char** argv) {
       cams_backup = p.cams;
       lms_backup = p.lms;
 
-      // apply (linearizor_power_varproj.cpp:245-259)
-      for (int c = 0; c < n_cams; ++c) {
-        Vec12 inc_phys = accum.segment<12>(12 * c).cwiseProduct(
-            pose_scale.segment<12>(12 * c));
-        // apply_inc_pose_pOSE (bal_problem.hpp:147-163): additive
-        for (int i = 0; i < 12; ++i) p.cams[c](i / 4, i % 4) += inc_phys[i];
-      }
-      // back_substitute_pOSE (landmark_block.hpp:670-707) with the
-      // SCALED inc (the reference multiplies back by the inverse scale
-      // before back-substitution, cpp:255)
       double l_diff = 0.0;
-      for (size_t l = 0; l < p.blocks.size(); ++l) {
-        auto& blk = p.blocks[l];
-        const int k = (int)blk.obs.size();
-        Mat3 H_ll = Mat3::Zero();
-        Vec3 tmp3 = Vec3::Zero();
-        VecX J_inc = VecX::Zero(4 * k);
-        for (int i = 0; i < k; ++i) {
-          // fresh (unscaled) Jacobians/residual at NEW cams, OLD lms
-          // (update_landmark_jacobian_pOSE, helper.cpp:382-454)
-          Mat4x12 Jp_new;
-          Mat43 Jl_new;
-          pose_jacobians(p.alpha, p.cams[blk.obs[i].cam], p.lms[l],
-                         blk.obs[i].uv, Jp_new, Jl_new);
-          Vec4 r_new = pose_residual(p.alpha, p.cams[blk.obs[i].cam],
-                                     p.lms[l], blk.obs[i].uv);
-          H_ll += Jl_new.transpose() * Jl_new;
-          tmp3 += Jl_new.transpose() * r_new;
-          J_inc.segment<4>(4 * i) +=
-              Jp_new * accum.segment<12>(12 * blk.obs[i].cam);
+      if (is_poba) {
+        // apply, POWER_SCHUR_COMPLEMENT order (linearizor_power_
+        // varproj.cpp:261-273): back_substitute_poBA FIRST on the
+        // SCALED increment (stored storage only, landmark_block.hpp:
+        // 627-657), then unscale + update cameras
+        for (size_t l = 0; l < p.blocks.size(); ++l) {
+          auto& blk = p.blocks[l];
+          const int k = (int)blk.obs.size();
+          Mat3 H_ll = Mat3::Zero();
+          Vec3 tmp3 = Vec3::Zero();
+          VecX J_inc = VecX::Zero(4 * k);
+          for (int i = 0; i < k; ++i) {
+            auto jp_i = blk.storage.block<4, 12>(4 * i, 0);
+            auto jl_i = blk.storage.block<4, 3>(4 * i, 12);
+            Vec4 r_i = blk.storage.block<4, 1>(4 * i, 15);
+            H_ll += jl_i.transpose() * jl_i;
+            const Vec12 p_inc = accum.segment<12>(12 * blk.obs[i].cam);
+            tmp3 += jl_i.transpose() * (r_i + jp_i * p_inc);
+            J_inc.segment<4>(4 * i) += jp_i * p_inc;
+          }
+          H_ll.diagonal().array() += lambda;
+          Vec3 inc_lm = -H_ll.inverse() * tmp3;
+          J_inc +=
+              blk.storage.middleCols<3>(12).topRows(4 * k) * inc_lm;
+          l_diff -= J_inc.transpose() *
+                    (0.5 * J_inc + blk.storage.col(15).head(4 * k));
+          // scale only after the model cost change (hpp:653-655)
+          inc_lm.array() *= blk.jl_col_scale.array();
+          p.lms[l] += inc_lm;
         }
-        Vec3 inc_lm = -H_ll.inverse() * tmp3;
-        J_inc +=
-            blk.storage.middleCols<3>(12).topRows(4 * k) * inc_lm;
-        l_diff -= J_inc.transpose() *
-                  (0.5 * J_inc + blk.storage.col(15).head(4 * k));
-        p.lms[l] += inc_lm;
+        for (int c = 0; c < n_cams; ++c) {
+          Vec12 inc_phys = accum.segment<12>(12 * c).cwiseProduct(
+              pose_scale.segment<12>(12 * c));
+          for (int i = 0; i < 12; ++i)
+            p.cams[c](i / 4, i % 4) += inc_phys[i];
+        }
+      } else {
+        // apply, VarProj order (linearizor_power_varproj.cpp:245-259 /
+        // linearizor_sc.cpp:69-89): cameras first, then
+        // back_substitute_pOSE with the SCALED inc (the reference
+        // multiplies back by the inverse scale before
+        // back-substitution, cpp:255)
+        for (int c = 0; c < n_cams; ++c) {
+          Vec12 inc_phys = accum.segment<12>(12 * c).cwiseProduct(
+              pose_scale.segment<12>(12 * c));
+          // apply_inc_pose_pOSE (bal_problem.hpp:147-163): additive
+          for (int i = 0; i < 12; ++i)
+            p.cams[c](i / 4, i % 4) += inc_phys[i];
+        }
+        // back_substitute_pOSE (landmark_block.hpp:670-707): fresh
+        // UNWEIGHTED Jacobians/residual at NEW cams, OLD lms
+        // (update_landmark_jacobian_pOSE, helper.cpp:382-454 — no
+        // robust weighting there, a reference quirk preserved)
+        for (size_t l = 0; l < p.blocks.size(); ++l) {
+          auto& blk = p.blocks[l];
+          const int k = (int)blk.obs.size();
+          Mat3 H_ll = Mat3::Zero();
+          Vec3 tmp3 = Vec3::Zero();
+          VecX J_inc = VecX::Zero(4 * k);
+          for (int i = 0; i < k; ++i) {
+            Mat4x12 Jp_new;
+            Mat43 Jl_new;
+            pose_jacobians(p.alpha, p.cams[blk.obs[i].cam], p.lms[l],
+                           blk.obs[i].uv, Jp_new, Jl_new);
+            Vec4 r_new = pose_residual(p.alpha, p.cams[blk.obs[i].cam],
+                                       p.lms[l], blk.obs[i].uv);
+            H_ll += Jl_new.transpose() * Jl_new;
+            tmp3 += Jl_new.transpose() * r_new;
+            J_inc.segment<4>(4 * i) +=
+                Jp_new * accum.segment<12>(12 * blk.obs[i].cam);
+          }
+          Vec3 inc_lm = -H_ll.inverse() * tmp3;
+          J_inc +=
+              blk.storage.middleCols<3>(12).topRows(4 * k) * inc_lm;
+          l_diff -= J_inc.transpose() *
+                    (0.5 * J_inc + blk.storage.col(15).head(4 * k));
+          p.lms[l] += inc_lm;
+        }
       }
 
       const double ri2 = compute_error(p);

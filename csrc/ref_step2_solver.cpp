@@ -60,6 +60,24 @@
 // Proj f(Proj' A Proj) Proj' which is basis-invariant), so the
 // comparison is meaningful decision-for-decision up to f64 rounding.
 //
+// RIPCG mode (argv[2] == "ripcg") replaces the power series with the
+// reference's explicit-RCS PCG path:
+//   * explicit SC:    linearization_sc.hpp:432-498 get_hb_f_joint +
+//                     landmark_block.hpp:415-472 add_Hb_joint (all
+//                     camera-pair 11x11 blocks
+//                     -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j on the nullspace
+//                     storage, Hll = Jl'Jl + Proj' lambda Proj, plus
+//                     per-camera Proj_pose' lambda Proj_pose damping)
+//   * PCG:            cg/conjugate_gradient.hpp:301-493 solve_joint —
+//                     Ceres CG with Nash q-tolerance, residual refresh
+//                     every 10; SCHUR_JACOBI = LLT inverse of the
+//                     (damped) 11x11 SC diagonal blocks
+//                     (preconditioner.hpp:70-144, linearizor_sc.cpp:
+//                     solve_joint); solves Hx = b then negates
+//                     (linearizor_base.cpp:pcg_joint)
+//   * apply_joint:    identical to RIPOBA (linearizor_sc.cpp:
+//                     apply_joint == linearizor_power_varproj.cpp's)
+//
 // Input: POVAR_STATE2 text dump (write_state_dump_homogeneous):
 //
 //   POVAR_STATE2 1
@@ -68,6 +86,8 @@
 //   <12 numbers per camera: row-major 3x4 space_matrix>   x n_cams
 //   <4 numbers per landmark: homogeneous p_h>             x n_lms
 //   <lm_id cam_id u v>                                    x n_obs
+//
+// Usage: ref_step2_solver state2.txt [ripoba|ripcg]
 //
 // The dump is the post-boundary state (landmarks already homogenized,
 // cameras already Frobenius-normalized, cpp:544-553).
@@ -152,7 +172,72 @@ struct Problem {
   double ftol = 1e-6;
   double min_rel_decrease = 0.0;
   int n_obs = 0;
+  bool ripcg = false;           // RIPCG instead of RIPOBA
+  int max_cg_iters = 500;       // max_linear_solver_iterations default
+  int residual_reset_period = 10;
 };
+
+inline bool is_zero_or_inf(double x) {
+  return x == 0.0 || std::isinf(x);
+}
+
+// Ceres-derived CG on the 11-block joint system (conjugate_gradient.
+// hpp:301-493 solve_joint — same loop as `solve`): q-tolerance (Nash
+// zeta test), r_tolerance = -1 (disabled by pcg_joint), residual
+// refresh every residual_reset_period. Solves H x = b from x = 0;
+// `precond` = SCHUR_JACOBI 11x11 block inverses. Returns iterations.
+int ceres_cg_joint(const std::vector<Mat11>& precond,
+                   const std::function<VecX(const VecX&)>& mul_h,
+                   const VecX& b, VecX& x, double q_tolerance,
+                   int max_iterations, int residual_reset_period) {
+  const int n_cams = (int)precond.size();
+  const double norm_b = b.norm();
+  x.setZero(b.size());
+  if (norm_b == 0.0) return 0;
+
+  auto apply_precond = [&](const VecX& r) {
+    VecX z(r.size());
+    for (int c = 0; c < n_cams; ++c)
+      z.segment<11>(11 * c) = precond[c] * r.segment<11>(11 * c);
+    return z;
+  };
+
+  VecX r = b - mul_h(x);
+  double rho = 1.0;
+  double q0 = -1.0 * x.dot(b + r);
+  VecX p, z, q;
+  int iters = 0;
+  for (iters = 1;; ++iters) {
+    z = apply_precond(r);
+    const double last_rho = rho;
+    rho = r.dot(z);
+    if (is_zero_or_inf(rho)) break;  // LINEAR_SOLVER_FAILURE
+    if (iters == 1) {
+      p = z;
+    } else {
+      const double beta = rho / last_rho;
+      if (is_zero_or_inf(beta)) break;
+      p = z + beta * p;
+    }
+    q = mul_h(p);
+    const double pq = p.dot(q);
+    if (pq <= 0 || std::isinf(pq)) break;  // indefinite
+    const double alpha = rho / pq;
+    if (std::isinf(alpha)) break;
+    x = x + alpha * p;
+    if (iters % residual_reset_period == 0) {
+      r = b - mul_h(x);
+    } else {
+      r = r - alpha * q;
+    }
+    const double q1 = -1.0 * x.dot(b + r);
+    const double zeta = iters * (q1 - q0) / q1;
+    if (zeta < q_tolerance) break;  // SUCCESS (min_num_iterations = 0)
+    q0 = q1;
+    if (iters >= max_iterations) break;
+  }
+  return iters;
+}
 
 // homogeneous residual (helper.cpp:316-350 + bal_camera.hpp:120-147):
 // p = [P; 0 0 0 1] X_h, res = (p0/p2 - u, p1/p2 - v)
@@ -211,8 +296,18 @@ struct IterRecord {
 
 int main(int argc, char** argv) {
   if (argc < 2) {
-    fprintf(stderr, "usage: %s state2.txt\n", argv[0]);
+    fprintf(stderr, "usage: %s state2.txt [ripoba|ripcg]\n", argv[0]);
     return 2;
+  }
+  bool want_ripcg = false;
+  if (argc >= 3) {
+    const std::string s = argv[2];
+    if (s == "ripcg") {
+      want_ripcg = true;
+    } else if (s != "ripoba") {
+      fprintf(stderr, "unknown step-2 solver %s\n", argv[2]);
+      return 2;
+    }
   }
   FILE* f = fopen(argv[1], "r");
   if (!f) {
@@ -227,6 +322,7 @@ int main(int argc, char** argv) {
     return 2;
   }
   Problem p;
+  p.ripcg = want_ripcg;
   int n_cams, n_lms, n_obs;
   if (fscanf(f, "%d %d %d", &n_cams, &n_lms, &n_obs) != 3) return 2;
   if (fscanf(f, "%d %d %lf %lf %lf", &p.m, &p.max_iters, &p.eta,
@@ -375,55 +471,107 @@ int main(int argc, char** argv) {
           hpp[cam].noalias() += jp.transpose() * jp;
         }
       }
-      for (int c = 0; c < n_cams; ++c) {
-        Mat11 damped =
-            hpp[c] +
-            proj_pose[c].transpose() * lambda * proj_pose[c];
-        b_inv[c] = damped.selfadjointView<Eigen::Upper>().llt().solve(
-            Mat11::Identity());
-      }
+      VecX accum;
+      int lin_iters = 0;
 
-      // solve_joint power series
-      // (linearization_power_varproj.hpp:240-287)
-      auto mul_b_inv = [&](const VecX& x) {
-        VecX res(11 * n_cams);
-        for (int c = 0; c < n_cams; ++c)
-          res.segment<11>(11 * c) = b_inv[c] * x.segment<11>(11 * c);
-        return res;
-      };
-      auto mul_e0 = [&](const VecX& x) {
-        VecX res = VecX::Zero(11 * n_cams);
+      if (!p.ripcg) {
+        for (int c = 0; c < n_cams; ++c) {
+          Mat11 damped =
+              hpp[c] +
+              proj_pose[c].transpose() * lambda * proj_pose[c];
+          b_inv[c] = damped.selfadjointView<Eigen::Upper>().llt().solve(
+              Mat11::Identity());
+        }
+
+        // solve_joint power series
+        // (linearization_power_varproj.hpp:240-287)
+        auto mul_b_inv = [&](const VecX& x) {
+          VecX res(11 * n_cams);
+          for (int c = 0; c < n_cams; ++c)
+            res.segment<11>(11 * c) = b_inv[c] * x.segment<11>(11 * c);
+          return res;
+        };
+        auto mul_e0 = [&](const VecX& x) {
+          VecX res = VecX::Zero(11 * n_cams);
+          for (size_t l = 0; l < p.blocks.size(); ++l) {
+            auto& blk = p.blocks[l];
+            const int k = (int)blk.obs.size();
+            VecX jp_x(2 * k);
+            for (int i = 0; i < k; ++i)
+              jp_x.segment<2>(2 * i) =
+                  blk.storage_ns.block<2, 11>(2 * i, 0) *
+                  x.segment<11>(11 * blk.obs[i].cam);
+            auto jl = blk.storage_ns.middleCols<3>(11).topRows(2 * k);
+            const VecX tmp = jl * (hll_inv[l] * (jl.transpose() * jp_x));
+            for (int i = 0; i < k; ++i)
+              res.segment<11>(11 * blk.obs[i].cam) +=
+                  blk.storage_ns.block<2, 11>(2 * i, 0).transpose() *
+                  tmp.segment<2>(2 * i);
+          }
+          return res;
+        };
+
+        accum = mul_b_inv(-bvec);
+        lin_iters = p.m;
+        {
+          VecX tmp = accum;
+          for (int i = 1; i <= p.m; ++i) {
+            tmp = mul_b_inv(mul_e0(tmp));
+            accum += tmp;
+            const double zeta = i * tmp.norm() / accum.norm();
+            if (zeta < p.eta) {
+              lin_iters = i;
+              break;
+            }
+          }
+        }
+      } else {
+        // ---- RIPCG: explicit 11-block RCS (get_hb_f_joint,
+        // linearization_sc.hpp:432-498 + landmark_block.hpp:415-472
+        // add_Hb_joint): per-landmark diag blocks Jp_i'Jp_i on the
+        // nullspace storage plus ALL camera-pair SC blocks
+        // -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j (Hll damped, the shared
+        // hll_inv above), then per-camera Proj_pose' lambda Proj_pose
+        // damping. Toy/mid-scale => dense [11N, 11N] is exact.
+        MatX H = MatX::Zero(11 * n_cams, 11 * n_cams);
         for (size_t l = 0; l < p.blocks.size(); ++l) {
           auto& blk = p.blocks[l];
           const int k = (int)blk.obs.size();
-          VecX jp_x(2 * k);
-          for (int i = 0; i < k; ++i)
-            jp_x.segment<2>(2 * i) =
-                blk.storage_ns.block<2, 11>(2 * i, 0) *
-                x.segment<11>(11 * blk.obs[i].cam);
-          auto jl = blk.storage_ns.middleCols<3>(11).topRows(2 * k);
-          const VecX tmp = jl * (hll_inv[l] * (jl.transpose() * jp_x));
-          for (int i = 0; i < k; ++i)
-            res.segment<11>(11 * blk.obs[i].cam) +=
-                blk.storage_ns.block<2, 11>(2 * i, 0).transpose() *
-                tmp.segment<2>(2 * i);
-        }
-        return res;
-      };
-
-      VecX accum = mul_b_inv(-bvec);
-      int lin_iters = p.m;
-      {
-        VecX tmp = accum;
-        for (int i = 1; i <= p.m; ++i) {
-          tmp = mul_b_inv(mul_e0(tmp));
-          accum += tmp;
-          const double zeta = i * tmp.norm() / accum.norm();
-          if (zeta < p.eta) {
-            lin_iters = i;
-            break;
+          for (int i = 0; i < k; ++i) {
+            const int ci = blk.obs[i].cam;
+            auto jp_i = blk.storage_ns.block<2, 11>(2 * i, 0);
+            auto jl_i = blk.storage_ns.block<2, 3>(2 * i, 11);
+            H.block<11, 11>(11 * ci, 11 * ci).noalias() +=
+                jp_i.transpose() * jp_i;
+            for (int jj = 0; jj < k; ++jj) {
+              const int cj = blk.obs[jj].cam;
+              auto jp_j = blk.storage_ns.block<2, 11>(2 * jj, 0);
+              auto jl_j = blk.storage_ns.block<2, 3>(2 * jj, 11);
+              H.block<11, 11>(11 * ci, 11 * cj).noalias() -=
+                  jp_i.transpose() *
+                  (jl_i * (hll_inv[l] * (jl_j.transpose() * jp_j)));
+            }
           }
         }
+        for (int c = 0; c < n_cams; ++c)
+          H.block<11, 11>(11 * c, 11 * c).noalias() +=
+              proj_pose[c].transpose() * lambda * proj_pose[c];
+
+        // SCHUR_JACOBI = LLT inverse of the (damped) diagonal blocks
+        // (preconditioner.hpp:70-144, built from block_storage AFTER
+        // assembly+damping); Ceres CG solves Hx = b then inc = -x
+        std::vector<Mat11> precond(n_cams);
+        for (int c = 0; c < n_cams; ++c)
+          precond[c] = H.block<11, 11>(11 * c, 11 * c)
+                           .selfadjointView<Eigen::Upper>()
+                           .llt()
+                           .solve(Mat11::Identity());
+        auto mul_h = [&](const VecX& x) -> VecX { return H * x; };
+        VecX x;
+        lin_iters =
+            ceres_cg_joint(precond, mul_h, bvec, x, p.eta,
+                           p.max_cg_iters, p.residual_reset_period);
+        accum = -x;
       }
       // the reference clears the flag at the END of solve_joint
       // (linearizor_power_varproj.cpp:174), BEFORE the driver's NaN

@@ -635,6 +635,17 @@ class Stage1Solver(StagedTiming, CamWindows):
         self.robust = _ROBUST_CODE[options.residual.robust_norm]
         self.huber = float(options.residual.huber_parameter)
         self.power_m = int(options.power_sc_iterations)
+        # reference quirk: only the power linearizor scales Jl columns
+        # (linearizor_power_varproj.cpp:64 calls scale_Jl_cols_pOSE;
+        # linearizor_sc.cpp linearize_pOSE has no such call). The SC
+        # solve itself is scale-invariant, but back-substitution's
+        # model-cost term J_inc += stored_Jl @ inc_lm is NOT, so the
+        # lambda schedule diverges from the reference unless PCG /
+        # CHOLESKY keep Jl unscaled.
+        self.scale_jl = options.solver_type_step_1 in (
+            SolverType.POWER_VARPROJ,
+            SolverType.POWER_SCHUR_COMPLEMENT,
+        )
         # inner-solve/storage dtype (mixed precision under f64 LM)
         self.solve_dtype = (
             jnp.float32
@@ -1284,6 +1295,8 @@ class Stage1Solver(StagedTiming, CamWindows):
         """Landmark Jacobi column scaling: 1 / (eps + col_norm) over the
         landmark's rows (scale_Jl_cols_pOSE, landmark_block.hpp:284-300)."""
         jl_sq = self._seg_lm(obs, jnp.sum(Jl * Jl, axis=0))  # [3, M]
+        if not self.scale_jl:  # SC linearizor quirk (see __init__)
+            return Jl, jnp.ones_like(jl_sq)
         jl_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
         return Jl * self._gather_lm_x(obs, jl_scale)[None], jl_scale
 
@@ -1606,7 +1619,9 @@ class Stage1Solver(StagedTiming, CamWindows):
         inc = -linalg.solve_psd_small(
             S, b.astype(S.dtype).T.reshape(-1)
         ).reshape(self.n_cams, 12)
-        return inc.T.astype(self.dtype), jnp.asarray(1, jnp.int32)
+        # direct solve: the reference records 0 linear-solver
+        # iterations for CHOLESKY (no CG loop runs)
+        return inc.T.astype(self.dtype), jnp.asarray(0, jnp.int32)
 
     def _chol_solve_banded(
         self, obs: Obs, lin: Lin1, lam, hll_inv, hll_inv_bl, band_arrs
@@ -1630,7 +1645,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         inc = -band_chol.solve_band(
             self._band_meta, band_arrs, s_flat, b.astype(s_flat.dtype)
         )
-        return inc.astype(self.dtype), jnp.asarray(1, jnp.int32)
+        return inc.astype(self.dtype), jnp.asarray(0, jnp.int32)
 
     # ------------------------------------------------------------- apply
 
@@ -1822,6 +1837,8 @@ class Stage1Solver(StagedTiming, CamWindows):
         itself is applied algebraically as outer products downstream —
         the structured layout makes scale_Jl_cols a near-free rsqrt)."""
         jl_sq = hll_raw[jnp.arange(3), jnp.arange(3)]  # [3, M]
+        if not self.scale_jl:  # SC linearizor quirk (see __init__)
+            return jnp.ones_like(jl_sq)
         return 1.0 / (self.jacobi_eps + jnp.sqrt(jl_sq))
 
     def _lin_scale_jp_s(self, jpsq: jnp.ndarray) -> jnp.ndarray:

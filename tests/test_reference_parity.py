@@ -242,6 +242,132 @@ def test_step1_mixed_mode_final_cost_matches_reference(
 
 
 # ---------------------------------------------------------------------------
+# the full solver matrix: PCG / CHOLESKY / POWER_SCHUR_COMPLEMENT and
+# robust norms, decision-for-decision (VERDICT r4 #1/#6)
+#
+# The harness implements all four step-1 linear solvers (explicit-SC
+# assembly linearization_sc.hpp:403-450, Ceres CG
+# cg/conjugate_gradient.hpp:114-301 with SCHUR_JACOBI
+# cg/preconditioner.hpp:70-144, dense LLT for solve_direct_pOSE
+# linearization_sc.hpp:236-245, and the landmark-damped poBA variant
+# landmark_block.hpp:511-572) plus HUBER/CAUCHY weighting
+# (helper.cpp:50-74). Solver and robust norm are argv selectors on the
+# same state dump, so every combo consumes the identical start state.
+
+from povar_tpu.options import RobustNorm, SolverType
+
+MATRIX = [
+    # (harness argv solver, framework enum, robust, huber_param)
+    ("power_sc", SolverType.POWER_SCHUR_COMPLEMENT, "none", 1.0),
+    ("pcg", SolverType.PCG, "none", 1.0),
+    ("cholesky", SolverType.CHOLESKY, "none", 1.0),
+    ("power_varproj", SolverType.POWER_VARPROJ, "huber", 1.0),
+    ("power_varproj", SolverType.POWER_VARPROJ, "cauchy", 1.0),
+    ("pcg", SolverType.PCG, "huber", 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def state_file(problem, tmp_path_factory):
+    _build_harness()
+    state = str(tmp_path_factory.mktemp("refmx") / "state.txt")
+    write_state_dump(
+        problem,
+        state,
+        alpha=0.01,
+        power_sc_iterations=10,
+        max_iters=MAX_ITERS,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    return state
+
+
+@pytest.mark.parametrize(
+    "hsolver,fsolver,robust,hparam",
+    MATRIX,
+    ids=[f"{h}-{r}" for h, _, r, _ in MATRIX],
+)
+def test_step1_solver_matrix_matches_reference(
+    problem, state_file, hsolver, fsolver, robust, hparam
+):
+    """Executed decision-for-decision parity for every step-1 linear
+    solver and robust norm against the Eigen f64 harness."""
+    cmd = [HARNESS, state_file, hsolver]
+    if robust != "none":
+        cmd += [robust, str(hparam)]
+    r = subprocess.run(cmd, capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ref_run = json.loads(r.stdout.decode())
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_1 = MAX_ITERS
+    opts.solver_type_step_1 = fsolver
+    opts.residual.robust_norm = RobustNorm[robust.upper()] \
+        if robust != "none" else RobustNorm.NONE
+    opts.residual.huber_parameter = hparam
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    cams, lms = optimize_step1(
+        s1,
+        jnp.asarray(problem.cam_space, jnp.float64),
+        jnp.asarray(problem.lm_p, jnp.float64),
+        opts,
+        summary,
+        Timer(),
+        log=lambda s: None,
+    )
+
+    ref_iters = ref_run["iterations"]
+    fw_iters = summary.iterations
+    assert len(fw_iters) == len(ref_iters), (
+        f"iteration counts differ: framework {len(fw_iters)} vs "
+        f"reference {len(ref_iters)}"
+    )
+    assert sum(r_["accept"] for r_ in ref_iters[1:]) >= 5
+
+    for k, (fw, ref) in enumerate(zip(fw_iters, ref_iters)):
+        assert fw.step_is_successful == ref["accept"], f"iteration {k}"
+        assert fw.step_is_valid == ref["valid"], f"iteration {k}"
+        if k == 0:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-12
+            )
+            continue
+        # CG iteration counts / power-series term counts / 0 for the
+        # direct solve — exact match required
+        assert fw.linear_solver_iterations == ref["lin_iters"], (
+            f"iteration {k}: linear-solver iterations "
+            f"{fw.linear_solver_iterations} vs {ref['lin_iters']}"
+        )
+        if ref["valid"]:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-8
+            ), f"iteration {k}"
+        assert fw.trust_region_radius == pytest.approx(
+            ref["trust_region_radius"], rel=1e-6
+        ), f"iteration {k}"
+
+    ref_cams = np.array(ref_run["final_cams"]).reshape(-1, 3, 4)
+    ref_lms = np.array(ref_run["final_lms"]).reshape(-1, 3)
+    np.testing.assert_allclose(cams, ref_cams, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(lms, ref_lms, rtol=0, atol=1e-6)
+    assert summary.final_cost.all.error == pytest.approx(
+        ref_run["final_cost"], rel=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
 # step 2: joint Riemannian homogeneous refinement
 
 HARNESS2 = os.path.join(CSRC, "ref_step2_solver")
@@ -378,4 +504,97 @@ def test_step2_trajectory_matches_reference(problem, joint_state, ref_run2):
 
     assert summary.final_cost.all.error == pytest.approx(
         ref_run2["final_cost"], rel=1e-4
+    )
+
+
+@pytest.fixture(scope="module")
+def state2_file(problem, joint_state, tmp_path_factory):
+    from povar_tpu.problem.bal_io import write_state_dump_homogeneous
+
+    _build_harness2()
+    cams_h, lms_h = joint_state
+    state = str(tmp_path_factory.mktemp("refmx2") / "state2.txt")
+    write_state_dump_homogeneous(
+        np.asarray(cams_h),
+        np.asarray(lms_h),
+        problem.obs_lm,
+        problem.obs_cam,
+        problem.obs_uv,
+        state,
+        power_sc_iterations=10,
+        max_iters=MAX_ITERS_2,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    return state
+
+
+def test_step2_ripcg_trajectory_matches_reference(
+    problem, joint_state, state2_file
+):
+    """RIPCG step-2 parity: the Ceres CG loop on the implicit tangent
+    RCS (linearizor_sc.cpp:245-325) against the harness's explicit
+    11-block assembly. CG iteration counts must match exactly; the
+    per-iteration cost tolerance is looser than RIPOBA's because CG
+    iterates amplify the Householder-vs-COD basis f64 drift (measured
+    <=6.2e-5 relative by iteration 15)."""
+    from povar_tpu.options import SolverTypeRiemannian
+    from povar_tpu.solver.lm import optimize_step2
+    from povar_tpu.solver.stage2 import Stage2Solver
+
+    r = subprocess.run(
+        [HARNESS2, state2_file, "ripcg"], capture_output=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ref_run = json.loads(r.stdout.decode())
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_2 = MAX_ITERS_2
+    opts.solver_type_step_2 = SolverTypeRiemannian.RIPCG
+    s2 = Stage2Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    cams_h, lms_h = joint_state
+    optimize_step2(
+        s2, cams_h, lms_h, opts, summary, Timer(), log=lambda s: None
+    )
+
+    ref_iters = ref_run["iterations"]
+    fw_iters = summary.iterations
+    assert len(fw_iters) == len(ref_iters), (
+        f"iteration counts differ: framework {len(fw_iters)} vs "
+        f"reference {len(ref_iters)}"
+    )
+    accepts = [r_["accept"] for r_ in ref_iters[1:]]
+    assert sum(accepts) >= 5 and sum(1 for a in accepts if not a) >= 2
+
+    for k, (fw, ref) in enumerate(zip(fw_iters, ref_iters)):
+        assert fw.step_is_successful == ref["accept"], f"iteration {k}"
+        assert fw.step_is_valid == ref["valid"], f"iteration {k}"
+        if k == 0:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-12
+            )
+            continue
+        assert fw.linear_solver_iterations == ref["lin_iters"], (
+            f"iteration {k}: CG iterations "
+            f"{fw.linear_solver_iterations} vs {ref['lin_iters']}"
+        )
+        if ref["valid"]:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-3
+            ), f"iteration {k}"
+
+    assert summary.final_cost.all.error == pytest.approx(
+        ref_run["final_cost"], rel=1e-3
     )
