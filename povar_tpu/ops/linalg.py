@@ -29,12 +29,31 @@ from povar_tpu.ops.small_einsum import small_einsum
 from jax import lax
 
 
+def _pow2_norm(s: jnp.ndarray) -> jnp.ndarray:
+    """Exact power-of-two magnitude normalizer: 2^floor(log2(s)), or 1
+    where s is zero/non-finite. Dividing a matrix by it is EXACT in
+    IEEE arithmetic (mantissas unchanged), so prescaling the adjugate
+    inverse below changes no bits in the normal range — it only
+    prevents the cofactor (~|m|^2) and determinant (~|m|^3) products
+    from overflowing the f32 exponent when the matrix carries a huge
+    LM damping term (lambda > ~1.8e19 => lambda^2 > f32 max; the
+    post-convergence backtracking spiral reaches lambda ~ 1e32 before
+    the trust-region floor terminates, bal_bundle_adjustment.cpp
+    min radius 1e-32)."""
+    ok = jnp.isfinite(s) & (s > 0)
+    return jnp.where(ok, jnp.exp2(jnp.floor(jnp.log2(jnp.where(ok, s, 1.0)))), 1.0)
+
+
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     """Batched closed-form 3x3 inverse via the adjugate.
 
     Matches Eigen's `Mat3::inverse()` used for Hll^-1
-    (sc/landmark_block.hpp add_Hb_pOSE / get_Hll_inv_add_Hpp_b_pOSE).
+    (sc/landmark_block.hpp add_Hb_pOSE / get_Hll_inv_add_Hpp_b_pOSE),
+    with exact power-of-two prescaling for f32 exponent headroom
+    (see _pow2_norm).
     """
+    scale = _pow2_norm(jnp.max(jnp.abs(m), axis=(-2, -1)))
+    m = m / scale[..., None, None]
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
@@ -53,7 +72,7 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    return adj * inv_det[..., None, None]
+    return adj * (inv_det / scale)[..., None, None]
 
 
 def solve3x3(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -157,7 +176,11 @@ def nullspace_of_row(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def inv3x3f(m: jnp.ndarray) -> jnp.ndarray:
-    """Adjugate 3x3 inverse of m [3, 3, ...] -> [3, 3, ...]."""
+    """Adjugate 3x3 inverse of m [3, 3, ...] -> [3, 3, ...], with
+    exact power-of-two prescaling for f32 exponent headroom
+    (see _pow2_norm)."""
+    scale = _pow2_norm(jnp.max(jnp.abs(m), axis=(0, 1)))
+    m = m / scale[None, None]
     a, b, c = m[0, 0], m[0, 1], m[0, 2]
     d, e, f = m[1, 0], m[1, 1], m[1, 2]
     g, h, i = m[2, 0], m[2, 1], m[2, 2]
@@ -173,7 +196,7 @@ def inv3x3f(m: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=0,
     )
-    return adj * inv_det[None, None]
+    return adj * (inv_det / scale)[None, None]
 
 
 def solve3x3f(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
