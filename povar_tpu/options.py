@@ -161,6 +161,24 @@ class SolverOptions:
     # to unroll; wide-part suffixes fall back to the composed kernels.
     fused_power_term: bool = True
 
+    # Whole-solve-on-device LM driver: run the ENTIRE trust-region loop
+    # (linearize, trial, accept/reject, vee damping, ftol / lambda-max
+    # termination) as ONE lax.while_loop executable, returning the
+    # final state plus per-iteration trace arrays from which the host
+    # reconstructs the iteration log. Removes every per-iteration
+    # host<->device round trip (the host loop pays ~4-8 scalar syncs +
+    # 2 dispatches per trial — more wall time than the trial itself on
+    # remote/tunneled backends). The control flow is the same IEEE-f64
+    # arithmetic as the host loop; trajectories are decision-identical
+    # with values tracking to fusion-context rounding (~1 ulp per
+    # iteration; tests/test_device_loop.py).
+    # "auto": used whenever the fused trial is available and per-stage
+    # timing is off; "on": require it (error if unsupported); "off":
+    # host-driven loop. The reference has no analogue (its driver is a
+    # CPU loop, bal_bundle_adjustment.cpp:252-542); this is the
+    # TPU-native expression of the same algorithm.
+    device_lm_loop: str = "auto"
+
     # Staged execution with per-stage timing: split each LM iteration's
     # fused device programs at the reference's timing boundaries
     # (jacobian eval / scaling / Hll / prepare / solve / back-sub /
@@ -177,6 +195,23 @@ class SolverOptions:
     def use_projection_validity_check(self) -> bool:
         """solver_options.cpp:41-52: false iff optimized_cost == ERROR."""
         return self.optimized_cost != OptimizedCost.ERROR
+
+    def device_loop_cache_token(self) -> str:
+        """Cache key for the compiled whole-solve device LM loop:
+        every option the loop bakes into the executable as a constant
+        (solver/device_loop.py)."""
+        return repr((
+            self.function_tolerance,
+            self.min_relative_decrease,
+            self.vee_factor,
+            self.initial_vee,
+            self.initial_trust_region_radius,
+            self.min_trust_region_radius,
+            self.max_trust_region_radius,
+            self.optimized_cost.value,
+            self.solver_type_step_1.value,
+            self.solver_type_step_2.value,
+        ))
 
     def effective_jacobi_scaling_epsilon(self, dtype) -> float:
         """linearizor_base.cpp:94-100: explicit epsilon, or
@@ -316,6 +351,8 @@ OPTION_META: Dict[type, Dict[str, tuple]] = {
                                    "under the f64 LM loop (TPU has no "
                                    "native f64)"),
         "pallas_kernels": (None, "fused Pallas kernels: auto, on, off"),
+        "device_lm_loop": (None, "whole-solve-on-device LM driver: "
+                           "auto, on, off"),
         "fused_power_term": (None, "single-kernel fused power-series "
                              "E0 term on the small-N structured path"),
         "detailed_timing": (None, "staged execution with per-stage "

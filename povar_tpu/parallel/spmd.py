@@ -792,6 +792,10 @@ class _SpmdCommon:
     stage solvers."""
 
     spmd_axis = AXIS
+    # the raw _trial/_linearize graphs carry psums that must run inside
+    # shard_map, so the single-jit device LM loop does not apply; the
+    # host loop drives the per-trial shard_map executables instead
+    supports_device_loop = False
 
     def _spmd_build_obs(self, plan: SpmdPlan, obs_uv, obs_weight, mesh):
         import jax
@@ -1028,6 +1032,13 @@ def _make_spmd_class():
         self.use_pallas = True
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
             jnp.float32
+        )
+        # reference quirk (stage1.Stage1Solver.__init__): only the
+        # power linearizor scales Jl columns; the SC linearizor (PCG)
+        # does not. Stage 2 always scales (overridden there).
+        self.scale_jl = options.solver_type_step_1 in (
+            SolverType.POWER_VARPROJ,
+            SolverType.POWER_SCHUR_COMPLEMENT,
         )
 
     class SpmdStage1Solver(_SpmdCommon, Stage1Solver):
@@ -1287,6 +1298,14 @@ def _make_spmd_class():
                 out_specs=(P(), P(d, None), P()),
             ))
 
+            # fused step-2 LM trial under ONE shard_map region (the
+            # stage-1 trial's mirror; stage2.Stage2Solver._trial)
+            self._jit_trial = jax.jit(sm(
+                self._trial,
+                in_specs=(ospec, P(), P(d, None), lin_spec, P()),
+                out_specs=(P(), P(d, None), P(), P(), P(), err_spec),
+            ))
+
             # L-space (row-order) state variants — same treatment as
             # SpmdStage1Solver (the step-2 state is the homogeneous
             # [M, 4], rows [4, L])
@@ -1328,6 +1347,17 @@ def _make_spmd_class():
                             ospec, P(), rows_in, lin_spec, P(), P(),
                         ),
                         out_specs=(P(), rows_in, P()),
+                    )),
+                    2,
+                )
+                self._jit_trial = _dispatch_state(
+                    self._jit_trial,
+                    jax.jit(sm(
+                        self._trial,
+                        in_specs=(ospec, P(), rows_in, lin_spec, P()),
+                        out_specs=(
+                            P(), rows_in, P(), P(), P(), err_spec,
+                        ),
                     )),
                     2,
                 )

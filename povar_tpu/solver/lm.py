@@ -298,9 +298,15 @@ def _optimize_lm_loop(
                     f"{timer_iteration.elapsed():.3f}s, total_time: "
                     f"{timer_total.elapsed():.3f}s"
                 )
-                lam *= max(
-                    1.0 / 3,
-                    1.0 - (2.0 * it_summary.relative_decrease - 1.0) ** 3,
+                # evaluated through the shared traced expression so
+                # the host and device drivers' lambda schedules are
+                # bit-identical (device_loop.lm_damping_factor)
+                from povar_tpu.solver.device_loop import (
+                    host_damping_factor,
+                )
+
+                lam *= host_damping_factor(
+                    it_summary.relative_decrease
                 )
                 lam = max(min_lambda, lam)
                 lambda_vee = options.initial_vee
@@ -367,6 +373,62 @@ def _optimize_lm_loop(
             "Solver did not converge after maximum number of "
             f"{max_lm_iter} iterations"
         )
+
+
+def _use_device_loop(options: SolverOptions, solver, detailed) -> bool:
+    """Whole-solve-on-device eligibility (solver/device_loop.py): the
+    fused trial must exist and per-stage host timing must be off."""
+    mode = getattr(options, "device_lm_loop", "off")
+    capable = (
+        (not detailed)
+        and getattr(solver, "supports_trial", False)
+        and getattr(solver, "supports_device_loop", False)
+    )
+    if mode == "on" and not capable:
+        raise ValueError(
+            "device_lm_loop='on' requires the fused trial "
+            "(supports_trial) and detailed_timing=False"
+        )
+    return mode in ("auto", "on") and capable
+
+
+def _run_device_loop(
+    solver, state, options, accept_rule, max_lm_iter, summary,
+    timer_total, log,
+) -> None:
+    """Iteration-0 record + the single-dispatch device LM loop."""
+    from povar_tpu.solver import device_loop
+
+    err0 = solver.compute_error(state.cams, state.lms)
+    ri0 = ResidualInfo.from_device(
+        {k: np.asarray(v) for k, v in err0.items()}
+    )
+    valid_first = options.use_projection_validity_check()
+    log(f"Iteration 0, {error_summary_oneline(ri0, valid_first)}")
+    if not ri0.is_numerically_valid:
+        raise FloatingPointError(
+            "did not expect numerical failure during linearization"
+        )
+    it0 = IterationSummary(iteration=0)
+    it0.cost = ri0
+    it0.trust_region_radius = options.initial_trust_region_radius
+    it0.step_is_successful = True
+    it0.step_is_valid = True
+    it0.cumulative_time_in_seconds = timer_total.elapsed()
+    finish_iteration(summary, it0)
+
+    run = device_loop.build_device_lm_run(
+        solver, options, accept_rule, max_lm_iter
+    )
+    jit_run = solver._jit_cached(
+        f"device_lm_run_{accept_rule}_{max_lm_iter}_"
+        f"{options.device_loop_cache_token()}",
+        run,
+    )
+    device_loop.drive_device_loop(
+        solver, state, options, accept_rule, max_lm_iter, summary,
+        timer_total, log, ri0, err0, jit_run,
+    )
 
 
 _SOLVER_TYPE_NAMES = {
@@ -499,22 +561,30 @@ def optimize_step1(
 
     use_trial = (not detailed) and solver.supports_trial
 
-    _optimize_lm_loop(
-        options=options,
-        max_lm_iter=options.max_num_iterations_step_1,
-        compute_error=compute_error,
-        linearize=linearize,
-        solve=solve_with_lam,
-        apply_step=apply_step,
-        accept=state.accept,
-        reject=state.reject,
-        accept_rule="step1",
-        summary=summary,
-        timer_total=timer_total,
-        log=log,
-        initialize=initialize,
-        trial=trial_step if use_trial else None,
-    )
+    if _use_device_loop(options, solver, detailed):
+        initialize()
+        _run_device_loop(
+            solver, state, options, "step1",
+            options.max_num_iterations_step_1, summary, timer_total,
+            log,
+        )
+    else:
+        _optimize_lm_loop(
+            options=options,
+            max_lm_iter=options.max_num_iterations_step_1,
+            compute_error=compute_error,
+            linearize=linearize,
+            solve=solve_with_lam,
+            apply_step=apply_step,
+            accept=state.accept,
+            reject=state.reject,
+            accept_rule="step1",
+            summary=summary,
+            timer_total=timer_total,
+            log=log,
+            initialize=initialize,
+            trial=trial_step if use_trial else None,
+        )
     summary.minimizer_time_in_seconds = timer_total.elapsed()
     finish_solve(summary, _SOLVER_TYPE_NAMES[options.solver_type_step_1])
     return state.cams, solver.lm_unpack(state.lms)
@@ -578,20 +648,47 @@ def optimize_step2(
         state.stage(new_cams, new_lms)
         return float(l_diff), None
 
-    _optimize_lm_loop(
-        options=options,
-        max_lm_iter=options.max_num_iterations_step_2,
-        compute_error=compute_error,
-        linearize=linearize,
-        solve=solve,
-        apply_step=apply_step,
-        accept=state.accept,
-        reject=state.reject,
-        accept_rule="step2",
-        summary=summary,
-        timer_total=timer_total,
-        log=log,
+    def trial_step(lam):
+        # fused solve+apply+cost (stage2.Stage2Solver.trial); same
+        # contract as step 1's trial_step
+        new_cams, new_lms, ok, iters, l_diff, err = solver.trial(
+            state.cams, state.lms, lin_box["lin"],
+            jnp.asarray(lam, solver.dtype),
+        )
+        ok = bool(ok)
+        ri2 = ResidualInfo.from_device(
+            {k: np.asarray(v) for k, v in err.items()}
+        )
+        if ok:
+            state.stage(new_cams, new_lms)
+        return ok, int(iters), float(l_diff), ri2
+
+    use_trial = (
+        (not detailed) and getattr(solver, "supports_trial", False)
     )
+
+    if _use_device_loop(options, solver, detailed):
+        _run_device_loop(
+            solver, state, options, "step2",
+            options.max_num_iterations_step_2, summary, timer_total,
+            log,
+        )
+    else:
+        _optimize_lm_loop(
+            options=options,
+            max_lm_iter=options.max_num_iterations_step_2,
+            compute_error=compute_error,
+            linearize=linearize,
+            solve=solve,
+            apply_step=apply_step,
+            accept=state.accept,
+            reject=state.reject,
+            accept_rule="step2",
+            summary=summary,
+            timer_total=timer_total,
+            log=log,
+            trial=trial_step if use_trial else None,
+        )
     summary.minimizer_time_in_seconds = timer_total.elapsed()
     summary.total_time_in_seconds = timer_total.elapsed()
     finish_solve(

@@ -616,6 +616,11 @@ class CamWindows:
 
 
 class Stage1Solver(StagedTiming, CamWindows):
+    # whole-solve-on-device LM loop (solver/device_loop.py): the raw
+    # _trial/_linearize graphs compose under one lax.while_loop. SPMD
+    # subclasses override to False (their raw graphs carry collectives
+    # that must live inside shard_map; see parallel/spmd.py).
+    supports_device_loop = True
     def __init__(
         self,
         obs_cam: jnp.ndarray,

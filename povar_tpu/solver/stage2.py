@@ -125,6 +125,8 @@ def create_homogeneous(
 class Stage2Solver(StagedTiming, CamWindows):
     # fused-term VMEM rows per slot element (pallas_pose2.E0_TERM2_ROWS)
     _E0_TERM_ROWS = 15
+    # see Stage1Solver.supports_device_loop
+    supports_device_loop = True
 
     def __init__(
         self,
@@ -217,6 +219,7 @@ class Stage2Solver(StagedTiming, CamWindows):
         self._jit_solve_power = jax.jit(self._solve_power)
         self._jit_solve_pcg = jax.jit(self._solve_pcg)
         self._jit_apply = jax.jit(self._apply)
+        self._jit_trial = jax.jit(self._trial)
 
     # convenience aliases (tests, tools)
     @property
@@ -256,6 +259,38 @@ class Stage2Solver(StagedTiming, CamWindows):
         if st == SolverTypeRiemannian.RIPCG:
             return self.solve_pcg(lin, lam)
         raise ValueError(f"unknown step-2 solver type {st}")
+
+    @property
+    def supports_trial(self) -> bool:
+        """Both step-2 solves (RIPOBA power series, RIPCG) are pure
+        jit graphs, so the fused LM trial is always available."""
+        return True
+
+    def trial(self, cam_space, lm_p_h, lin, lam):
+        """One fused step-2 LM backtracking trial: solve + apply +
+        f64 cost evaluation in a SINGLE jit executable (the stage-1
+        trial's mirror — see Stage1Solver.trial for the rationale).
+        The staged path pays three dispatches plus an [11, N]
+        increment host round-trip per trial; here only the
+        accept/reject scalars reach the host. Same structure as the
+        reference's driver loop (bal_bundle_adjustment.cpp:655-785:
+        solve, apply, compute_error, then the f_diff test)."""
+        return self._jit_trial(self.obs, cam_space, lm_p_h, lin, lam)
+
+    def _trial(self, obs: Obs, cam_space, lm_p_h, lin: Lin2, lam):
+        st = self.opts.solver_type_step_2
+        if st == SolverTypeRiemannian.RIPOBA:
+            inc, n_iter = self._solve_power(obs, lin, lam)
+        elif st == SolverTypeRiemannian.RIPCG:
+            inc, n_iter = self._solve_pcg(obs, lin, lam)
+        else:  # pragma: no cover - guarded by solve()
+            raise ValueError(f"unknown step-2 solver type {st}")
+        inc_finite = jnp.all(jnp.isfinite(inc))
+        new_cams, new_lms, l_diff = self._apply(
+            obs, cam_space, lm_p_h, lin, inc, lam
+        )
+        err = self._compute_error(obs, new_cams, new_lms)
+        return new_cams, new_lms, inc_finite, n_iter, l_diff, err
 
     # ----------------------------------------------- staged (timed) API
     # (see stage1.py: the fused methods compose these same sub-functions)

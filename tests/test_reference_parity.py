@@ -105,6 +105,7 @@ def _solve_framework(problem, mixed: bool):
     opts = SolverOptions()
     opts.mixed_precision_solves = mixed
     opts.pallas_kernels = "off"
+    opts.device_lm_loop = "off"  # see the note in the solver matrix test
     opts.max_num_iterations_step_1 = MAX_ITERS
     s1 = Stage1Solver(
         problem.obs_cam,
@@ -302,6 +303,10 @@ def test_step1_solver_matrix_matches_reference(
 
     opts = SolverOptions()
     opts.mixed_precision_solves = False
+    # host-driven loop: the tight decision-for-decision tolerances
+    # here pin the ALGORITHM against the Eigen harness; the device
+    # loop's fusion-context ulps are covered by test_device_loop.py
+    opts.device_lm_loop = "off"
     opts.pallas_kernels = "off"
     opts.max_num_iterations_step_1 = MAX_ITERS
     opts.solver_type_step_1 = fsolver
@@ -398,6 +403,10 @@ def joint_state(problem):
 
     opts = SolverOptions()
     opts.mixed_precision_solves = False
+    # host-driven loop: the tight decision-for-decision tolerances
+    # here pin the ALGORITHM against the Eigen harness; the device
+    # loop's fusion-context ulps are covered by test_device_loop.py
+    opts.device_lm_loop = "off"
     opts.pallas_kernels = "off"
     opts.max_num_iterations_step_1 = 8
     s1 = Stage1Solver(
@@ -455,6 +464,10 @@ def test_step2_trajectory_matches_reference(problem, joint_state, ref_run2):
 
     opts = SolverOptions()
     opts.mixed_precision_solves = False
+    # host-driven loop: the tight decision-for-decision tolerances
+    # here pin the ALGORITHM against the Eigen harness; the device
+    # loop's fusion-context ulps are covered by test_device_loop.py
+    opts.device_lm_loop = "off"
     opts.pallas_kernels = "off"
     opts.max_num_iterations_step_2 = MAX_ITERS_2
     s2 = Stage2Solver(
@@ -551,6 +564,10 @@ def test_step2_ripcg_trajectory_matches_reference(
 
     opts = SolverOptions()
     opts.mixed_precision_solves = False
+    # host-driven loop: the tight decision-for-decision tolerances
+    # here pin the ALGORITHM against the Eigen harness; the device
+    # loop's fusion-context ulps are covered by test_device_loop.py
+    opts.device_lm_loop = "off"
     opts.pallas_kernels = "off"
     opts.max_num_iterations_step_2 = MAX_ITERS_2
     opts.solver_type_step_2 = SolverTypeRiemannian.RIPCG

@@ -162,3 +162,80 @@ def test_retraction_preserves_constraints():
     np.testing.assert_allclose(norms, 1.0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(nl)[:, 3], 1.0, atol=1e-12)
     assert float(l_diff) > 0  # step-2 validity gate requires l_diff > 0
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize(
+    "st", [SolverTypeRiemannian.RIPOBA, SolverTypeRiemannian.RIPCG]
+)
+def test_fused_trial_matches_staged_sequence(st):
+    """Stage2Solver.trial (solve+apply+cost in ONE executable, the
+    default LM backtracking path) must reproduce the staged
+    solve/apply/compute_error sequence bit-for-bit at the same state:
+    it composes the identical private graphs under one jit (the
+    stage-1 fused trial's mirror)."""
+    problem, _, _, cams, lms_h = _make(7, noise=0.01, perturb=1e-3)
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.solver_type_step_2 = st
+    solver = Stage2Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+    lam = jnp.asarray(1e-3, solver.dtype)
+    lms = solver.lm_pack(lms_h)
+    lin = solver.linearize(cams, lms)
+
+    assert solver.supports_trial
+    nc_f, nl_f, ok, iters, ld_f, err_f = solver.trial(cams, lms, lin, lam)
+
+    inc, iters_s = solver.solve(lin, lam)
+    nc_s, nl_s, ld_s = solver.apply(cams, lms, lin, inc, lam)
+    err_s = solver.compute_error(nc_s, nl_s)
+
+    assert bool(ok)
+    assert int(iters) == int(iters_s)
+    np.testing.assert_allclose(
+        np.asarray(nc_f), np.asarray(nc_s), rtol=1e-12, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(solver.lm_unpack(nl_f)),
+        np.asarray(solver.lm_unpack(nl_s)),
+        rtol=1e-12,
+        atol=0,
+    )
+    assert abs(float(ld_f) - float(ld_s)) <= 1e-12 * abs(float(ld_s))
+    for k in err_s:
+        a, b = float(err_f[k]), float(err_s[k])
+        assert abs(a - b) <= 1e-12 * max(abs(b), 1.0), k
+
+
+@pytest.mark.quick
+def test_fused_trial_lm_trajectory_matches_staged():
+    """optimize_step2 with the fused trial (detailed_timing=False,
+    the default) must walk the same LM trajectory as the staged path
+    (detailed_timing=True): same per-iteration costs and accept flags."""
+    summaries = {}
+    for detailed in (False, True):
+        problem, _, _, cams, lms_h = _make(8, noise=0.01, perturb=1e-3)
+        opts = SolverOptions()
+        opts.mixed_precision_solves = False
+        opts.detailed_timing = detailed
+        opts.max_num_iterations_step_2 = 8
+        solver = Stage2Solver(
+            problem.obs_cam, problem.obs_lm, problem.obs_uv,
+            problem.num_cameras, problem.num_landmarks, opts,
+        )
+        summary = SolverSummary()
+        optimize_step2(
+            solver, cams, lms_h, opts, summary, Timer(),
+            log=lambda s: None,
+        )
+        summaries[detailed] = summary
+    a, b = summaries[False], summaries[True]
+    assert len(a.iterations) == len(b.iterations)
+    for ia, ib in zip(a.iterations, b.iterations):
+        assert ia.step_is_successful == ib.step_is_successful
+        assert np.isclose(
+            ia.cost.all.error, ib.cost.all.error, rtol=1e-12, atol=0
+        )
