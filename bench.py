@@ -22,8 +22,29 @@ workload, landmark_block.hpp:383-410). vs_baseline > 1 means the TPU
 solve beats that 64-thread CPU estimate; vs_one_thread compares
 against the measured single-thread floor directly.
 
+Beyond the headline per-iteration number, the same JSON line carries
+the OPERATIVE baseline metric from BASELINE.md:53-64 — the end-to-end
+two-step solve at reference defaults (POWER_VARPROJ then RIPOBA, ftol
+1e-6, <=50 LM iterations per step):
+
+  * e2e_seconds        wall time of the full warm two-step solve
+                       (executables pre-compiled; the persistent XLA
+                       cache amortizes compiles in production)
+  * e2e_vs_baseline    modeled 64-thread reference CPU wall for the
+                       SAME executed trajectory / e2e_seconds. Because
+                       the framework reproduces the reference's LM
+                       trajectories decision-for-decision
+                       (tests/test_reference_parity.py), modeling the
+                       reference's cost per executed iteration
+                       (tools/num_ops.py, 60 GFLOP/s sustained) on our
+                       trajectory IS the time-to-same-cost comparison.
+  * step2_s_per_iteration / step2_vs_baseline  the RIPOBA mirror of
+                       the headline step-1 measurement
+  * measured_gflops    step-1 f64 FLOPs (analytic model below) / wall —
+                       roofline context for the single-chip claim
+
 Prints one JSON line:
-{"metric", "value", "unit", "vs_baseline", "vs_one_thread"}.
+{"metric", "value", "unit", "vs_baseline", "vs_one_thread", ...}.
 """
 
 import json
@@ -64,6 +85,130 @@ def flops_per_iteration(n_obs: int, n_lms: int, n_cams: int, m: int) -> float:
     # robust error + squared-norm reduce
     cost = n_obs * (2 * 4 * 4 + 12)
     return float(jac + hll + hpp + b + m * per_term + bsub + cost)
+
+
+def bench_step2(problem) -> dict:
+    """RIPOBA step-2 LM iteration at venice-89 scale (the step-1
+    measurement's mirror: linearize + fused trial in one executable,
+    eta=0 pins all m power terms)."""
+    from povar_tpu.solver.stage2 import Stage2Solver, create_homogeneous
+    from povar_tpu.tools import num_ops
+
+    opts = SolverOptions()
+    opts.power_sc_iterations = POWER_M
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    solver = Stage2Solver(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+
+    @jax.jit
+    def step(cams, lms, lam):
+        lin = solver._linearize(solver.obs, cams, lms)
+        new_cams, new_lms, _ok, _it, _ld, err = solver._trial(
+            solver.obs, cams, lms, lin, lam
+        )
+        return new_cams, new_lms, err["error_all"]
+
+    from povar_tpu.solver.stage1 import Stage1Solver as _S1
+
+    s1 = _S1(
+        problem.obs_cam, problem.obs_lm, problem.obs_uv,
+        problem.num_cameras, problem.num_landmarks, opts,
+    )
+    cams = jnp.asarray(problem.cam_space)
+    cams_h, lms_h = create_homogeneous(
+        cams, s1.initialize_varproj(cams)
+    )
+    lam = jnp.asarray(1e-4, cams_h.dtype)
+    lms = solver.lm_pack(lms_h)
+    out = step(cams_h, lms, lam)
+    _ = float(np.asarray(out[2]))
+
+    reps = 50
+    t0 = time.perf_counter()
+    c, l = cams_h, lms
+    for _ in range(reps):
+        c, l, err = step(c, l, lam)
+    _ = float(np.asarray(err))
+    t = (time.perf_counter() - t0) / reps
+
+    d = num_ops.ProblemDims(
+        n_poses=problem.num_cameras,
+        n_landmarks=problem.num_landmarks,
+        n_obs=problem.num_observations,
+    )
+    flops = num_ops.stage2_solve_flops(
+        d, "ripoba", power_terms=POWER_M, relinearize=True
+    )
+    return {
+        "step2_s_per_iteration": t,
+        "step2_vs_baseline": (flops / (REF_CPU_GFLOPS * 1e9)) / t,
+    }
+
+
+def _modeled_cpu_seconds(summary1, summary2, dims) -> float:
+    """Reference 64-thread CPU wall modeled over the EXECUTED
+    two-step trajectory (same iterations, same inner-iteration
+    counts; relinearization only after accepted steps, matching
+    bal_bundle_adjustment.cpp's driver)."""
+    from povar_tpu.tools import num_ops
+
+    total = 0.0
+    for summary, fn, method in (
+        (summary1, num_ops.stage1_trial_flops, "power_varproj"),
+        (summary2, num_ops.stage2_solve_flops, "ripoba"),
+    ):
+        its = summary.iterations
+        for k, it in enumerate(its):
+            if k == 0:  # initial cost-only evaluation
+                total += dims.n_obs * 50
+                continue
+            relin = k == 1 or its[k - 1].step_is_successful
+            kw = (
+                {"inner_iterations": it.linear_solver_iterations}
+                if fn is num_ops.stage1_trial_flops
+                else {"power_terms": it.linear_solver_iterations}
+            )
+            total += fn(dims, method, relinearize=relin, **kw)
+    return total / (REF_CPU_GFLOPS * 1e9)
+
+
+def bench_e2e(problem) -> dict:
+    """Full two-step solve at reference defaults — the operative
+    baseline (BASELINE.md:53-64). Runs once to warm every executable
+    (compiles amortized by the persistent XLA cache in production),
+    then times a clean run."""
+    import copy
+
+    from povar_tpu.solver.pipeline import bundle_adjust
+    from povar_tpu.tools import num_ops
+    from povar_tpu.utils.summary import SolverSummary  # noqa: F401
+
+    def run():
+        p = copy.deepcopy(problem)
+        t0 = time.perf_counter()
+        _, s1, s2 = bundle_adjust(p, SolverOptions(), log=lambda s: None)
+        return time.perf_counter() - t0, s1, s2
+
+    run()  # warm all executables
+    wall, s1, s2 = run()
+
+    dims = num_ops.ProblemDims(
+        n_poses=problem.num_cameras,
+        n_landmarks=problem.num_landmarks,
+        n_obs=problem.num_observations,
+    )
+    cpu = _modeled_cpu_seconds(s1, s2, dims)
+    return {
+        "e2e_seconds": wall,
+        "e2e_iterations": len(s1.iterations) + len(s2.iterations),
+        "e2e_final_cost_step1": s1.final_cost.all.error,
+        "e2e_final_cost_step2": s2.final_cost.all.error,
+        "e2e_modeled_cpu_seconds": cpu,
+        "e2e_vs_baseline": cpu / wall,
+    }
 
 
 def main() -> None:
@@ -131,22 +276,32 @@ def main() -> None:
     flops = flops_per_iteration(n_obs, N_LMS, N_CAMS, POWER_M)
     ref_time = flops / (REF_CPU_GFLOPS * 1e9)
     ref_time_1t = flops / (MEASURED_1T_GFLOPS * 1e9)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "pOSE POWER_VARPROJ full LM-iteration wall time "
-                    "incl. f64 cost evaluation, venice-89 scale "
-                    f"(89 cams, 110973 lms, {n_obs} obs, m={POWER_M}, "
-                    "f64)"
-                ),
-                "value": t,
-                "unit": "s/iteration",
-                "vs_baseline": ref_time / t,
-                "vs_one_thread": ref_time_1t / t,
-            }
-        )
-    )
+    record = {
+        "metric": (
+            "pOSE POWER_VARPROJ full LM-iteration wall time "
+            "incl. f64 cost evaluation, venice-89 scale "
+            f"(89 cams, 110973 lms, {n_obs} obs, m={POWER_M}, "
+            "f64)"
+        ),
+        "value": t,
+        "unit": "s/iteration",
+        "vs_baseline": ref_time / t,
+        "vs_one_thread": ref_time_1t / t,
+        "measured_gflops": flops / t / 1e9,
+    }
+    # secondary metrics (step-2 per-iteration + operative end-to-end
+    # baseline); degrade gracefully — the headline line must print
+    import traceback
+
+    try:
+        record.update(bench_step2(problem))
+    except Exception:  # pragma: no cover - defensive
+        traceback.print_exc()
+    try:
+        record.update(bench_e2e(problem))
+    except Exception:  # pragma: no cover - defensive
+        traceback.print_exc()
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -84,6 +84,122 @@ def solve_flops(
     raise ValueError(method)
 
 
+# ---------------------------------------------------------------------
+# step 2 (Riemannian joint refinement): 2-dim homogeneous residual,
+# 11-dof camera tangent (12-vector Householder nullspace), 3-dim
+# landmark tangent (4-vector Householder nullspace). Counts mirror the
+# reference's joint path (landmark_block.hpp linearize_landmark_joint
+# + get_Hll_inv_add_Hpp_b_joint + back_substitute_joint).
+
+
+def stage2_linearize_flops(d: ProblemDims) -> float:
+    """Homogeneous residual + Jp (2x12) / Jl (2x4) + tangent
+    projections through the camera/landmark nullspace kernels +
+    column scaling."""
+    per_obs = (
+        3 * 8 * 2  # P @ xh projection (3x4 @ 4)
+        + 2 * 4  # residual + w normalization
+        + 2 * 12 * 2 + 2 * 4 * 2  # Jp / Jl fill
+        + 2 * 12 * 11 * 2  # Jp @ kernel_cam (tangent lift)
+        + 2 * 4 * 3 * 2  # Jl @ kernel_lm
+        + 2 * (11 + 3) * 2  # column-norm accumulation + scaling
+    )
+    per_pose = 12 * 11 * 4  # Householder kernel of the 12-vector
+    per_lm = 4 * 3 * 4  # Householder kernel of the 4-vector
+    return float(
+        d.n_obs * per_obs + d.n_poses * per_pose + d.n_landmarks * per_lm
+    )
+
+
+def stage2_prepare_flops(d: ProblemDims) -> float:
+    """Hll (3x3) + Hpp diag (11x11) + gradient + factorizations."""
+    per_obs = 2 * 2 * 9 + 2 * 2 * 121 + 2 * 2 * (11 + 3) * 2
+    per_lm = 42  # damped 3x3 inverse
+    per_pose = 11**3 / 3 * 2  # 11x11 Cholesky inverse
+    return float(
+        d.n_obs * per_obs + d.n_landmarks * per_lm + d.n_poses * per_pose
+    )
+
+
+def stage2_power_term_flops(d: ProblemDims) -> float:
+    """One RIPOBA power-series term on the tangent system."""
+    e0 = d.n_obs * 2 * 2 * (11 + 3) * 2 + d.n_landmarks * 18
+    b_inv = d.n_poses * 2 * 121
+    return float(e0 + b_inv)
+
+
+def stage2_cg_iteration_flops(d: ProblemDims) -> float:
+    """One RIPCG iteration: implicit tangent-SC matvec +
+    SCHUR_JACOBI preconditioner + vector ops."""
+    matvec = stage2_power_term_flops(d) + d.n_poses * 2 * 121
+    precond = d.n_poses * 2 * 121
+    vecs = 6 * d.n_poses * 11
+    return float(matvec + precond + vecs)
+
+
+def stage2_backsub_flops(d: ProblemDims) -> float:
+    """Landmark tangent back-substitution + 4/12-lift + retraction
+    (Frobenius normalization, dehomogenization) + model decrease."""
+    per_obs = 2 * 2 * (11 + 3) * 2
+    per_lm = 18 + 4 * 3 * 2 + 12
+    per_pose = 12 * 11 * 2 + 3 * 12
+    return float(
+        d.n_obs * per_obs + d.n_landmarks * per_lm + d.n_poses * per_pose
+    )
+
+
+def stage2_cost_flops(d: ProblemDims) -> float:
+    """Per-trial homogeneous cost evaluation (accept/reject gate)."""
+    return float(d.n_obs * (3 * 8 * 2 + 2 * 4 + 6))
+
+
+def stage2_solve_flops(
+    d: ProblemDims,
+    method: str = "ripoba",
+    power_terms: int = 10,
+    cg_iterations: int = 100,
+    relinearize: bool = True,
+) -> float:
+    """Total FLOPs for one step-2 LM iteration (one backtracking
+    trial): optional relinearization (skipped by the reference after
+    a rejected step) + prepare + inner solve + back-substitution +
+    cost evaluation."""
+    total = stage2_prepare_flops(d) + stage2_backsub_flops(d)
+    total += stage2_cost_flops(d)
+    if relinearize:
+        total += stage2_linearize_flops(d)
+    if method == "ripoba":
+        return total + power_terms * stage2_power_term_flops(d)
+    if method == "ripcg":
+        return total + cg_iterations * stage2_cg_iteration_flops(d)
+    raise ValueError(method)
+
+
+def stage1_trial_flops(
+    d: ProblemDims,
+    method: str = "power_varproj",
+    inner_iterations: int = 10,
+    relinearize: bool = True,
+) -> float:
+    """Total FLOPs for one step-1 LM backtracking trial: optional
+    relinearization + prepare + inner solve + back-substitution +
+    the per-trial cost evaluation. The reference relinearizes only
+    after an accepted step (bal_bundle_adjustment.cpp:337-448)."""
+    dl, dp, r = 3, 12, 4
+    total = schur_prepare_flops(d)
+    if relinearize:
+        total += pose_varproj_linearize_flops(d)
+    # back-substitution + camera update + model decrease
+    total += d.n_obs * (2 * r * dl * 2 + 2 * r * dp) + d.n_landmarks * 60
+    # per-trial pOSE cost evaluation
+    total += d.n_obs * (2 * r * r + 12)
+    if method == "power_varproj":
+        return total + inner_iterations * power_term_flops(d)
+    if method == "pcg":
+        return total + inner_iterations * cg_iteration_flops(d)
+    raise ValueError(method)
+
+
 if __name__ == "__main__":
     # venice-1778 scale, matching the reference script's example numbers
     d = ProblemDims(n_poses=1778, n_landmarks=993923, n_obs=5001946)

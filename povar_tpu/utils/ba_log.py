@@ -43,8 +43,15 @@ def _stats(summary: DatasetSummary) -> dict:
     }
 
 
-def _iteration_record(it: IterationSummary) -> dict:
-    """BaIteration fields (ba_log.hpp:147-245 + ba_log_utils.cpp copy)."""
+def _iteration_record(
+    it: IterationSummary, prev: Optional[dict] = None
+) -> dict:
+    """BaIteration fields (ba_log.hpp:147-245 + ba_log_utils.cpp copy).
+
+    Like the flat writer, REJECTED iterations carry the cost/residual
+    fields forward from the previous record (the state is unchanged;
+    the trial cost — possibly NaN from a wildly-damped trial — is not
+    the state's cost)."""
     cost = it.cost
     rec = {
         "iteration": it.iteration,
@@ -89,7 +96,23 @@ def _iteration_record(it: IterationSummary) -> dict:
         "resident_memory": it.resident_memory,
         "resident_memory_peak": it.resident_memory_peak,
     }
+    if not it.step_is_successful and prev is not None:
+        for f in (
+            "num_obs", "num_obs_valid", "cost", "cost_valid",
+            "cost_avg_valid", "residual_block_mean",
+            "residual_block_valid_mean",
+        ):
+            rec[f] = prev[f]
     return rec
+
+
+def _iteration_records(iterations) -> List[dict]:
+    out: List[dict] = []
+    prev = None
+    for it in iterations:
+        prev = _iteration_record(it, prev)
+        out.append(prev)
+    return out
 
 
 def _solver_record(s: SolverSummary) -> dict:
@@ -396,14 +419,10 @@ def build_log(
     log["problem_info"] = problem_info
     log["timing"] = timing_rec
     log["solver1"] = _solver_record(summary_step1)
-    log["iterations1"] = [
-        _iteration_record(it) for it in summary_step1.iterations
-    ]
+    log["iterations1"] = _iteration_records(summary_step1.iterations)
     if summary_step2 is not None:
         log["solver"] = _solver_record(summary_step2)
-        log["iterations"] = [
-            _iteration_record(it) for it in summary_step2.iterations
-        ]
+        log["iterations"] = _iteration_records(summary_step2.iterations)
     if device_memory:
         # device-side memory view the reference lacks (its RSS sampling
         # is host-only, system_utils.cpp:52-89)
