@@ -373,6 +373,120 @@ def test_step1_solver_matrix_matches_reference(
 
 
 # ---------------------------------------------------------------------------
+# mid-scale parity (VERDICT r4 #7): the toy fixtures above are
+# 10 cams / 60 lms; the venice-89 solver matrix runs at 89 cams /
+# 110k lms. This tier closes the conditioning-stress evidence gap in
+# between: a 50-cam / 4000-lm / 24k-obs trajectory for 20 iterations,
+# decision-for-decision against the Eigen harness (~seconds per run
+# single-thread; nightly `slow` tier).
+
+MAX_ITERS_MID = 20
+
+
+@pytest.fixture(scope="module")
+def midscale_problem():
+    prob, _ = synthetic_bal_problem(
+        n_cams=50, n_lms=4000, obs_per_lm=6, seed=20250820, noise=0.01
+    )
+    prob.sort_observations()
+    return prob
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "hsolver,fsolver",
+    [
+        ("power_varproj", SolverType.POWER_VARPROJ),
+        ("pcg", SolverType.PCG),
+    ],
+)
+def test_step1_midscale_trajectory_matches_reference(
+    midscale_problem, tmp_path, hsolver, fsolver
+):
+    """Decision-for-decision step-1 parity at 4000 landmarks — the
+    conditioning regime between the toy fixture and the venice-89
+    scale where the solver matrix shows solver-dependent behavior."""
+    problem = midscale_problem
+    _build_harness()
+    state = str(tmp_path / "state_mid.txt")
+    write_state_dump(
+        problem,
+        state,
+        alpha=0.01,
+        power_sc_iterations=10,
+        max_iters=MAX_ITERS_MID,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    r = subprocess.run(
+        [HARNESS, state, hsolver], capture_output=True, timeout=1800
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ref_run = json.loads(r.stdout.decode())
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.device_lm_loop = "off"  # algorithm pin (see matrix test note)
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_1 = MAX_ITERS_MID
+    opts.solver_type_step_1 = fsolver
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    cams, lms = optimize_step1(
+        s1,
+        jnp.asarray(problem.cam_space, jnp.float64),
+        jnp.asarray(problem.lm_p, jnp.float64),
+        opts,
+        summary,
+        Timer(),
+        log=lambda s: None,
+    )
+
+    ref_iters = ref_run["iterations"]
+    fw_iters = summary.iterations
+    assert len(fw_iters) == len(ref_iters), (
+        f"iteration counts differ: framework {len(fw_iters)} vs "
+        f"reference {len(ref_iters)}"
+    )
+    assert sum(r_["accept"] for r_ in ref_iters[1:]) >= 8
+
+    for k, (fw, ref) in enumerate(zip(fw_iters, ref_iters)):
+        assert fw.step_is_successful == ref["accept"], f"iteration {k}"
+        assert fw.step_is_valid == ref["valid"], f"iteration {k}"
+        if k == 0:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-12
+            )
+            continue
+        assert fw.linear_solver_iterations == ref["lin_iters"], (
+            f"iteration {k}: linear-solver iterations "
+            f"{fw.linear_solver_iterations} vs {ref['lin_iters']}"
+        )
+        if ref["valid"]:
+            # 400x more terms in the cost reduction than the toy
+            # fixture -> more f64 summation-order drift; measured
+            # <=2e-9 relative at iteration 20
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-7
+            ), f"iteration {k}"
+        assert fw.trust_region_radius == pytest.approx(
+            ref["trust_region_radius"], rel=1e-5
+        ), f"iteration {k}"
+
+    assert summary.final_cost.all.error == pytest.approx(
+        ref_run["final_cost"], rel=1e-8
+    )
+
+
+# ---------------------------------------------------------------------------
 # step 2: joint Riemannian homogeneous refinement
 
 HARNESS2 = os.path.join(CSRC, "ref_step2_solver")
