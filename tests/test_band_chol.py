@@ -131,7 +131,9 @@ def test_banded_matches_numpy_rcs(banded_solver):
     lam_f = 1e-3
     lam = jnp.asarray(lam_f, jnp.float64)
     inc_band, n_it = s.solve_cholesky(lin, lam)
-    assert int(n_it) == 1
+    # direct solve: 0 linear-solver iterations (reference semantics,
+    # changed alongside the executed-parity work)
+    assert int(n_it) == 0
     s_mat, b = _numpy_rcs(s, lin, lam_f)
     inc_ref = -np.linalg.solve(
         s_mat, b.T.reshape(-1)
@@ -199,3 +201,53 @@ def test_cholesky_unbanded_falls_back_to_pcg():
     inc_t, n_t, t = s.solve_timed(lin, jnp.asarray(1e-4, jnp.float64))
     assert "solve_reduced_system" in t
     assert bool(jnp.all(jnp.isfinite(inc_t)))
+
+
+def test_cholesky_unbanded_dense_direct(monkeypatch_module):
+    """Unbandable graph WITHIN the dense-unbanded ceiling: the plan
+    degenerates to the full band (bw = N - 1) and the solve stays a
+    DIRECT factorization matching the numpy-assembled RCS (VERDICT r4
+    #9 — CHOLESKY on arbitrary sparsity without dropping to PCG
+    whenever the O(N^2) block table fits)."""
+    import warnings
+
+    from povar_tpu.problem.synthetic import (
+        synthetic_bal_problem_adversarial,
+    )
+
+    # no band structure at tiny MAX_SUPERNODE; well under the ceiling
+    monkeypatch_module.setattr(stage1_mod, "DENSE_CHOL_MAX", 8)
+    monkeypatch_module.setattr(band_chol, "MAX_SUPERNODE", 4)
+    p = synthetic_bal_problem_adversarial(
+        48, 600, mean_obs_per_lm=5.0, loop_closure_frac=0.5, seed=7
+    )
+    o = SolverOptions()
+    o.solver_type_step_1 = SolverType.CHOLESKY
+    o.pallas_kernels = "off"
+    with pytest.warns(RuntimeWarning, match="FULL dense RCS"):
+        s = Stage1Solver(
+            p.obs_cam, p.obs_lm, p.obs_uv,
+            p.num_cameras, p.num_landmarks, o,
+        )
+    assert not s._chol_pcg_fallback
+    assert s._band_plan is not None
+    assert s._band_plan.meta.bw == p.num_cameras - 1
+
+    cams = jnp.asarray(p.cam_space)
+    lms = s.initialize_varproj(cams)
+    lin = s.linearize(cams, lms)
+    # lam sets the RCS conditioning; the f32 band assembly's ~3e-7
+    # absolute block error amplifies by cond(S) through the solve
+    lam = 1e-2
+    inc, n_iter = s.solve(lin, jnp.asarray(lam, jnp.float64))
+    assert int(n_iter) == 0  # direct solve, no CG loop
+    s_mat, b = _numpy_rcs(s, lin, lam)
+    inc_ref = -np.linalg.solve(
+        s_mat, b.T.reshape(-1)
+    ).reshape(p.num_cameras, 12).T
+    bnd = np.asarray(inc)
+    assert np.all(np.isfinite(bnd))
+    assert (
+        np.linalg.norm(bnd - inc_ref)
+        <= 5e-3 * np.linalg.norm(inc_ref)
+    )
