@@ -296,6 +296,13 @@ def prepare(
     `weighted=False` skips the robust weight (the fresh-Jacobian pass of
     the VarProj back-substitution is unweighted,
     helper.cpp update_landmark_jacobian_pOSE:382-454)."""
+    if x.dtype != jnp.float32:  # f64 solves: XLA mirror (ops/xla_pose)
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.prepare(
+            cam, cam_table, x, uv, mask, alpha=alpha, robust=robust,
+            huber=huber, weighted=weighted, win=win,
+        )
     o = cam.shape[0]
     n = cam_table.shape[-1]
     if win is None:
@@ -379,6 +386,12 @@ def e0_factor(cam, cam_table, uv, w, jls, lh, *, alpha, win=None):
     """h [9, O] (layout c*3+a). Inputs: w [1,O] robust weight (not
     sqrt), jls [3,O] landmark scale expanded to obs, lh [9,O] chol of
     Hll^-1 expanded to obs (row-major i*3+c)."""
+    if cam_table.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.e0_factor(
+            cam, cam_table, uv, w, jls, lh, alpha=alpha, win=win
+        )
     o = cam.shape[0]
     n = cam_table.shape[-1]
     if win is None:
@@ -479,6 +492,13 @@ def hpp_b_structured(
     """(hpp_raw [144, N], b_raw [12, N]) per-camera sums BEFORE the
     pose-scale outer products (row layout (4a+i)*12 + (4b+j)).
     Under `win`, N is the expanded n_win*W axis (caller combines)."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.hpp_b_structured(
+            cam, cam_table, x, uv, sw, r_w, jls, hib, n_cams,
+            alpha=alpha, win=win,
+        )
     o = cam.shape[0]
     if win is None:
         n_pad = _n_pad(n_cams)
@@ -547,6 +567,10 @@ def _e0_u_kernel(cam_ref, x_ref, h_ref, zt_ref, u_ref, *, km_ref=None):
 
 def e0_u_structured(cam, x, h, z_table, win=None):
     """u [3, O] = W_o . z[:, cam(o)] with z_table = ps . xvec [12, N]."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.e0_u_structured(cam, x, h, z_table, win=win)
     o = cam.shape[0]
     n = z_table.shape[-1]
     if win is None:
@@ -599,6 +623,12 @@ def _e0_scatter_kernel(cam_ref, x_ref, h_ref, sb_ref, out_ref, *,
 def e0_scatter_structured(cam, x, h, sb, n_cams, win=None):
     """out_raw [12, N] = seg_cam( (h^T sb) (x) xh ); caller multiplies
     by the pose scale. Under `win`, N is the expanded axis."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.e0_scatter_structured(
+            cam, x, h, sb, n_cams, win=win
+        )
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
@@ -822,6 +852,13 @@ def apply_ldiff(
     the (unscaled) landmark increment expanded to observations. The
     fresh Jp at the updated cameras depends only on (xh, u, v), so no
     new-camera table operand is needed."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.apply_ldiff(
+            cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_old,
+            inc_table, alpha=alpha, win=win,
+        )
     o = cam.shape[0]
     n = cam_table_old.shape[-1]
     if win is None:
@@ -902,6 +939,13 @@ def poba_t3(cam, cam_table, x, uv, sw, r_w, jls, z_table, *, alpha,
             win=None):
     """t3 [3, O] = Jl_s^T (r_w + Jp_s inc); slot-sum for the poBA
     landmark system right-hand side."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.poba_t3(
+            cam, cam_table, x, uv, sw, r_w, jls, z_table, alpha=alpha,
+            win=win,
+        )
     o = cam.shape[0]
     n = cam_table.shape[-1]
     if win is None:
@@ -977,6 +1021,12 @@ def schur_diag_structured(cam, x, h, n_cams, win=None):
     """corr_raw [144, N] = seg_cam( (h^T h) (x) xh xh^T ); the caller
     applies the ps (x) ps outer and subtracts from the damped Hpp.
     Under `win`, N is the expanded axis."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.schur_diag_structured(
+            cam, x, h, n_cams, win=win
+        )
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
@@ -1049,6 +1099,13 @@ def apply_ldiff_stored(
 ):
     """-l_diff partial sums [128] for the poBA apply; z_table [12, N]
     = pose_scale . inc (scaled increment through the z-table trick)."""
+    if x.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.apply_ldiff_stored(
+            cam, x, uv, sw, r_w, jls, inc_lm_obs, cam_table_old,
+            z_table, alpha=alpha, win=win,
+        )
     o = cam.shape[0]
     n = cam_table_old.shape[-1]
     if win is None:

@@ -160,6 +160,13 @@ def prepare2(
     """Returns (r_w [2,O], sw [1,O], mm [3,O] = (mx, my, 1/p2),
     jlw [8,O] weighted unscaled Jl rows, jlsq [4,O] Jl column norm^2
     contributions, jpsq [12,N] per-camera Jp column norms)."""
+    if x4.dtype != jnp.float32:  # f64 solves: XLA mirror (ops/xla_pose)
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.prepare2(
+            cam, cam_table, x4, uv, mask, use_valid=use_valid,
+            robust=robust, huber=huber, win=win,
+        )
     o = cam.shape[0]
     n = cam_table.shape[-1]
     cam_table, n_pad = _tbl_prep(cam_table, win)
@@ -260,6 +267,12 @@ def _hppb2_kernel(
 def hppb2(cam, x4, mm, sw, r_w, jlns, hib, n_cams, win=None):
     """(hpp12_raw [144, N], b12_raw [12, N]) in the unprojected frame;
     the caller applies the per-camera Kps folds."""
+    if x4.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.hppb2(
+            cam, x4, mm, sw, r_w, jlns, hib, n_cams, win=win
+        )
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
@@ -334,6 +347,12 @@ def _mat_dot_kernel(
 def mat_dot2(cam, x4, mm, sw, mat6, r_w, zt, *, add_r, win=None):
     """[3, O] = M^T (jp_x (+ r_w)); see _mat_dot_kernel. r_w is only
     an operand when add_r (pass None otherwise)."""
+    if x4.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.mat_dot2(
+            cam, x4, mm, sw, mat6, r_w, zt, add_r=add_r, win=win
+        )
     o = cam.shape[0]
     zt, n_pad = _tbl_prep(zt, win)
     nb = _cam_block(n_pad, win)
@@ -392,6 +411,12 @@ def _scatter2_kernel(
 
 def scatter2(cam, x4, mm, sw, mat6, sb, n_cams, win=None):
     """[12, N] raw scatter; caller folds Kps^T per camera."""
+    if x4.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.scatter2(
+            cam, x4, mm, sw, mat6, sb, n_cams, win=win
+        )
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
@@ -575,6 +600,10 @@ def _schur2_kernel(cam_ref, x4_ref, mm_ref, sw_ref, mat_ref, out_ref,
 
 def schur_diag2(cam, x4, mm, sw, mat6, n_cams, win=None):
     """corr12_raw [144, N]; caller folds Kps^T . Kps and subtracts."""
+    if x4.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.schur_diag2(cam, x4, mm, sw, mat6, n_cams, win=win)
     o = cam.shape[0]
     n_pad = win[1] * win[2] if win is not None else _n_pad(n_cams)
     nb = _cam_block(n_pad, win)
@@ -637,6 +666,12 @@ def _ldiff2_kernel(
 
 def ldiff2(cam, x4, mm, sw, r_w, jls8, ilm4, zt, win=None):
     """-l_diff partial sums [128]; zt = Kps @ inc11 per camera."""
+    if x4.dtype != jnp.float32:
+        from povar_tpu.ops import xla_pose
+
+        return xla_pose.ldiff2(
+            cam, x4, mm, sw, r_w, jls8, ilm4, zt, win=win
+        )
     o = cam.shape[0]
     zt, n_pad = _tbl_prep(zt, win)
     nb = _cam_block(n_pad, win)

@@ -1013,11 +1013,11 @@ def _make_spmd_class():
         return f
 
     def _common_scalars(self, options, dtype):
-        if dtype != jnp.float64 or not options.mixed_precision_solves:
+        if dtype != jnp.float64:
             raise ValueError(
-                "SPMD windowed solvers run the production precision "
-                "design only: f64 LM state with f32 inner solves "
-                "(mixed_precision_solves)"
+                "SPMD windowed solvers keep the LM state in f64 "
+                "(inner solves run in f32 under "
+                "mixed_precision_solves, f64 otherwise)"
             )
         if options.detailed_timing:
             raise ValueError(
@@ -1027,11 +1027,19 @@ def _make_spmd_class():
             )
         self.opts = options
         self.dtype = dtype
-        self.solve_dtype = jnp.float32
+        # pure-f64 configs run the SAME structured/windowed path: the
+        # per-observation kernels dispatch to their XLA mirrors
+        # (ops/xla_pose.py) and the slot reduce/expand falls back per
+        # class (ops/pallas_spmd._class_eligible) — no GSPMD drop
+        self.solve_dtype = (
+            jnp.float32
+            if options.mixed_precision_solves
+            else jnp.float64
+        )
         self.power_m = int(options.power_sc_iterations)
         self.use_pallas = True
         self.jacobi_eps = options.effective_jacobi_scaling_epsilon(
-            jnp.float32
+            self.solve_dtype
         )
         # reference quirk (stage1.Stage1Solver.__init__): only the
         # power linearizor scales Jl columns; the SC linearizor (PCG)

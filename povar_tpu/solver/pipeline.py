@@ -26,17 +26,17 @@ from povar_tpu.utils.timer import Timer
 
 def _spmd_eligible(options, dtype) -> bool:
     """Whether the fast SPMD windowed path (parallel/spmd.py) covers
-    this configuration: the production precision design (f64 LM over
-    f32 structured kernels), fused iterations, and an iterative step-1
-    solver. Anything else falls back to the GSPMD-sharded XLA lowering
-    (parallel/mesh.py)."""
+    this configuration: f64 LM state (inner solves in f32 under
+    mixed_precision_solves, in f64 otherwise — the per-observation
+    kernels dispatch to XLA mirrors for f64, ops/xla_pose.py), fused
+    iterations, and an iterative step-1 solver. Anything else falls
+    back to the GSPMD-sharded XLA lowering (parallel/mesh.py)."""
     import jax.numpy as jnp
 
     from povar_tpu.options import SolverType
 
     return (
         dtype == jnp.float64
-        and options.mixed_precision_solves
         and not options.detailed_timing
         and options.pallas_kernels != "off"
         and options.solver_type_step_1 != SolverType.CHOLESKY
@@ -98,8 +98,6 @@ def _make_solver(solver_cls, problem, options, dtype, mesh):
         reasons = []
         if dtype != jnp.float64:
             reasons.append("dtype != float64")
-        if not options.mixed_precision_solves:
-            reasons.append("mixed_precision_solves=False")
         if options.detailed_timing:
             reasons.append("detailed_timing=True")
         if options.pallas_kernels == "off":
@@ -113,8 +111,9 @@ def _make_solver(solver_cls, problem, options, dtype, mesh):
             "(~20x slower per observation than the windowed shard_map "
             "fast path, docs/PERFORMANCE.md) because: "
             + ", ".join(reasons or ["unknown configuration"])
-            + ". Use f64 LM + mixed-precision solves + fused timing "
-            "with an iterative step-1 solver for the fast path.",
+            + ". Use an f64 LM state + fused timing with an iterative "
+            "step-1 solver for the fast path (mixed or pure-f64 "
+            "precision both qualify).",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -351,6 +351,27 @@ class CamWindows:
             return x
         return jax.lax.psum(x, self.spmd_axis)
 
+    def _psum_err(self, d):
+        """All-reduce an accumulate_residual_info dict over the mesh
+        (identity single-device). num_obs_all is the static global
+        live count; the other buckets are device-local partial sums."""
+        if self.spmd_axis is None:
+            return d
+        out = dict(d)
+        for k in (
+            "error_all", "residual_sum_all", "num_obs_valid",
+            "error_valid", "residual_sum_valid",
+        ):
+            out[k] = self._psum(d[k])
+        bad = (
+            self._psum(
+                (~d["is_numerically_valid"]).astype(jnp.int32)
+            )
+            > 0
+        )
+        out["is_numerically_valid"] = ~bad
+        return out
+
     def _lm_masked(self, obs: Obs, x: jnp.ndarray) -> jnp.ndarray:
         """Zero per-landmark outputs of fake landmark slots (SPMD
         padding; their normal equations are singular, so increments
@@ -732,23 +753,41 @@ class Stage1Solver(StagedTiming, CamWindows):
                 self.n_cams, self.n_lms,
                 live=None if self.obs.weight is None
                 else _np.asarray(self.obs.weight),
+                allow_dense=True,
             )
             if self._band_plan is None:
                 import warnings
 
                 self._chol_pcg_fallback = True
                 warnings.warn(
-                    f"CHOLESKY at n_cams={self.n_cams}: the dense RCS "
-                    f"exceeds {DENSE_CHOL_MAX} cameras and the RCM "
-                    "block bandwidth exceeds "
+                    f"CHOLESKY at n_cams={self.n_cams}: the RCM block "
+                    "bandwidth exceeds "
                     f"{band_chol.MAX_SUPERNODE} (no exploitable band "
-                    "structure) — falling back to PCG with the "
+                    "structure) and the camera count exceeds the "
+                    "unbanded dense-factorization ceiling "
+                    f"({band_chol.DENSE_UNBANDED_MAX}, O(N^2) block "
+                    "table) — falling back to PCG with the "
                     "SCHUR_JACOBI preconditioner. Iteration counts "
                     "will reflect CG iterations, not a direct solve.",
                     RuntimeWarning,
                     stacklevel=2,
                 )
             else:
+                if self._band_plan.meta.bw >= self.n_cams - 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"CHOLESKY at n_cams={self.n_cams}: no "
+                        "exploitable band structure (RCM bandwidth > "
+                        f"{band_chol.MAX_SUPERNODE}) — factoring the "
+                        "FULL dense RCS through the pair-stream "
+                        "assembly (O(N^2) memory). The solve stays "
+                        "direct (the reference's SimplicialLLT fills "
+                        "toward dense on such graphs too); expect "
+                        "this to be slower than PCG.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 self._band_meta = self._band_plan.meta
                 self._band_arrays = jax.tree.map(
                     jnp.asarray, self._band_plan.arrays
@@ -970,7 +1009,7 @@ class Stage1Solver(StagedTiming, CamWindows):
                   SolverType.POWER_SCHUR_COMPLEMENT):
             ld = st == SolverType.POWER_SCHUR_COMPLEMENT
             if structured:
-                lam32 = lam.astype(jnp.float32)
+                lam32 = lam.astype(self.solve_dtype)
                 pieces, t["stage2"] = self._timed(
                     self._jit_cached(
                         "hll_pieces_s", self._hll_pieces_s,
@@ -1012,7 +1051,7 @@ class Stage1Solver(StagedTiming, CamWindows):
             st == SolverType.CHOLESKY and self._chol_pcg_fallback
         ):
             if structured:
-                lam32 = lam.astype(jnp.float32)
+                lam32 = lam.astype(self.solve_dtype)
                 pieces, t["stage2"] = self._timed(
                     self._jit_cached(
                         "hll_pieces_s", self._hll_pieces_s,
@@ -1191,7 +1230,12 @@ class Stage1Solver(StagedTiming, CamWindows):
         Structured path: double-float (two-f32) evaluation at ~47-bit
         end-to-end precision (ops/pallas_pose.pose_error_df32) — the
         emulated-f64 sweep costs 72 ms/call at venice-89 on v5e."""
-        if self.use_pallas and self.dtype == jnp.float64:
+        if (
+            self.use_pallas
+            and self.dtype == jnp.float64
+            and self.solve_dtype == jnp.float32
+        ):
+            # mixed mode only: pure-f64 evaluates below in true f64
             return self._compute_error_df32(obs, cam_space, lm_p)
         P = self._gather_cams(obs, cam_space)
         x = self._expand_L(obs, self._lm_rows(obs, lm_p))  # [3, O]
@@ -1209,10 +1253,10 @@ class Stage1Solver(StagedTiming, CamWindows):
             err = jnp.where(active, err, 0.0)
             valid = active
             finite = jnp.logical_or(finite, ~active)
-        return accumulate_residual_info(
+        return self._psum_err(accumulate_residual_info(
             err, jnp.sqrt(res_sq), valid, finite,
             num_obs_all=self.n_obs_live,
-        )
+        ))
 
     def _initialize_varproj(
         self, obs: Obs, cam_space: jnp.ndarray
@@ -1226,12 +1270,13 @@ class Stage1Solver(StagedTiming, CamWindows):
         = -z and A~[:, :3] = G, so one `prepare` pass with zero
         landmarks yields G^T G = ata and G^T z = -atr exactly."""
         if self.use_pallas:
+            sd = self.solve_dtype
             o = obs.cam.shape[0]
-            ct = cam_space.astype(jnp.float32).reshape(self.n_cams, 12).T
-            zeros = jnp.zeros((3, o), jnp.float32)
+            ct = cam_space.astype(sd).reshape(self.n_cams, 12).T
+            zeros = jnp.zeros((3, o), sd)
             _rw, _sw, ata, atr, _jpsq = pallas_pose.prepare(
                 self._kcam(obs), self._expand_tbl(obs, ct), zeros,
-                obs.uv.astype(jnp.float32),
+                obs.uv.astype(sd),
                 self._mask1(obs), alpha=self.alpha, robust=0,
                 huber=1.0, weighted=False, win=self._winargs(obs),
             )
@@ -1797,9 +1842,10 @@ class Stage1Solver(StagedTiming, CamWindows):
     # solver never materializes Jp [4,12,O], Jl [4,3,O] or W [3,12,O].
 
     def _mask1(self, obs: Obs) -> jnp.ndarray:
+        sd = self.solve_dtype
         if obs.weight is None:
-            return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
-        return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
+            return jnp.ones((1, obs.cam.shape[0]), sd)
+        return (obs.weight > 0).astype(sd).reshape(1, -1)
 
     def _linearize_s(
         self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
@@ -1816,19 +1862,20 @@ class Stage1Solver(StagedTiming, CamWindows):
     def _lin_core_s(
         self, obs: Obs, cam_space: jnp.ndarray, lm_p: jnp.ndarray
     ):
-        """Structured-path linearization core: one Pallas pass over the
-        observations plus the landmark-slot reductions."""
-        f32 = jnp.float32
-        ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
+        """Structured-path linearization core: one pass over the
+        observations plus the landmark-slot reductions (Pallas in f32;
+        the XLA mirror ops/xla_pose.py when solve_dtype is f64)."""
+        sd = self.solve_dtype
+        ct = cam_space.astype(sd).reshape(self.n_cams, 12).T
         # landmark state enters L space once (or arrives packed);
         # per-landmark tables stay there so seg/expand round trips are
         # gather-free (CamWindows)
         x = self._expand_L(
-            obs, self._lm_rows(obs, lm_p).astype(f32)
+            obs, self._lm_rows(obs, lm_p).astype(sd)
         )  # [3, O]
         r_w, sw, ata, atr, jpsq = pallas_pose.prepare(
             self._kcam(obs), self._expand_tbl(obs, ct), x,
-            obs.uv.astype(f32), self._mask1(obs),
+            obs.uv.astype(sd), self._mask1(obs),
             alpha=self.alpha, robust=self.robust, huber=self.huber,
             win=self._winargs(obs),
         )
@@ -1875,7 +1922,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         as outer products after the reduction."""
         hpp_raw, b_raw = pallas_pose.hpp_b_structured(
             self._kcam(obs), self._expand_tbl(obs, lin.ct), lin.x,
-            obs.uv.astype(jnp.float32), lin.sw,
+            obs.uv.astype(self.solve_dtype), lin.sw,
             lin.r_w, jls_obs, hib_obs, self.n_cams, alpha=self.alpha,
             win=self._winargs(obs),
         )
@@ -1957,7 +2004,7 @@ class Stage1Solver(StagedTiming, CamWindows):
     def _h_factor_s(self, obs: Obs, lin: Lin1S, jls_obs, lh_obs):
         return pallas_pose.e0_factor(
             self._kcam(obs), self._expand_tbl(obs, lin.ct),
-            obs.uv.astype(jnp.float32),
+            obs.uv.astype(self.solve_dtype),
             lin.sw * lin.sw, jls_obs, lh_obs, alpha=self.alpha,
             win=self._winargs(obs),
         )
@@ -1965,9 +2012,9 @@ class Stage1Solver(StagedTiming, CamWindows):
     def _solve_power_s(
         self, obs: Obs, lin: Lin1S, lam: jnp.ndarray, landmark_damping
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        lam32 = lam.astype(jnp.float32)
-        hll_pieces = self._hll_pieces_s(obs, lin, lam32, landmark_damping)
-        prep = self._power_prep_s(obs, lin, lam32, hll_pieces)
+        lam_s = lam.astype(self.solve_dtype)
+        hll_pieces = self._hll_pieces_s(obs, lin, lam_s, landmark_damping)
+        prep = self._power_prep_s(obs, lin, lam_s, hll_pieces)
         return self._power_iterate_s(obs, lin, prep)
 
     def _power_prep_s(self, obs: Obs, lin: Lin1S, lam32, hll_pieces):
@@ -1999,7 +2046,7 @@ class Stage1Solver(StagedTiming, CamWindows):
     def _solve_pcg_s(
         self, obs: Obs, lin: Lin1S, lam: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        lam32 = lam.astype(jnp.float32)
+        lam32 = lam.astype(self.solve_dtype)
         pieces = self._hll_pieces_s(obs, lin, lam32, False)
         b, hpp, h = self._pcg_prep_s(obs, lin, pieces)
         pmats = self._pcg_precond_s(obs, lin, lam32, hpp, h)
@@ -2080,16 +2127,16 @@ class Stage1Solver(StagedTiming, CamWindows):
     def _back_sub_s(
         self, obs: Obs, new_cam, lm_p, lin: Lin1S, inc_scaled
     ):
-        f32 = jnp.float32
-        inc_f = inc_scaled.astype(f32)
-        ct_new = new_cam.astype(f32).reshape(self.n_cams, 12).T
+        sd = self.solve_dtype
+        inc_f = inc_scaled.astype(sd)
+        ct_new = new_cam.astype(sd).reshape(self.n_cams, 12).T
         win = self._winargs(obs)
         kcam = self._kcam(obs)
         # exact VarProj back-substitution from UNWEIGHTED fresh
         # Jacobians at the updated cameras (helper.cpp:382-454)
         _rw, _sw, ata, atr, _jpsq = pallas_pose.prepare(
             kcam, self._expand_tbl(obs, ct_new), lin.x,
-            obs.uv.astype(f32),
+            obs.uv.astype(sd),
             self._mask1(obs), alpha=self.alpha, robust=0, huber=1.0,
             weighted=False, win=win,
         )
@@ -2102,7 +2149,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         )  # [3, L]
 
         part = pallas_pose.apply_ldiff(
-            kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
+            kcam, lin.x, obs.uv.astype(sd), lin.sw, lin.r_w,
             self._expand_L(obs, lin.jl_scale),
             self._expand_L(obs, inc_lm),
             self._expand_tbl(obs, lin.ct),
@@ -2122,18 +2169,18 @@ class Stage1Solver(StagedTiming, CamWindows):
     def _back_sub_poba_s(
         self, obs: Obs, lm_p, lin: Lin1S, inc_scaled, lam
     ):
-        f32 = jnp.float32
-        lam32 = lam.astype(f32)
-        inc_f = inc_scaled.astype(f32)
+        sd = self.solve_dtype
+        lam32 = lam.astype(sd)
+        inc_f = inc_scaled.astype(sd)
         d = lin.jl_scale
         hll = lin.hll_raw * (d[:, None, :] * d[None, :, :])
-        hll = hll + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
+        hll = hll + lam32 * jnp.eye(3, dtype=sd)[:, :, None]
         jls_obs = self._expand_L(obs, d)
         win = self._winargs(obs)
         kcam = self._kcam(obs)
         t3 = pallas_pose.poba_t3(
             kcam, self._expand_tbl(obs, lin.ct), lin.x,
-            obs.uv.astype(f32), lin.sw,
+            obs.uv.astype(sd), lin.sw,
             lin.r_w, jls_obs,
             self._expand_tbl(obs, lin.pose_scale * inc_f),
             alpha=self.alpha, win=win,
@@ -2144,7 +2191,7 @@ class Stage1Solver(StagedTiming, CamWindows):
         )  # [3, L]
 
         part = pallas_pose.apply_ldiff_stored(
-            kcam, lin.x, obs.uv.astype(f32), lin.sw, lin.r_w,
+            kcam, lin.x, obs.uv.astype(sd), lin.sw, lin.r_w,
             jls_obs, self._expand_L(obs, inc_lm_scaled),
             self._expand_tbl(obs, lin.ct),
             self._expand_tbl(obs, lin.pose_scale * inc_f),

@@ -467,7 +467,12 @@ class Stage2Solver(StagedTiming, CamWindows):
         Structured path: double-float (two-f32) evaluation including a
         refined double-float division for the projective normalization
         (pallas_pose2.error2_df32) — replaces the emulated-f64 sweep."""
-        if self.use_pallas and self.dtype == jnp.float64:
+        if (
+            self.use_pallas
+            and self.dtype == jnp.float64
+            and self.solve_dtype == jnp.float32
+        ):
+            # mixed mode only: pure-f64 evaluates below in true f64
             return self._compute_error_df32(obs, cam_space, lm_p_h)
         P = self._gather_cams(obs, cam_space)
         xh = self._expand_L(obs, self._lm_rows(obs, lm_p_h))  # [4, O]
@@ -483,10 +488,10 @@ class Stage2Solver(StagedTiming, CamWindows):
             err = jnp.where(active, err, 0.0)
             valid = jnp.logical_and(valid, active)
             finite = jnp.logical_or(finite, ~active)
-        return accumulate_residual_info(
+        return self._psum_err(accumulate_residual_info(
             err, jnp.sqrt(res_sq), valid, finite,
             num_obs_all=self.n_obs_live,
-        )
+        ))
 
     # --------------------------------------------------------- linearize
 
@@ -889,9 +894,10 @@ class Stage2Solver(StagedTiming, CamWindows):
         return linalg.frobenius_normalize(new_cam)
 
     def _mask1(self, obs: Obs) -> jnp.ndarray:
+        sd = self.solve_dtype
         if obs.weight is None:
-            return jnp.ones((1, obs.cam.shape[0]), jnp.float32)
-        return (obs.weight > 0).astype(jnp.float32).reshape(1, -1)
+            return jnp.ones((1, obs.cam.shape[0]), sd)
+        return (obs.weight > 0).astype(sd).reshape(1, -1)
 
     def _compute_error_df32(
         self, obs: Obs, cam_space: jnp.ndarray, lm_p_h: jnp.ndarray
@@ -962,17 +968,17 @@ class Stage2Solver(StagedTiming, CamWindows):
     def _lin2_core_s(self, obs: Obs, cam_space, lm_p_h):
         """Projection/residual/weight pass + raw column-norm sums (the
         jacobian_evaluation timing span)."""
-        f32 = jnp.float32
-        ct = cam_space.astype(f32).reshape(self.n_cams, 12).T
+        sd = self.solve_dtype
+        ct = cam_space.astype(sd).reshape(self.n_cams, 12).T
         # landmark state enters L space ONCE (a [4, M] take when rows
         # are unique; free when it arrives packed); every per-landmark
         # quantity below stays in L space so the seg/expand round trips
         # are gather-free
-        x4_L = self._lm_rows(obs, lm_p_h).astype(f32)  # [4, L]
+        x4_L = self._lm_rows(obs, lm_p_h).astype(sd)  # [4, L]
         x4 = self._expand_L(obs, x4_L)  # [4, O]
         rw, sw, mm, jlw, jlsq, jpsq = pallas_pose2.prepare2(
             self._kcam(obs), self._expand_tbl(obs, ct), x4,
-            obs.uv.astype(f32), self._mask1(obs),
+            obs.uv.astype(sd), self._mask1(obs),
             use_valid=self.use_valid_only, robust=self.robust,
             huber=self.huber, win=self._winargs(obs),
         )
@@ -1032,8 +1038,9 @@ class Stage2Solver(StagedTiming, CamWindows):
 
     def _prep_hll_s(self, obs: Obs, lin: Lin2S, lam):
         """(hll_inv [3,3,M], hib_obs [3,O], B6 [6,O] = Jl_ns L rows)."""
-        lam32 = lam.astype(jnp.float32)
-        hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=jnp.float32)[
+        sd = self.solve_dtype
+        lam32 = lam.astype(sd)
+        hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=sd)[
             :, :, None
         ]
         hll_inv = linalg.inv3x3f(hll)
@@ -1078,8 +1085,9 @@ class Stage2Solver(StagedTiming, CamWindows):
         hpp12 = self._combine_cam_win(obs, hpp12)
         b12 = self._combine_cam_win(obs, b12)
         hpp11, b11 = self._fold_kps(lin, hpp12, b12)
-        lam32 = lam.astype(jnp.float32)
-        hpp_d = hpp11 + lam32 * jnp.eye(11, dtype=jnp.float32)[
+        sd = self.solve_dtype
+        lam32 = lam.astype(sd)
+        hpp_d = hpp11 + lam32 * jnp.eye(11, dtype=sd)[
             :, :, None
         ]
         b_inv = linalg.inv_psd_smallf(hpp_d)
@@ -1177,9 +1185,9 @@ class Stage2Solver(StagedTiming, CamWindows):
         return e0
 
     def _back_sub_s(self, obs: Obs, lm_p_h, lin: Lin2S, inc, lam):
-        f32 = jnp.float32
-        lam32 = lam.astype(f32)
-        inc_s = inc.astype(f32)
+        sd = self.solve_dtype
+        lam32 = lam.astype(sd)
+        inc_s = inc.astype(sd)
         win = self._winargs(obs)
         kcam = self._kcam(obs)
         zt = small_einsum("abn,bn->an", lin.kps, inc_s)  # [12, N]
@@ -1189,7 +1197,7 @@ class Stage2Solver(StagedTiming, CamWindows):
             add_r=True, win=win,
         )
         t3 = self._seg_L(obs, t3_obs)
-        hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=f32)[:, :, None]
+        hll = lin.hll_raw + lam32 * jnp.eye(3, dtype=sd)[:, :, None]
         inc3 = -linalg.solve3x3f(hll, t3)  # [3, L]
         inc_proj = small_einsum(
             "ijm,jm->im", lin.kernel_lm, inc3

@@ -518,3 +518,202 @@ def test_spmd_fallback_warns_loudly():
     with pytest.warns(RuntimeWarning, match="detailed_timing"):
         bundle_adjust(p1, opts, log=lambda s: None, mesh=mesh)
     assert np.all(np.isfinite(p1.cam_space))
+
+
+# --------------------------------------------------------------------
+# Pure-f64 fast path (VERDICT r4 #8): mixed_precision_solves=False
+# rides the SAME windowed shard_map solvers — the per-observation
+# kernels dispatch to their XLA mirrors (ops/xla_pose.py) and the slot
+# reduce/expand falls back per class — instead of dropping to the
+# GSPMD lowering. Equivalence is against the single-chip pure-f64
+# solver (the non-structured XLA path), so it also pins the mirrors'
+# math against an independent implementation.
+
+
+def _stage1_pair_f64():
+    from povar_tpu.solver.stage1 import Stage1Solver
+
+    rng = np.random.default_rng(3)
+    n_cams = 700
+    obs_cam, obs_lm, obs_uv, n_lms = _local_problem(rng, n_cams, 150)
+    cam_space = rng.standard_normal((n_cams, 3, 4))
+    cam_space[:, 2, :] = [0, 0, 0, 1.0]
+    mesh = _mesh()
+    plan = build_spmd_plan(
+        obs_cam, obs_lm, n_cams, n_lms, D, PART_ALIGN
+    )
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.power_sc_iterations = 3
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    opts.pallas_kernels = "on"  # SPMD structured path
+    S1, _ = get_spmd_solver_classes()
+    spmd = S1(plan, obs_uv, n_cams, n_lms, opts, mesh)
+    # single chip: pure f64 runs the non-structured XLA path
+    # ("on" is invalid there by design — f32 inner solves required)
+    ropts = SolverOptions()
+    ropts.mixed_precision_solves = False
+    ropts.power_sc_iterations = 3
+    ropts.eta = 0.0
+    ropts.r_tolerance = -1.0
+    ref = Stage1Solver(obs_cam, obs_lm, obs_uv, n_cams, n_lms, ropts)
+    return spmd, ref, jnp.asarray(cam_space)
+
+
+@pytest.mark.slow
+def test_spmd_pure_f64_stage1_matches_single_chip():
+    """f64-tolerance equivalence of init / error / power solves (both
+    dampings) / apply between the sharded structured-XLA path and the
+    single-chip f64 solver."""
+    s, ref, cams = _stage1_pair_f64()
+    assert s.solve_dtype == jnp.float64
+    lam = jnp.asarray(1e-3, s.dtype)
+
+    lp = s.initialize_varproj(cams)
+    lr = ref.initialize_varproj(cams)
+    assert (
+        np.abs(s.unpad_landmarks(lp) - np.asarray(lr)).max() < 1e-9
+    )
+    e0 = s.compute_error(cams, lp)
+    e0r = ref.compute_error(cams, lr)
+    f0, f0r = float(e0["error_all"]), float(e0r["error_all"])
+    assert abs(f0 - f0r) <= 1e-12 * abs(f0r)
+    assert int(e0["num_obs_valid"]) == int(e0r["num_obs_valid"])
+
+    lin = s.linearize(cams, lp)
+    lin_r = ref.linearize(cams, lr)
+    inc, _ = s.solve_power(lin, lam)
+    inc_r, _ = ref.solve_power(lin_r, lam)
+    d = np.abs(np.asarray(inc) - np.asarray(inc_r)).max() / (
+        np.abs(np.asarray(inc_r)).max() + 1e-300
+    )
+    assert d < 1e-10, d
+
+    nc, nl, ld = s.apply(cams, lp, lin, inc)
+    ncr, nlr, ldr = ref.apply(cams, lr, lin_r, inc_r)
+    assert abs(float(ld) - float(ldr)) <= 1e-9 * abs(float(ldr))
+    assert np.abs(s.unpad_landmarks(nl) - np.asarray(nlr)).max() < 1e-8
+    assert np.abs(np.asarray(nc) - np.asarray(ncr)).max() < 1e-8
+
+    inc2, _ = s.solve_power(lin, lam, landmark_damping=True)
+    inc2r, _ = ref.solve_power(lin_r, lam, landmark_damping=True)
+    d = np.abs(np.asarray(inc2) - np.asarray(inc2r)).max() / (
+        np.abs(np.asarray(inc2r)).max() + 1e-300
+    )
+    assert d < 1e-10, d
+
+
+@pytest.mark.slow
+def test_spmd_pure_f64_stage2_matches_single_chip():
+    """Stage-2 equivalence in pure f64 on the consistent near-optimum
+    state (see the mixed-mode twin above) — at f64 the comparison is
+    tight instead of f32-sensitivity-bounded."""
+    from povar_tpu.problem.synthetic import _ring_cameras
+    from povar_tpu.solver.stage2 import Stage2Solver, create_homogeneous
+
+    rng = np.random.default_rng(5)
+    n_cams = 700
+    obs_cam, obs_lm, obs_uv, n_lms = _local_problem(rng, n_cams, 150)
+    gt_cams = _ring_cameras(n_cams, radius=10.0, rng=rng)
+    lm_p = rng.standard_normal((n_lms, 3)) * 2.0
+    xh = np.concatenate([lm_p, np.ones((n_lms, 1))], axis=1)
+    p = np.einsum("oij,oj->oi", gt_cams[obs_cam], xh[obs_lm])
+    obs_uv = p[:, :2] / p[:, 2:3]
+    cam_space = gt_cams + 1e-3 * rng.standard_normal(gt_cams.shape)
+    lm_p = lm_p + 1e-3 * rng.standard_normal(lm_p.shape)
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.power_sc_iterations = 3
+    opts.eta = 0.0
+    opts.r_tolerance = -1.0
+    opts.pallas_kernels = "on"
+    mesh = _mesh()
+    plan = build_spmd_plan(
+        obs_cam, obs_lm, n_cams, n_lms, D, PART_ALIGN
+    )
+    _, S2 = get_spmd_solver_classes()
+    s = S2(plan, obs_uv, n_cams, n_lms, opts, mesh)
+    assert s.solve_dtype == jnp.float64
+    ropts = SolverOptions()
+    ropts.mixed_precision_solves = False
+    ropts.power_sc_iterations = 3
+    ropts.eta = 0.0
+    ropts.r_tolerance = -1.0
+    ref = Stage2Solver(obs_cam, obs_lm, obs_uv, n_cams, n_lms, ropts)
+
+    cams0 = jnp.asarray(cam_space)
+    cams, lmh_pad = create_homogeneous(cams0, s.pad_landmarks(lm_p))
+    _, lmh = create_homogeneous(cams0, jnp.asarray(lm_p))
+    lam = jnp.asarray(1e-3, s.dtype)
+
+    e0 = s.compute_error(cams, lmh_pad)
+    e0r = ref.compute_error(cams, lmh)
+    assert abs(
+        float(e0["error_all"]) - float(e0r["error_all"])
+    ) <= 1e-12 * abs(float(e0r["error_all"]))
+    assert int(e0["num_obs_valid"]) == int(e0r["num_obs_valid"])
+
+    lin = s.linearize(cams, lmh_pad)
+    lin_r = ref.linearize(cams, lmh)
+    inc, _ = s.solve_power(lin, lam)
+    inc_r, _ = ref.solve_power(lin_r, lam)
+    d = np.abs(np.asarray(inc) - np.asarray(inc_r)).max() / (
+        np.abs(np.asarray(inc_r)).max() + 1e-300
+    )
+    assert d < 1e-9, d
+    nc, nl, ld = s.apply(cams, lmh_pad, lin, inc, lam)
+    ncr, nlr, ldr = ref.apply(cams, lmh, lin_r, inc_r, lam)
+    assert abs(float(ld) - float(ldr)) <= 1e-9 * abs(float(ldr))
+    assert np.abs(s.unpad_landmarks(nl) - np.asarray(nlr)).max() < 1e-10
+    assert np.abs(np.asarray(nc) - np.asarray(ncr)).max() < 1e-10
+
+
+@pytest.mark.slow
+def test_spmd_pure_f64_pipeline_fast_path_trajectory():
+    """bundle_adjust with mixed_precision_solves=False on a mesh takes
+    the fast path (NO fallback RuntimeWarning) and reproduces the
+    single-chip f64 two-step trajectory decision-for-decision at f64
+    tolerances."""
+    import copy
+    import warnings as _warnings
+
+    from povar_tpu.problem.synthetic import synthetic_bal_problem
+    from povar_tpu.solver.pipeline import bundle_adjust
+
+    problem, _ = synthetic_bal_problem(
+        n_cams=10, n_lms=60, obs_per_lm=4, seed=7
+    )
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.max_num_iterations_step_1 = 4
+    opts.max_num_iterations_step_2 = 3
+    mesh = _mesh()
+    p1 = copy.deepcopy(problem)
+    p2 = copy.deepcopy(problem)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        _, s1a, s2a = bundle_adjust(
+            p1, opts, log=lambda s: None, mesh=mesh
+        )
+    _, s1b, s2b = bundle_adjust(p2, opts, log=lambda s: None)
+
+    for sa, sb, tol in ((s1a, s1b, 1e-9), (s2a, s2b, 1e-5)):
+        ta = [
+            (it.step_is_successful,
+             it.cost.all.error if it.cost is not None else None)
+            for it in sa.iterations
+        ]
+        tb = [
+            (it.step_is_successful,
+             it.cost.all.error if it.cost is not None else None)
+            for it in sb.iterations
+        ]
+        assert len(ta) == len(tb)
+        for (ok_a, c_a), (ok_b, c_b) in zip(ta, tb):
+            assert ok_a == ok_b
+            if c_a is not None and c_b is not None:
+                assert abs(c_a - c_b) <= tol * max(abs(c_b), 1.0)
+    assert np.all(np.isfinite(p1.cam_space))
+    assert np.all(np.isfinite(p1.lm_p_h))
