@@ -55,6 +55,15 @@ PAIR_CHUNK = 512 * 1024
 # iterative solvers are the right tool
 MAX_SUPERNODE = 256
 
+# unbandable fallback ceiling: forcing bw = N - 1 degenerates the plan
+# to a FULL band (a single dense supernode chain), which is still the
+# reference's capability — SimplicialLLT on a dense-ish RCS fills to
+# dense anyway (linearization_sc.hpp:236-245) — through the same
+# pair-stream assembly and scan factorization. The block table is
+# O(N^2): 576 N^2 bytes f32 = 2.4 GB at this cap, the practical
+# single-chip limit alongside the problem arrays.
+DENSE_UNBANDED_MAX = 2048
+
 
 class BandMeta(NamedTuple):
     """Static shape metadata for the banded RCS solve (plain ints —
@@ -136,9 +145,14 @@ def _landmark_pairs(
 def build_band_plan(
     obs_cam: np.ndarray, obs_lm: np.ndarray, num_cameras: int,
     num_landmarks: int, live: Optional[np.ndarray] = None,
+    allow_dense: bool = False,
 ) -> Optional[BandPlan]:
     """Build the banded-RCS plan, or None when the RCM bandwidth
-    exceeds MAX_SUPERNODE (no exploitable band structure). `live` is
+    exceeds MAX_SUPERNODE (no exploitable band structure). With
+    `allow_dense`, an unbandable graph at num_cameras <=
+    DENSE_UNBANDED_MAX degenerates to the FULL band (bw = N - 1, one
+    dense supernode chain) instead of failing — a direct factorization
+    of arbitrary RCS sparsity within the O(N^2) memory bound. `live` is
     an optional per-observation mask excluding zero-weight padding
     lanes from the pair stream (their products are exact zeros)."""
     obs_cam = np.asarray(obs_cam)
@@ -162,7 +176,9 @@ def build_band_plan(
     seen = hi >= 0
     bw = int(np.max(hi[seen] - lo[seen])) if seen.any() else 0
     if bw > MAX_SUPERNODE:
-        return None
+        if not allow_dense or num_cameras > DENSE_UNBANDED_MAX:
+            return None
+        bw = num_cameras - 1  # full band: dense direct factorization
     # supernode width: >= bw, multiple of 32 so B = 12K is a multiple
     # of 384 (MXU-tileable), capped below the problem size
     K = max(32, int(np.ceil(max(bw, 1) / 32)) * 32)
