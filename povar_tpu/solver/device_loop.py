@@ -350,11 +350,14 @@ def drive_device_loop(
     cams_f, lms_f, n_trials, term, tr = jit_run(
         solver.obs, state.cams, state.lms, err0
     )
-    n = int(n_trials)
+    # ONE batched host transfer for scalars + every trace array: each
+    # separate int()/np.asarray() fetch pays a full tunnel round trip
+    # (~10-20 ms on a remote TPU), and there are ~14 of them — more
+    # wall time than the 25-iteration loop's compute itself
+    n, term, tr = jax.device_get((n_trials, term, tr))
+    n = int(n)
     term = int(term)
     wall = t0.elapsed()
-    # one fetch for all traces
-    tr = {k: np.asarray(v) for k, v in tr.items()}
     state.cams = cams_f
     state.lms = lms_f
     state.trial = None

@@ -29,6 +29,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -400,9 +401,9 @@ def _run_device_loop(
     from povar_tpu.solver import device_loop
 
     err0 = solver.compute_error(state.cams, state.lms)
-    ri0 = ResidualInfo.from_device(
-        {k: np.asarray(v) for k, v in err0.items()}
-    )
+    # one batched fetch (7 separate np.asarray scalar pulls would pay
+    # 7 tunnel round trips on a remote TPU)
+    ri0 = ResidualInfo.from_device(jax.device_get(err0))
     valid_first = options.use_projection_validity_check()
     log(f"Iteration 0, {error_summary_oneline(ri0, valid_first)}")
     if not ri0.is_numerically_valid:
@@ -497,10 +498,9 @@ def optimize_step1(
         )
 
     def compute_error():
-        return ResidualInfo.from_device(
-            {k: np.asarray(v) for k, v in
-             solver.compute_error(state.cur_cams, state.cur_lms).items()}
-        )
+        return ResidualInfo.from_device(jax.device_get(
+            solver.compute_error(state.cur_cams, state.cur_lms)
+        ))
 
     def linearize():
         if detailed:
@@ -551,10 +551,13 @@ def optimize_step1(
             state.cams, state.lms, lin_box["lin"],
             jnp.asarray(lam, solver.dtype),
         )
-        ok = bool(ok)
-        ri2 = ResidualInfo.from_device(
-            {k: np.asarray(v) for k, v in err.items()}
+        # one batched host transfer for the decision scalars + cost
+        # buckets (separate pulls pay ~10 tunnel round trips per trial)
+        ok, iters, l_diff, err = jax.device_get(
+            (ok, iters, l_diff, err)
         )
+        ok = bool(ok)
+        ri2 = ResidualInfo.from_device(err)
         if ok:
             state.stage(new_cams, new_lms)
         return ok, int(iters), float(l_diff), ri2
@@ -606,10 +609,9 @@ def optimize_step2(
     detailed = options.detailed_timing
 
     def compute_error():
-        return ResidualInfo.from_device(
-            {k: np.asarray(v) for k, v in
-             solver.compute_error(state.cur_cams, state.cur_lms).items()}
-        )
+        return ResidualInfo.from_device(jax.device_get(
+            solver.compute_error(state.cur_cams, state.cur_lms)
+        ))
 
     def linearize():
         if detailed:
@@ -655,10 +657,12 @@ def optimize_step2(
             state.cams, state.lms, lin_box["lin"],
             jnp.asarray(lam, solver.dtype),
         )
-        ok = bool(ok)
-        ri2 = ResidualInfo.from_device(
-            {k: np.asarray(v) for k, v in err.items()}
+        # batched transfer (see step 1's trial_step)
+        ok, iters, l_diff, err = jax.device_get(
+            (ok, iters, l_diff, err)
         )
+        ok = bool(ok)
+        ri2 = ResidualInfo.from_device(err)
         if ok:
             state.stage(new_cams, new_lms)
         return ok, int(iters), float(l_diff), ri2
