@@ -32,6 +32,18 @@ def _solve(mixed: bool):
     return bundle_adjust(problem, opts, log=lambda s: None)
 
 
+# accept/reject sequences of the f64 run on this problem (recorded;
+# both steps accept every trial). The mixed run must reproduce them
+# exactly — a decision-level invariant that is much tighter than the
+# mid-descent cost tolerance below.
+GOLDEN_DECISIONS_1 = [True] * 16
+GOLDEN_DECISIONS_2 = [True] * 4
+
+
+def _decisions(summary):
+    return [bool(it.step_is_successful) for it in summary.iterations]
+
+
 def test_golden_costs_f64():
     _, s1, s2 = _solve(mixed=False)
     assert s1.initial_cost.all.error == pytest.approx(
@@ -39,6 +51,8 @@ def test_golden_costs_f64():
     )
     assert s1.final_cost.all.error == pytest.approx(GOLDEN_FINAL_1, rel=1e-6)
     assert s2.final_cost.all.error == pytest.approx(GOLDEN_FINAL_2, rel=1e-6)
+    assert _decisions(s1) == GOLDEN_DECISIONS_1
+    assert _decisions(s2) == GOLDEN_DECISIONS_2
 
 
 def test_golden_costs_mixed_matches_f64():
@@ -51,3 +65,7 @@ def test_golden_costs_mixed_matches_f64():
     _, s1, s2 = _solve(mixed=True)
     assert s1.final_cost.all.error == pytest.approx(GOLDEN_FINAL_1, rel=5e-3)
     assert s2.final_cost.all.error == pytest.approx(GOLDEN_FINAL_2, rel=1e-6)
+    # decision parity with the f64 trajectory (tight even where the
+    # mid-descent costs drift at f32 order)
+    assert _decisions(s1) == GOLDEN_DECISIONS_1
+    assert _decisions(s2) == GOLDEN_DECISIONS_2
