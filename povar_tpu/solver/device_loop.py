@@ -337,30 +337,49 @@ def drive_device_loop(
     summary: SolverSummary,
     timer_total: Timer,
     log: Callable[[str], None],
-    ri0: ResidualInfo,
     err0,
     jit_run,
 ) -> None:
     """Run the device loop and reconstruct the host-identical summary
-    records + log lines from the traces. The iteration-0 record must
-    already be in `summary` (the caller evaluates and logs it)."""
+    records + log lines from the traces — including the iteration-0
+    record: `err0` arrives as device arrays and rides the same batched
+    device_get as the traces, so the whole step costs exactly one
+    blocking host<->device round trip."""
     valid_first = options.use_projection_validity_check()
 
     t0 = Timer()
     cams_f, lms_f, n_trials, term, tr = jit_run(
         solver.obs, state.cams, state.lms, err0
     )
-    # ONE batched host transfer for scalars + every trace array: each
-    # separate int()/np.asarray() fetch pays a full tunnel round trip
-    # (~10-20 ms on a remote TPU), and there are ~14 of them — more
-    # wall time than the 25-iteration loop's compute itself
-    n, term, tr = jax.device_get((n_trials, term, tr))
+    # ONE batched host transfer for scalars + every trace array + the
+    # initial error buckets: each separate int()/np.asarray() fetch
+    # pays a full tunnel round trip (~10-20 ms on a remote TPU), and
+    # there are ~15 of them — more wall time than the 25-iteration
+    # loop's compute itself
+    n, term, tr, err0_host = jax.device_get((n_trials, term, tr, err0))
     n = int(n)
     term = int(term)
     wall = t0.elapsed()
     state.cams = cams_f
     state.lms = lms_f
     state.trial = None
+
+    ri0 = ResidualInfo.from_device(err0_host)
+    log(f"Iteration 0, {error_summary_oneline(ri0, valid_first)}")
+    if not ri0.is_numerically_valid:
+        # same exception as the host loop; in this mode it surfaces
+        # after the (wasted) dispatch, which only matters on inputs
+        # that are already NaN/Inf at iteration 0
+        raise FloatingPointError(
+            "did not expect numerical failure during linearization"
+        )
+    it0 = IterationSummary(iteration=0)
+    it0.cost = ri0
+    it0.trust_region_radius = options.initial_trust_region_radius
+    it0.step_is_successful = True
+    it0.step_is_valid = True
+    it0.cumulative_time_in_seconds = timer_total.elapsed() - wall
+    finish_iteration(summary, it0)
 
     it_time = wall / max(n, 1)
     cur_f, cur_n = np.asarray(tr["err_f"]), np.asarray(tr["err_n"])

@@ -397,27 +397,14 @@ def _run_device_loop(
     solver, state, options, accept_rule, max_lm_iter, summary,
     timer_total, log,
 ) -> None:
-    """Iteration-0 record + the single-dispatch device LM loop."""
+    """Single-dispatch device LM loop. The initial error evaluation is
+    dispatched asynchronously and fetched TOGETHER with the loop's
+    trace arrays (one device_get, one tunnel round trip); the
+    iteration-0 record is reconstructed afterwards like every other
+    log line in this mode."""
     from povar_tpu.solver import device_loop
 
     err0 = solver.compute_error(state.cams, state.lms)
-    # one batched fetch (7 separate np.asarray scalar pulls would pay
-    # 7 tunnel round trips on a remote TPU)
-    ri0 = ResidualInfo.from_device(jax.device_get(err0))
-    valid_first = options.use_projection_validity_check()
-    log(f"Iteration 0, {error_summary_oneline(ri0, valid_first)}")
-    if not ri0.is_numerically_valid:
-        raise FloatingPointError(
-            "did not expect numerical failure during linearization"
-        )
-    it0 = IterationSummary(iteration=0)
-    it0.cost = ri0
-    it0.trust_region_radius = options.initial_trust_region_radius
-    it0.step_is_successful = True
-    it0.step_is_valid = True
-    it0.cumulative_time_in_seconds = timer_total.elapsed()
-    finish_iteration(summary, it0)
-
     run = device_loop.build_device_lm_run(
         solver, options, accept_rule, max_lm_iter
     )
@@ -428,7 +415,7 @@ def _run_device_loop(
     )
     device_loop.drive_device_loop(
         solver, state, options, accept_rule, max_lm_iter, summary,
-        timer_total, log, ri0, err0, jit_run,
+        timer_total, log, err0, jit_run,
     )
 
 
