@@ -729,3 +729,136 @@ def test_step2_ripcg_trajectory_matches_reference(
     assert summary.final_cost.all.error == pytest.approx(
         ref_run["final_cost"], rel=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# mid-scale step-2 parity: the step-1 mid-scale tier above leaves the
+# joint Riemannian stage pinned only at 10 cams / 60 lms; this run
+# closes the symmetric gap at 50 cams / 4000 lms / 24k obs,
+# decision-for-decision against the Eigen joint harness (nightly
+# `slow` tier, like the step-1 mid-scale test).
+
+
+@pytest.fixture(scope="module")
+def midscale_joint_state(midscale_problem):
+    """Post-boundary joint state at mid-scale: a short pure-f64 step-1
+    run, then the homogenize+normalize boundary
+    (create_homogeneous_landmark, bal_bundle_adjustment.cpp:544-553)."""
+    from povar_tpu.solver.stage2 import create_homogeneous
+
+    problem = midscale_problem
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.device_lm_loop = "off"  # algorithm pin (see matrix test note)
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_1 = 8
+    s1 = Stage1Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    cams, lms = optimize_step1(
+        s1,
+        jnp.asarray(problem.cam_space, jnp.float64),
+        jnp.asarray(problem.lm_p, jnp.float64),
+        opts,
+        SolverSummary(),
+        Timer(),
+        log=lambda s: None,
+    )
+    return create_homogeneous(cams, lms)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("hsolver", ["ripoba", "ripcg"])
+def test_step2_midscale_trajectory_matches_reference(
+    midscale_problem, midscale_joint_state, tmp_path, hsolver
+):
+    """Decision-for-decision step-2 parity at 4000 landmarks for both
+    Riemannian solvers. Basis-change f64 drift (Householder here vs
+    Eigen-COD there) grows with the term count, so per-iteration cost
+    gates are looser than the toy fixture's — the decisions, power/CG
+    iteration counts, and iteration count must still match exactly."""
+    from povar_tpu.options import SolverTypeRiemannian
+    from povar_tpu.problem.bal_io import write_state_dump_homogeneous
+    from povar_tpu.solver.lm import optimize_step2
+    from povar_tpu.solver.stage2 import Stage2Solver
+
+    problem = midscale_problem
+    _build_harness2()
+    cams_h, lms_h = midscale_joint_state
+    state = str(tmp_path / "state2_mid.txt")
+    write_state_dump_homogeneous(
+        np.asarray(cams_h),
+        np.asarray(lms_h),
+        problem.obs_lm,
+        problem.obs_cam,
+        problem.obs_uv,
+        state,
+        power_sc_iterations=10,
+        max_iters=MAX_ITERS_2,
+        eta=1e-2,
+        function_tolerance=1e-6,
+    )
+    r = subprocess.run(
+        [HARNESS2, state, hsolver], capture_output=True, timeout=1800
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ref_run = json.loads(r.stdout.decode())
+
+    opts = SolverOptions()
+    opts.mixed_precision_solves = False
+    opts.device_lm_loop = "off"  # algorithm pin (see matrix test note)
+    opts.pallas_kernels = "off"
+    opts.max_num_iterations_step_2 = MAX_ITERS_2
+    opts.solver_type_step_2 = (
+        SolverTypeRiemannian.RIPCG
+        if hsolver == "ripcg"
+        else SolverTypeRiemannian.RIPOBA
+    )
+    s2 = Stage2Solver(
+        problem.obs_cam,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.num_cameras,
+        problem.num_landmarks,
+        opts,
+        dtype=jnp.float64,
+    )
+    summary = SolverSummary()
+    optimize_step2(
+        s2, cams_h, lms_h, opts, summary, Timer(), log=lambda s: None
+    )
+
+    ref_iters = ref_run["iterations"]
+    fw_iters = summary.iterations
+    assert len(fw_iters) == len(ref_iters), (
+        f"iteration counts differ: framework {len(fw_iters)} vs "
+        f"reference {len(ref_iters)}"
+    )
+    assert sum(r_["accept"] for r_ in ref_iters[1:]) >= 5
+
+    for k, (fw, ref) in enumerate(zip(fw_iters, ref_iters)):
+        assert fw.step_is_successful == ref["accept"], f"iteration {k}"
+        assert fw.step_is_valid == ref["valid"], f"iteration {k}"
+        if k == 0:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-12
+            )
+            continue
+        assert fw.linear_solver_iterations == ref["lin_iters"], (
+            f"iteration {k}: linear-solver iterations "
+            f"{fw.linear_solver_iterations} vs {ref['lin_iters']}"
+        )
+        if ref["valid"]:
+            assert fw.cost.all.error == pytest.approx(
+                ref["cost"], rel=1e-3
+            ), f"iteration {k}"
+
+    assert summary.final_cost.all.error == pytest.approx(
+        ref_run["final_cost"], rel=1e-3
+    )
