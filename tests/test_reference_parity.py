@@ -398,6 +398,8 @@ def midscale_problem():
     [
         ("power_varproj", SolverType.POWER_VARPROJ),
         ("pcg", SolverType.PCG),
+        ("power_sc", SolverType.POWER_SCHUR_COMPLEMENT),
+        ("cholesky", SolverType.CHOLESKY),
     ],
 )
 def test_step1_midscale_trajectory_matches_reference(
